@@ -1,0 +1,327 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond-reference surface (mandated as first-class): exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (100 TB posture):
+  * exact_dedup: hash-groupBy on a 128-bit fingerprint — one shuffle of
+    (16-byte key, id), the minimum possible.
+  * minhash_lsh_candidates: the only near-dup path that scales — cost is
+    O(N * num_perm) map-side + a shuffle keyed by (band, band-signature);
+    only same-bucket docs are ever paired.  Verification re-checks exact
+    Jaccard on candidates only.
+  * ngram_jaccard_pairs: exact all-pairs O(N^2) — the *oracle*/baseline
+    path, capped for sanity; at scale it's what LSH approximates.
+  * simhash: 64-bit signature, near-dup = small Hamming distance;
+    banded into 4x16-bit blocks for candidate generation.
+  * embedding near-dup: all-pairs cosine baseline (the LSH-bucketed ANN
+    path lives in operators/similarity.py).
+
+All hash material derives from md5 hex (engine-portable); no Python UDFs
+anywhere — signatures are built from Catalyst array/lambda expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions.distance import cosine_similarity
+from kmeans_mapreduce_spark.functions.text import fingerprint, word_shingles
+
+# MinHash parameters: xxhash64(shingle, seed=p) per permutation.
+MINHASH_NUM_PERM = 32
+MINHASH_BANDS = 8  # 8 bands x 4 rows: catches J>=~0.5 with high prob
+MINHASH_ROWS_PER_BAND = MINHASH_NUM_PERM // MINHASH_BANDS
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical-winner exact dedup: groups by content fingerprint, keeps
+    the lowest id; returns [keep_id, dup_count] one row per distinct text.
+
+    At 100 TB: a single hash-partition shuffle on the 128-bit digest.
+    (dropDuplicates gives the same plan but a nondeterministic winner;
+    min(id) pins the survivor so results are replayable.)
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+def minhash_signature_from_shingles(sh: Column | str, num_perm: int = MINHASH_NUM_PERM) -> Column:
+    """array<bigint> minhash signature over an ALREADY-MATERIALIZED
+    shingle-array column.
+
+    Permutation p's hash of shingle s is xxhash64(s, p) — independent
+    64-bit hash families keyed by seed, all JVM-side.
+
+    Take a stored column, not the shingle *expression*: this Column is
+    referenced num_perm times, and Catalyst inlines (re-evaluates) the
+    input expression into every reference — passing word_shingles(text)
+    directly multiplies tokenization cost by num_perm (measured ~30x
+    wall-clock on the sf0.1 corpus).  See _shingle_frame.
+    """
+    sh = F.col(sh) if isinstance(sh, str) else sh
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(p)))) for p in range(num_perm)]
+    )
+
+
+def minhash_signature(text: Column | str, num_perm: int = MINHASH_NUM_PERM, n: int = 2) -> Column:
+    """Signature straight from a text column — null for empty shingle sets.
+
+    Convenience/test surface only: O(num_perm) re-evaluation of the
+    shingle expression per row.  Pipelines use _shingle_frame +
+    minhash_signature_from_shingles (one shingle pass, cached).
+    """
+    sh = word_shingles(text, n=n)
+    sig = minhash_signature_from_shingles(sh, num_perm)
+    return F.when(F.size(sh) == 0, F.lit(None)).otherwise(sig)
+
+
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Cached [id, sh: array<string>] with empty shingle sets dropped.
+
+    The materialization barrier that makes every downstream signature /
+    verification expression read stored arrays instead of re-running
+    tokenization (projection collapse would otherwise inline it into
+    each of the num_perm signature slots AND both join sides).
+    """
+    from kmeans_mapreduce_spark.session import ensure_parallelism
+
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, n=n).alias("sh"))
+        .where(F.size("sh") > 0)
+        .cache()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = MINHASH_NUM_PERM,
+    bands: int = MINHASH_BANDS,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs [id_a < id_b] via banded MinHash LSH.
+
+    Plan shape: per-row signature (narrow) -> explode to `bands` rows ->
+    groupBy (band, slice-of-signature) via a self-join on the band key.
+    Only same-bucket pairs are generated, so the N^2 blowup never
+    materializes; shuffle volume is N * bands small rows.
+    """
+    rows = num_perm // bands
+    # Two materialization barriers, both load-bearing (see the module
+    # docstrings): shingles computed once per row, then signatures once
+    # per row; without them projection collapse re-evaluates tokenization
+    # O(num_perm) times per row and the whole signature again per band
+    # slot on both self-join sides (measured 546s -> ~7s at sf0.1).
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    sig = sh.select(
+        "id", minhash_signature_from_shingles("sh", num_perm).alias("sig")
+    ).cache()
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle-Jaccard >= threshold.
+
+    Returns [id_a, id_b, jaccard(rounded 6)].  This is the scalable
+    near-dup pipeline: LSH prunes, exact Jaccard confirms — candidates
+    only, never all pairs.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, shingle_n=shingle_n)
+    # Identical plan to the frame inside minhash_lsh_candidates -> Spark's
+    # CacheManager resolves it to the same InMemoryRelation; shingles are
+    # computed exactly once for candidates + verification.
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    j = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    )
+    return (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sa"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sb"}), "id_b")
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 2,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard near-dup: [id_a, id_b, jaccard].
+
+    O(N^2) — the ground-truth/oracle path.  Use minhash_dedup_pairs at
+    scale; this exists to (a) verify LSH recall in tests, (b) serve as a
+    crisp DuckDB-checkable query on the harness corpus.
+    """
+    # cache(): shingle construction is per-ROW work; without a
+    # materialization barrier projection collapse re-evaluates it per PAIR
+    # inside the O(N^2) join.
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, n=n).alias("sh")).cache()
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb"))
+    j = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signature_from_hashes(hashes: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash as bigint from an ALREADY-MATERIALIZED array of
+    per-shingle xxhash64 values.
+
+    Classic Charikar construction: each bit of each hash votes +1/-1,
+    signature bit = sign of the vote sum.  Implemented as a fold over bit
+    positions with shiftright/bitwise-and — all JVM exprs.  Takes a
+    stored column because it references `hashes` once per bit; an inline
+    expression would re-tokenize per bit (see minhash note above).
+    """
+    hashes = F.col(hashes) if isinstance(hashes, str) else hashes
+    def bit_vote(i: int) -> Column:
+        # sum over shingles of (bit_i ? 1 : -1), >0 -> bit set
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    return F.aggregate(
+        F.array(*[bit_vote(i) * F.lit(2**i).cast("long") for i in range(bits - 1)]),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_signature(text: Column | str, bits: int = 64) -> Column:
+    """SimHash straight from a text column — null for empty shingle sets.
+
+    Convenience/test surface: re-evaluates the shingle expression per
+    bit.  Pipelines stage shingles + hashes first (simhash_dedup_pairs).
+    """
+    sh = word_shingles(text, n=2)
+    sig = simhash_signature_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)), bits)
+    return F.when(F.size(sh) == 0, F.lit(None)).otherwise(sig)
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation bands the 63-bit signature into 4 blocks
+    (pigeonhole: distance<=6 pairs share >=1 exact block with high
+    probability at these lengths); exact popcount verifies.
+    Returns [id_a, id_b, hamming].
+    """
+    # Same staging as minhash: shingles -> per-shingle hashes -> signature,
+    # each materialized so no stage's expression is re-inlined into the 63
+    # bit-vote references, the block keys, or the self-join sides.
+    sh = _shingle_frame(df, id_col, text_col, n=2)
+    hashes = sh.select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hashes")
+    ).cache()
+    sig = hashes.select(
+        "id", simhash_signature_from_hashes("hashes").alias("sig")
+    ).cache()
+    blocks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("sig"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.block", "bk.key")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
+) -> DataFrame:
+    """All-pairs embedding near-dup: [id_a, id_b, cosine(rounded 6)].
+
+    Baseline/oracle path (O(N^2)); the bucketed/ANN variant for scale is
+    operators/similarity.lsh_topk.  Cosine fold order matches the DuckDB
+    oracle so values hash identically.
+    """
+    from kmeans_mapreduce_spark.session import ensure_parallelism
+
+    v = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

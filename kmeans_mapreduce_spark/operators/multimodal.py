@@ -1,0 +1,122 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Beyond-reference surface (mandated).  The pattern at 100 TB: media lives
+in parquet/lakehouse as `binary` payload columns beside typed metadata;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas functions over ``mapInPandas`` so each task streams record
+batches without materializing a partition in memory.
+
+The container has no image/audio codecs, so the actual decode is STUBBED
+(deterministic fake, clearly marked) — but the Spark-side plumbing
+(schemas, batch iteration, partition independence) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str, mime: str = "image/fake") -> DataFrame:
+    """Build a media table from any table by treating UTF-8 bytes of a
+    text column as the opaque payload — the harness has no real media, so
+    this provides a deterministic binary column with realistic plumbing."""
+    from kmeans_mapreduce_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.lit(mime).alias("mime"),
+    )
+
+
+def _decode_real(payload: bytes, mime: str):
+    """Real decoder hook — requires PIL/av/soundfile, absent here."""
+    raise NotImplementedError(
+        "media codecs are not installed in this environment; "
+        "swap in PIL.Image.open / av.open here on a real cluster"
+    )
+
+
+def _decode_fake(payload: bytes):
+    """Deterministic stand-in decode: metadata derived from the bytes.
+
+    width/height from byte length, an 8-dim 'feature' from byte sums over
+    8 equal chunks — stable across runs/engines, good enough to exercise
+    schema, batching and downstream joins.
+    """
+    n = len(payload)
+    width = 64 + (n % 64)
+    height = 64 + ((n // 64) % 64)
+    chunk = max(1, n // 8)
+    feature = [float(sum(payload[i * chunk : (i + 1) * chunk]) % 1000) for i in range(8)]
+    return n, width, height, feature
+
+
+def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """media[media_id, payload, mime] -> DECODED_SCHEMA via mapInPandas.
+
+    Arrow-batched: each task receives an iterator of pandas batches;
+    per-batch work never holds the whole partition.  This is the exact
+    shape a real decoder plugs into — only _decode_fake changes.
+    """
+    import pandas as pd
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            if use_real_codec:
+                _decode_real(b"", "")  # raises NotImplementedError by design
+            decoded = [_decode_fake(bytes(p)) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].values,
+                    "mime": batch["mime"].values,
+                    "n_bytes": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "feature": [d[3] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """'Frame sampling' plumbing demo: explode each payload into
+    one row per sampled offset (as a video decoder would per frame).
+    Pure Catalyst — sequence+explode, no Python."""
+    return df.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.octet_length("payload") - 1, F.lit(0)), F.lit(every_n_bytes))
+        ).alias("offset"),
+    )
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Typed metadata without decoding: [media_id, mime, n_bytes].
+    Catalyst-only (octet_length) — the cheap pre-filter stage that runs
+    before any expensive decode at scale."""
+    return df.select("media_id", "mime", F.octet_length("payload").cast("long").alias("n_bytes"))

@@ -1,0 +1,133 @@
+"""The query catalog: name -> (spark, sf_dir) -> DataFrame, plus the
+DuckDB oracle SQL for every SQL-expressible query.
+
+This is the driver-facing inventory (SURVEY §2 coverage).  Keys without
+an oracle entry are genuinely non-SQL-expressible (iterative K-Means,
+hash-family LSH, pandas decode) and get rows-only checks; each of those
+has invariant tests in tests/ instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.plans import kmeans_queries as KQ
+from kmeans_mapreduce_spark.plans import pipeline_queries as PQ
+from kmeans_mapreduce_spark.plans import relational as R
+
+
+def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference-semantics Lloyd loop (deterministic: fixed initial
+    centroids = first 4 points, mean-movement tol 0.01, empty-keeps-old).
+    Output: per-cluster size + first mean coordinate of the converged
+    model.  Iterative -> no SQL oracle; invariants in tests/."""
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        assign_clusters,
+        fit_kmeans_native,
+        recenter,
+    )
+    from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
+
+    pts = points_from_embeddings(spark, sf_dir, dim=64)
+    init = KQ._fixed_centroids(spark, sf_dir, k=4)
+    res = fit_kmeans_native(pts, k=4, dim=64, initial_centroids=init)
+    final = assign_clusters(pts, res.centroids)
+    return (
+        recenter(final, 64)
+        .select("cluster_id", "cnt", F.round(F.col("mean")[0], 6).alias("m0"))
+        .orderBy("cluster_id")
+    )
+
+
+def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans fast path (k=10, seed=42): cluster sizes.  Cluster
+    ids are implementation-defined -> expose only the size distribution,
+    sorted, which is stable for a pinned seed.  Rows-only check."""
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_mllib
+    from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
+
+    pts = points_from_embeddings(spark, sf_dir, dim=64)
+    _, assigned = fit_kmeans_mllib(pts, k=10, seed=42)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("size"))
+        .select("size")
+        .orderBy("size")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # K-Means pipeline stages (reference parity, SURVEY §2.2-2.4)
+    "ingest_typed_projection": KQ.ingest_typed_projection,
+    "km_assign": KQ.km_assign,
+    "km_recenter": KQ.km_recenter,
+    "km_farthest": KQ.km_farthest,
+    "km_delta": KQ.km_delta,
+    "km_avg_pairwise": KQ.km_avg_pairwise,
+    "kmeans_fit_native": kmeans_fit_native,
+    "kmeans_fit_mllib": kmeans_fit_mllib,
+    # Relational coverage (SURVEY §2.5-2.9 absent-in-reference surface)
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "q3_shipping_priority": R.q3_shipping_priority,
+    "q5_local_supplier": R.q5_local_supplier,
+    "join_semi_urgent_customers": R.join_semi_urgent_customers,
+    "join_anti_no_urgent": R.join_anti_no_urgent,
+    "window_top_orders": R.window_top_orders,
+    "window_running_total": R.window_running_total,
+    "agg_rollup_orders": R.agg_rollup_orders,
+    "set_except_nations": R.set_except_nations,
+    "set_intersect_nations": R.set_intersect_nations,
+    "events_json_extract": R.events_json_extract,
+    "events_tumbling_window": R.events_tumbling_window,
+    "events_sessionize": R.events_sessionize,
+    # Training-data pipeline (north-star mandate)
+    "text_token_stats": PQ.text_token_stats,
+    "text_quality": PQ.text_quality,
+    "text_lang_id": PQ.text_lang_id,
+    "doc_fingerprint": PQ.doc_fingerprint,
+    "dedup_exact": PQ.dedup_exact,
+    "dedup_ngram_jaccard": PQ.dedup_ngram_jaccard,
+    "dedup_minhash": PQ.dedup_minhash,
+    "dedup_embedding_cosine": PQ.dedup_embedding_cosine,
+    "ann_brute_topk": PQ.ann_brute_topk,
+    "ann_lsh_topk": PQ.ann_lsh_topk,
+    "mm_metadata": PQ.mm_metadata,
+    "mm_decode": PQ.mm_decode,
+}
+
+ORACLES: dict[str, str] = {
+    "ingest_typed_projection": KQ.INGEST_SQL,
+    "km_assign": KQ.KM_ASSIGN_SQL,
+    "km_recenter": KQ.KM_RECENTER_SQL,
+    "km_farthest": KQ.KM_FARTHEST_SQL,
+    "km_delta": KQ.KM_DELTA_SQL,
+    "km_avg_pairwise": KQ.KM_AVG_PAIRWISE_SQL,
+    "q1_pricing_summary": R.Q1_SQL,
+    "q3_shipping_priority": R.Q3_SQL,
+    "q5_local_supplier": R.Q5_SQL,
+    "join_semi_urgent_customers": R.SEMI_SQL,
+    "join_anti_no_urgent": R.ANTI_SQL,
+    "window_top_orders": R.WINDOW_TOP_SQL,
+    "window_running_total": R.WINDOW_RUN_SQL,
+    "agg_rollup_orders": R.ROLLUP_SQL,
+    "set_except_nations": R.EXCEPT_SQL,
+    "set_intersect_nations": R.INTERSECT_SQL,
+    "events_json_extract": R.EVENTS_JSON_SQL,
+    "events_tumbling_window": R.EVENTS_WINDOW_SQL,
+    "events_sessionize": R.SESSIONIZE_SQL,
+    "text_token_stats": PQ.TEXT_TOKEN_SQL,
+    "text_quality": PQ.TEXT_QUALITY_SQL,
+    "text_lang_id": PQ.TEXT_LANG_SQL,
+    "doc_fingerprint": PQ.FINGERPRINT_SQL,
+    "dedup_exact": PQ.DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": PQ.DEDUP_JACCARD_SQL,
+    "dedup_minhash": PQ.DEDUP_JACCARD_SQL,  # LSH must equal ground truth here
+    "dedup_embedding_cosine": PQ.DEDUP_COSINE_SQL,
+    "ann_brute_topk": PQ.ANN_BRUTE_SQL,
+    "mm_metadata": PQ.MM_METADATA_SQL,
+    # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
+    # ann_lsh_topk, mm_decode — see docstrings.
+}

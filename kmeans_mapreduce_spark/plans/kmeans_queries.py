@@ -1,0 +1,208 @@
+"""K-Means operator queries with exact DuckDB oracles.
+
+Each SQL-expressible stage of the reference pipeline (SURVEY §2.2-2.4)
+is exposed as a catalog query over the harness `embeddings` table, with
+a *generated* oracle whose floating-point evaluation order matches the
+Spark expression fold exactly (left-to-right per dimension), so value
+hashes agree bit-for-bit before rounding even enters the picture.
+
+Fixed test centroids: the first K points by vec_id (deterministic,
+engine-agnostic, no RNG in the contract surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators.kmeans import (
+    assign_clusters,
+    compute_delta,
+    recenter,
+)
+from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
+
+K = 4
+DIM = 64
+
+
+def _fixed_centroids(spark: SparkSession, sf_dir: str, k: int = K) -> list[list[float]]:
+    rows = (
+        points_from_embeddings(spark, sf_dir, dim=None)
+        .where(F.col("id") < k)
+        .orderBy("id")
+        .collect()
+    )
+    return [list(r["features"]) for r in rows]
+
+
+# --- oracle SQL generators ------------------------------------------------
+
+def _d2_sql(a: str, b: str, dim: int = DIM) -> str:
+    """Σ (a[i]-b[i])^2 — explicit left-assoc chain == Spark's fold order."""
+    return " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1))
+
+
+_ASSIGN_CTE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < {K}),
+d AS (SELECT e.vec_id, cent.cid, {_d2_sql('e.v', 'cent.c')} AS d2 FROM e CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d)
+  WHERE rn = 1)
+"""
+
+
+def km_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Map/classify step (reference worker.go:288-304): nearest of K
+    fixed centroids per point.  Broadcast-by-literal argmin — no join,
+    no shuffle; at 100 TB this is a pure map stage over the scan."""
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM)
+    cents = _fixed_centroids(spark, sf_dir)
+    return assign_clusters(pts, cents).select(F.col("id").alias("vec_id"), "cluster_id")
+
+
+KM_ASSIGN_SQL = _ASSIGN_CTE + "SELECT vec_id, cluster_id FROM assign"
+
+
+def km_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combine+Reduce recenter (worker.go:169-189, 307-319; mean at
+    master.go:590-596): per-cluster count and per-dimension mean.
+    Partial aggregation shuffles k x (d+1) values per partition."""
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM)
+    cents = _fixed_centroids(spark, sf_dir)
+    rec = recenter(assign_clusters(pts, cents), DIM)
+    cols = [F.round(F.col("mean")[i], 6).alias(f"m{i}") for i in range(DIM)]
+    return rec.select("cluster_id", "cnt", *cols)
+
+
+_MEAN_COLS = ", ".join(
+    f"ROUND(SUM(v[{i + 1}]) / COUNT(*), 6) AS m{i}" for i in range(DIM)
+)
+KM_RECENTER_SQL = (
+    _ASSIGN_CTE
+    + f"""
+SELECT cluster_id, COUNT(*) AS cnt, {_MEAN_COLS}
+FROM assign JOIN e USING (vec_id)
+GROUP BY cluster_id"""
+)
+
+
+def km_farthest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of farthest-point init (InitMap/InitCombine/InitReduce,
+    worker.go:38-129): the point maximizing min distance to the K fixed
+    centroids.  Distributed top-1 with id tiebreak."""
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM)
+    cents = _fixed_centroids(spark, sf_dir)
+    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
+
+    dists = _dist2_to_centroids("features", cents)
+    return (
+        pts.select(F.col("id").alias("vec_id"), F.round(F.array_min(dists), 6).alias("min_d2"))
+        .orderBy(F.desc("min_d2"), F.asc("vec_id"))
+        .limit(1)
+    )
+
+
+_MIN_D2 = "LEAST(" + ", ".join(f"d{c}" for c in range(K)) + ")"
+_D2_PER_CENT = ", ".join(
+    f"({_d2_sql('e.v', f'c{c}.c')}) AS d{c}" for c in range(K)
+)
+KM_FARTHEST_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{", ".join(f"c{c} AS (SELECT embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id = {c})" for c in range(K))},
+d AS (SELECT e.vec_id, {_D2_PER_CENT} FROM e {" ".join(f"CROSS JOIN c{c}" for c in range(K))})
+SELECT vec_id, ROUND({_MIN_D2}, 6) AS min_d2
+FROM d
+ORDER BY {_MIN_D2} DESC, vec_id ASC
+LIMIT 1
+"""
+
+
+def km_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence delta (master.go:569-576): mean Euclidean movement
+    from the fixed centroids to their recentered means — i.e. one Lloyd
+    step's delta.  Single scalar row."""
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM)
+    cents = _fixed_centroids(spark, sf_dir)
+    rec = recenter(assign_clusters(pts, cents), DIM).collect()
+    new = [list(c) for c in cents]
+    for r in rec:
+        new[r["cluster_id"]] = list(r["mean"])
+    return spark.createDataFrame([(round(compute_delta(cents, new), 6),)], "delta double")
+
+
+_MOVE_SQL = " + ".join(
+    f"(m.m{i}-cent.c[{i + 1}])*(m.m{i}-cent.c[{i + 1}])" for i in range(DIM)
+)
+_MEAN_FULL = ", ".join(f"SUM(v[{i + 1}]) / COUNT(*) AS m{i}" for i in range(DIM))
+KM_DELTA_SQL = (
+    _ASSIGN_CTE
+    + f""",
+means AS (
+  SELECT cluster_id, {_MEAN_FULL}
+  FROM assign JOIN e USING (vec_id)
+  GROUP BY cluster_id)
+SELECT ROUND(SUM(SQRT({_MOVE_SQL})) / {K}, 6) AS delta
+FROM means m JOIN cent ON m.cluster_id = cent.cid
+"""
+)
+
+
+def km_avg_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetAvgDistance/GetAvgDistanceOfSet (utils.go:57-86): mean nonzero
+    pairwise Euclidean distance over the first 100 points.  O(n^2) debug
+    metric — bounded subset, exactly like the reference only ever runs
+    it on the (small) centroid set."""
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM).where(F.col("id") < 100)
+    a = pts.select(F.col("id").alias("ida"), F.col("features").alias("va"))
+    b = pts.select(F.col("id").alias("idb"), F.col("features").alias("vb"))
+    from kmeans_mapreduce_spark.functions.distance import euclidean
+
+    dist = euclidean(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("ida") != F.col("idb"))
+        .select(dist.alias("d"))
+        .where(F.col("d") != 0.0)
+        .agg(F.round(F.avg("d"), 6).alias("avg_dist"))
+    )
+
+
+KM_AVG_PAIRWISE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
+SELECT ROUND(AVG(d), 6) AS avg_dist FROM (
+  SELECT SQRT({_d2_sql('a.v', 'b.v')}) AS d
+  FROM e a CROSS JOIN e b WHERE a.vec_id != b.vec_id)
+WHERE d != 0.0
+"""
+
+
+def ingest_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed projection S3 (utils.go:21-42): relational rows -> points.
+    lineitem numeric cols become a 4-d feature vector; the output proves
+    the projection (id derivation, dim, content checksum)."""
+    from kmeans_mapreduce_spark.sources.ingest import points_from_columns
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "rid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    pts = points_from_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], id_col="rid"
+    )
+    return pts.select(
+        "id",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda s, v: s + v), 4
+        ).alias("checksum"),
+    )
+
+
+INGEST_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS id, 4 AS dim,
+       ROUND(l_quantity + l_extendedprice + l_discount + l_tax, 4) AS checksum
+FROM lineitem
+"""

@@ -1,0 +1,240 @@
+"""Training-data-pipeline queries: text analysis, dedup, similarity,
+multimodal — over the harness documents/embeddings tables, each with a
+DuckDB oracle where SQL can express the semantics.
+
+Tokenization in every oracle matches functions/text.py exactly:
+lower → trim → regexp-split on \\s+ (empty string -> empty list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions import text as TXT
+from kmeans_mapreduce_spark.operators import dedup as DD
+from kmeans_mapreduce_spark.operators import multimodal as MM
+from kmeans_mapreduce_spark.operators import similarity as SIM
+
+_TOKS = "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+_TOKS_ALL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- text analysis --------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counting per doc — the unit-economics columns every
+    corpus pipeline materializes first.  Pure per-row exprs, no shuffle."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.char_count("text").alias("n_chars_actual"),
+        F.size(F.array_distinct(TXT.tokens("text"))).alias("n_unique_tokens"),
+    )
+
+
+TEXT_TOKEN_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS n_tokens,
+       length(text) AS n_chars_actual,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_unique_tokens
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword heuristic (functions/text.py)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(TXT.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TXT.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(TXT.quality_score("text"), 6).alias("quality"),
+    )
+
+
+_SW = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS_EN) + "]"
+_PUNCT_N = "len(regexp_extract_all(text, '[.,;:!?]'))"
+_NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END"
+_NSW = f"len(list_filter({_TOKS_ALL}, t -> list_contains({_SW}, t)))"
+_PUNCT_RATIO = f"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST({_PUNCT_N} AS DOUBLE) / CAST(length(text) AS DOUBLE) END"
+_SW_RATIO = f"CASE WHEN {_NTOK} = 0 THEN 0.0 ELSE CAST({_NSW} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) END"
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       ROUND({_PUNCT_RATIO}, 6) AS punct_ratio,
+       ROUND({_SW_RATIO}, 6) AS stopword_ratio,
+       ROUND(0.4 * (LEAST(CAST({_NTOK} AS DOUBLE), 100.0) / 100.0)
+           + 0.3 * (1.0 - {_PUNCT_RATIO})
+           + 0.3 * LEAST({_SW_RATIO} * 4.0, 1.0), 6) AS quality
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID -> docs per detected language."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(TXT.lang_id("text").alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in TXT.LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter({_TOKS_ALL}, t -> list_contains({words}, t)))"
+
+
+_BEST = "GREATEST(" + ", ".join(f"s_{lg}" for lg in TXT.LANG_MARKERS) + ")"
+_LANG_CASE = "CASE WHEN " + _BEST + " = 0 THEN 'und' " + " ".join(
+    f"WHEN s_{lg} = {_BEST} THEN '{lg}'" for lg in TXT.LANG_MARKERS
+) + " END"
+TEXT_LANG_SQL = f"""
+SELECT detected_lang, COUNT(*) AS n_docs FROM (
+  SELECT {_LANG_CASE} AS detected_lang FROM (
+    SELECT {", ".join(f"{_marker_sql(lg)} AS s_{lg}" for lg in TXT.LANG_MARKERS)}
+    FROM documents))
+GROUP BY detected_lang
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 hex) per doc — engine-portable digest."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TXT.fingerprint("text").alias("fp"))
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+# --- dedup ----------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; lowest doc_id survives."""
+    return DD.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))"
+)
+_JACCARD_CTE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_ALL} AS toks FROM documents WHERE length(trim(text)) > 0),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(toks) >= 2),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs bigram-shingle Jaccard >= 0.8 (ground truth)."""
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.8, n=2)
+
+
+DEDUP_JACCARD_SQL = _JACCARD_CTE + "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8"
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard >= 0.8.
+
+    The oracle is the exact all-pairs result: at J>=0.8 with 8 bands x 4
+    rows the per-pair miss probability is (1-J^4)^8 < 1e-6, so LSH output
+    must equal ground truth on this corpus — and the test suite asserts
+    recall separately.  At 100 TB only this path runs (no N^2)."""
+    return DD.minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.8)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine >= 0.45."""
+    return DD.embedding_cosine_pairs(_embs(spark, sf_dir), "vec_id", "embedding", threshold=0.45)
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1))
+
+
+DEDUP_COSINE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(({_dot_sql('a.v', 'b.v')})
+               / (SQRT({_dot_sql('a.v', 'a.v')}) * SQRT({_dot_sql('b.v', 'b.v')})), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.45
+"""
+
+
+# --- similarity search ----------------------------------------------------
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 5 vectors (brute force
+    baseline; ranks deterministic via (rounded score desc, id))."""
+    e = _embs(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(e, queries, k=5, id_col="vec_id", vec_col="embedding")
+
+
+ANN_BRUTE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(({_dot_sql('q.v', 'e.v')})
+               / (SQRT({_dot_sql('q.v', 'q.v')}) * SQRT({_dot_sql('e.v', 'e.v')})), 6) AS score
+  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-table random-hyperplane LSH — the
+    scale path (equi-join on buckets, no N^2).  No SQL oracle (hash
+    family not expressible); recall vs brute force asserted in tests."""
+    e = _embs(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.lsh_topk(e, queries, k=5, id_col="vec_id", vec_col="embedding", dim=64)
+
+
+# --- multimodal -----------------------------------------------------------
+
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads (documents' UTF-8 bytes
+    standing in for media): the cheap pre-decode filter stage."""
+    media = MM.attach_payload(_docs(spark, sf_dir), "doc_id", "text")
+    return MM.media_metadata(media)
+
+
+MM_METADATA_SQL = """
+SELECT doc_id AS media_id, 'image/fake' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing (deterministic fake codec): returns
+    media_id, dims and an 8-d byte-statistic feature.  The Python stage
+    is Arrow-batched; no SQL oracle (pandas fold) — invariants tested."""
+    media = MM.attach_payload(_docs(spark, sf_dir), "doc_id", "text")
+    dec = MM.decode_media(media)
+    return dec.select("media_id", "n_bytes", "width", "height", F.round(F.col("feature")[0], 2).alias("f0"))

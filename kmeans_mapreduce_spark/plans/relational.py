@@ -1,0 +1,406 @@
+"""Relational query catalog — joins / aggs / windows / set-ops / JSON.
+
+The reference engine has NO relational surface (SURVEY §2.6-2.9: joins,
+sorts, set-ops, windows all absent); this module supplies that coverage
+with Spark built-ins, exercised on the harness's TPC-H-ish tables and
+hash-checked against DuckDB oracles.
+
+Every query aliases computed columns identically to its oracle, rounds
+float aggregates (engine-order-independent to the rounded precision),
+and renders timestamps as strings so value hashes are engine-portable.
+
+Scale notes are per-query docstrings; the common themes:
+  * dim tables (region/nation/customer/supplier) broadcast — verified
+    via explain() in tests, no shuffle on the big fact side;
+  * aggregations are partial+final (map-side combine) automatically;
+  * windows partition by high-cardinality keys (custkey/user_id), so
+    no single-reducer sort bottlenecks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; read nanos as long (runtime-settable legacy conf)
+    and convert to a micros timestamp — the same truncation DuckDB
+    applies, so event-time semantics agree across engines."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+# --- aggregation ----------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan + 8-way agg, grouped by 2 low-card keys.
+
+    At 100 TB: pure map-side-combine friendly — shuffle carries ~6 groups
+    x partial states.  Filter + column pruning reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- multi-way joins ------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+
+    customer (filtered, small) broadcasts into orders, orders⋈lineitem
+    shuffles on orderkey.  Top-10 ranks on the ROUNDED revenue with
+    orderkey tiebreak so the selected set is engine-stable."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.col("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_orderpriority"),
+            F.col("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through region→nation→(customer,
+    supplier)→orders→lineitem with co-nation constraint.
+
+    All four dim tables broadcast; only orders⋈lineitem shuffles.
+    At 1000 executors this is one fact-table scan + one exchange."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- semi / anti joins ----------------------------------------------------
+
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: customers having >=1 URGENT order.  Semi joins ship no
+    payload from the probe side — at scale the orders side is reduced to
+    distinct keys before the exchange."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers with NO urgent orders (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+# --- window functions -----------------------------------------------------
+
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value — row_number with full
+    deterministic tiebreak.  Partitioned by custkey: parallel across
+    the key space, no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "rnk",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+WINDOW_TOP_SQL = """
+SELECT o_custkey, rnk, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend ordered by date (cumulative frame)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+WINDOW_RUN_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# --- grouping sets --------------------------------------------------------
+
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): detail + subtotal + grand total.
+    NULL grouping slots coalesced to 'ALL' for portable hashing."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- set operations -------------------------------------------------------
+
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with customers but no suppliers (EXCEPT DISTINCT)."""
+    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust_n.subtract(supp_n)  # EXCEPT (distinct) semantics, matching the SQL
+        .join(F.broadcast(nation), F.col("nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+
+
+EXCEPT_SQL = """
+SELECT n_name FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier)
+JOIN nation ON nationkey = n_nationkey
+"""
+
+
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with both customers and suppliers (INTERSECT)."""
+    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust_n.intersect(supp_n)
+        .join(F.broadcast(nation), F.col("nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+
+
+INTERSECT_SQL = """
+SELECT n_name FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier)
+JOIN nation ON nationkey = n_nationkey
+"""
+
+
+# --- JSON + event-time ----------------------------------------------------
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props column + agg.
+    get_json_object evaluates in the JVM; no Python, no UDF."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.round(F.max(k), 2).alias("max_k"),
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+       ROUND(MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window agg by event_type — the batch shape of the
+    Structured Streaming query in streaming/windows.py (same plan, bounded
+    input).  Window rendered as a string for portable hashing."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counting: per user, a >30-min gap starts a new session.
+    lag + conditional sum — the standard sessionization window stack;
+    integer microsecond arithmetic so both engines agree exactly."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, SUM(ns) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN lag_us IS NULL OR epoch_us(ts) - lag_us > 1800 * 1000000 THEN 1 ELSE 0 END AS ns
+  FROM (
+    SELECT user_id, ts, event_id,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS lag_us
+    FROM events))
+GROUP BY user_id
+"""

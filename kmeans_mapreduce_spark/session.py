@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for this harness (local[N], 128 GiB box).
+
+At 100 TB the same settings matter for different reasons: AQE re-plans
+shuffles at runtime (skew joins, partition coalescing), Arrow keeps any
+unavoidable Python boundary vectorized, and a generous broadcast
+threshold keeps dimension tables out of shuffle joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "kmeans-mapreduce-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Honors SPARK_GRAFT_CPUS for local parallelism (default 32, matching
+    the driver harness).  shuffle.partitions is pinned to the core count
+    so local runs don't pay 200-partition scheduling overhead; on a real
+    cluster AQE coalescing makes the initial number mostly irrelevant.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        # Arrow for any pandas UDF / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dim tables (region/nation/customer at bench SF) broadcast freely.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_parallelism(df, factor: int = 1):
+    """Repartition up to defaultParallelism*factor — only when the input
+    has FEWER partitions (small single-row-group files read as one split,
+    serializing expression-heavy stages on one core).
+
+    On big inputs (file count >= cores — any real-scale dataset) this is
+    a no-op, so the extra shuffle exists exactly where it pays for
+    itself.  The check costs a plan->RDD conversion, no job.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
+    """Read the harness parquet tables; returns {name: DataFrame}."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

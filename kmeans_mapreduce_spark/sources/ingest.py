@@ -1,0 +1,89 @@
+"""Ingest: anything -> DataFrame[id: long, features: array<double>].
+
+Reference parity:
+  * CSV scan (reference main/client/client.go:172-186): headerless,
+    all-numeric CSV read whole, then float64-parsed.
+  * Typed projection (reference utils/utils.go:21-42): [][]string ->
+    Points, aborting on any non-numeric field, positional int ids.
+
+Spark-first differences (deliberate):
+  * The scan is a distributed ``spark.read.csv`` with an explicit schema
+    — Catalyst prunes columns and the parse happens in the JVM scan, not
+    a driver loop.  ANSI casts reproduce the reference's fail-fast
+    behavior on malformed numerics (utils.go:29) without a Python pass.
+  * Ids come from ``monotonically_increasing_id()``: non-contiguous but
+    unique per job — strictly better than the reference, whose ids reset
+    per 100k-point client message and collide (client.go:56-89).
+  * Fixed dimensionality IS enforced (the reference silently truncates
+    ragged rows — utils.go:46-54 iterates len(p1)); we fail fast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _enforce_dim(df: DataFrame, dim: int | None) -> DataFrame:
+    if dim is None:
+        return df
+    # Cheap distributed assertion: raise on first ragged row at scan time
+    # rather than producing silently-wrong distances downstream.
+    bad = F.size("features") != F.lit(dim)
+    return df.withColumn(
+        "features",
+        F.when(bad, F.raise_error(F.concat(F.lit(f"expected dim {dim}, got "), F.size("features").cast("string"))))
+        .otherwise(F.col("features")),
+    )
+
+
+def read_points_csv(
+    spark: SparkSession, path: str, dim: int, strict: bool = True
+) -> DataFrame:
+    """Headerless all-numeric CSV -> [id, features] (reference S2+S3).
+
+    strict=True mirrors utils.go:29: any unparseable field aborts the job
+    (FAILFAST + non-nullable doubles).  dim is required — the CSV carries
+    no header, so the caller declares the point dimensionality.
+    """
+    schema = T.StructType(
+        [T.StructField(f"c{i}", T.DoubleType(), not strict) for i in range(dim)]
+    )
+    reader = spark.read.schema(schema)
+    if strict:
+        reader = reader.option("mode", "FAILFAST")
+    raw = reader.csv(path, header=False)
+    return raw.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("features"),
+    )
+
+
+def points_from_columns(df: DataFrame, cols: list[str], id_col: str | None = None) -> DataFrame:
+    """Project numeric columns of any table into [id, features].
+
+    The typed-projection analog (utils.go:21-42) for data already in a
+    relational shape, e.g. lineitem's (l_quantity, l_extendedprice, ...).
+    """
+    id_expr = (
+        F.col(id_col).cast("long").alias("id")
+        if id_col
+        else F.monotonically_increasing_id().alias("id")
+    )
+    return df.select(id_expr, F.array(*[F.col(c).cast("double") for c in cols]).alias("features"))
+
+
+def points_from_embeddings(
+    spark: SparkSession, sf_dir: str, dim: int | None = 64
+) -> DataFrame:
+    """The harness embeddings table -> [id, features(array<double>), label]."""
+    from kmeans_mapreduce_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    df = df.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+        F.col("label"),
+    )
+    return _enforce_dim(df, dim)

