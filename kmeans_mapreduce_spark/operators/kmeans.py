@@ -60,6 +60,12 @@ def _dist2_to_centroids(features: str | Column, centroids: Centroids) -> Column:
     return F.array(*[squared_euclidean(features, _lit_vec(c)) for c in centroids])
 
 
+def _centroids_sql_literal(centroids: Centroids) -> str:
+    """array<array<double>> SQL literal; repr() keeps exact doubles."""
+    rows = ",".join("array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids)
+    return f"array({rows})"
+
+
 def assign_clusters(
     points: DataFrame, centroids: Centroids, features_col: str = "features"
 ) -> DataFrame:
@@ -69,12 +75,23 @@ def assign_clusters(
     Ties break to the lowest cluster index — array_position returns the
     first occurrence of the min, matching the reference's strict ``<``.
     Squared distance is used (argmin-equivalent, saves k sqrts/row).
+
+    Built as ONE SQL expression string rather than nested Column objects:
+    k x d literals as Column trees cost hundreds of py4j round-trips per
+    call, which dominates driver time in the iterative loop (~0.3s/iter
+    measured).  The distance array is bound once via transform-over-
+    singleton so argmin doesn't evaluate it twice.
     """
-    dists = _dist2_to_centroids(features_col, centroids)
-    return points.withColumn(
-        "cluster_id",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    c_lit = _centroids_sql_literal(centroids)
+    dists = (
+        f"transform({c_lit}, c -> "
+        f"aggregate(zip_with({features_col}, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v))"
     )
+    expr = (
+        f"element_at(transform(array({dists}), "
+        f"ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
+    )
+    return points.withColumn("cluster_id", F.expr(expr))
 
 
 def recenter(assigned: DataFrame, dim: int, features_col: str = "features") -> DataFrame:
@@ -129,11 +146,15 @@ def farthest_point_init(
     )
     centroids: Centroids = [list(first[features_col])]
     for _ in range(k - 1):
-        dists = _dist2_to_centroids(features_col, centroids)
+        c_lit = _centroids_sql_literal(centroids)
+        min_d2 = F.expr(
+            f"array_min(transform({c_lit}, c -> "
+            f"aggregate(zip_with({features_col}, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v)))"
+        )
         # Deterministic tie-break on id so reruns are bit-identical.
         far = (
             points.select(
-                F.col(id_col).alias("id"), F.array_min(dists).alias("min_d2")
+                F.col(id_col).alias("id"), min_d2.alias("min_d2")
             )
             .orderBy(F.desc("min_d2"), F.asc("id"))
             .limit(1)
@@ -200,10 +221,21 @@ def fit_kmeans_native(
                     F.sum(F.array_min(dists)).alias("wssse"),
                 ).collect()[0]
                 wssse_hist.append(float(row["wssse"]))
-            stats = recenter(assigned, dim).collect()  # k x (d+1) — tiny
+            # posexplode + (cid, pos) partial/final agg instead of d wide
+            # sum columns: same shuffle volume (k x d partials per
+            # partition) but a d-independent plan — analysis/codegen of a
+            # 64-column agg was the other half of per-iteration driver
+            # overhead.  k x d rows collected; assembly is driver math
+            # exactly like reference master.go:579-600.
+            stats = (
+                assigned.select("cluster_id", F.posexplode("features").alias("pos", "x"))
+                .groupBy("cluster_id", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+                .collect()
+            )
             new_centroids = [list(c) for c in centroids]  # empty keeps old
             for r in stats:
-                new_centroids[r["cluster_id"]] = list(r["mean"])
+                new_centroids[r["cluster_id"]][r["pos"]] = r["s"] / r["cnt"]
             delta = compute_delta(centroids, new_centroids)
             centroids = new_centroids
             if delta < tol:

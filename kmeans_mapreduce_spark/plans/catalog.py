@@ -78,10 +78,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_top_orders": R.window_top_orders,
     "window_running_total": R.window_running_total,
     "agg_rollup_orders": R.agg_rollup_orders,
+    "agg_cube_lineitem": R.agg_cube_lineitem,
+    "agg_distinct_customers": R.agg_distinct_customers,
+    "topk_orders_global": R.topk_orders_global,
     "set_except_nations": R.set_except_nations,
     "set_intersect_nations": R.set_intersect_nations,
+    "set_union_nations": R.set_union_nations,
+    "join_range_quantity_bands": R.join_range_quantity_bands,
+    "asof_events_orders": R.asof_events_orders,
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
+    "events_sliding_window": R.events_sliding_window,
     "events_sessionize": R.events_sessionize,
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
@@ -91,11 +98,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": PQ.dedup_exact,
     "dedup_ngram_jaccard": PQ.dedup_ngram_jaccard,
     "dedup_minhash": PQ.dedup_minhash,
+    "dedup_simhash": PQ.dedup_simhash,
     "dedup_embedding_cosine": PQ.dedup_embedding_cosine,
     "ann_brute_topk": PQ.ann_brute_topk,
     "ann_lsh_topk": PQ.ann_lsh_topk,
+    "ann_ivf_topk": PQ.ann_ivf_topk,
     "mm_metadata": PQ.mm_metadata,
     "mm_decode": PQ.mm_decode,
+    "mm_frame_sample": PQ.mm_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -113,10 +123,17 @@ ORACLES: dict[str, str] = {
     "window_top_orders": R.WINDOW_TOP_SQL,
     "window_running_total": R.WINDOW_RUN_SQL,
     "agg_rollup_orders": R.ROLLUP_SQL,
+    "agg_cube_lineitem": R.CUBE_SQL,
+    "agg_distinct_customers": R.DISTINCT_SQL,
+    "topk_orders_global": R.TOPK_GLOBAL_SQL,
     "set_except_nations": R.EXCEPT_SQL,
     "set_intersect_nations": R.INTERSECT_SQL,
+    "set_union_nations": R.UNION_SQL,
+    "join_range_quantity_bands": R.RANGE_BAND_SQL,
+    "asof_events_orders": R.ASOF_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,
+    "events_sliding_window": R.SLIDING_SQL,
     "events_sessionize": R.SESSIONIZE_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_quality": PQ.TEXT_QUALITY_SQL,
@@ -127,7 +144,9 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": PQ.DEDUP_JACCARD_SQL,  # LSH must equal ground truth here
     "dedup_embedding_cosine": PQ.DEDUP_COSINE_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,
+    "ann_ivf_topk": PQ.ANN_IVF_SQL,
     "mm_metadata": PQ.MM_METADATA_SQL,
+    "mm_frame_sample": PQ.MM_FRAME_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
-    # ann_lsh_topk, mm_decode — see docstrings.
+    # dedup_simhash, ann_lsh_topk, mm_decode — see docstrings.
 }

@@ -238,3 +238,73 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_payload(_docs(spark, sf_dir), "doc_id", "text")
     dec = MM.decode_media(media)
     return dec.select("media_id", "n_bytes", "width", "height", F.round(F.col("feature")[0], 2).alias("f0"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 6 over 64-bit signatures).
+    Deterministic but not SQL-expressible (xxhash64 family absent in
+    DuckDB) -> rows-only check; recall-vs-Jaccard invariants in tests."""
+    return DD.simhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=6)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the first-4-vectors as coarse centroids, n_probe=2:
+    per-query top-5 among corpus rows in the query's 2 nearest cells.
+    Fixed centroids make this fully SQL-expressible — the one ANN path
+    with an exact oracle (K-Means-as-index, reference algorithm reused
+    as ANN infrastructure)."""
+    from kmeans_mapreduce_spark.plans.kmeans_queries import _fixed_centroids
+
+    e = _embs(spark, sf_dir)
+    cents = _fixed_centroids(spark, sf_dir, k=4)
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(
+        e, queries, cents, k=5, n_probe=2, id_col="vec_id", vec_col="embedding"
+    )
+
+
+def _ivf_d2_sql(v: str, c: str, dim: int = 64) -> str:
+    return " + ".join(f"({v}[{i}]-{c}[{i}])*({v}[{i}]-{c}[{i}])" for i in range(1, dim + 1))
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 4),
+cd AS (SELECT e.vec_id, cent.cid, {_ivf_d2_sql('e.v', 'cent.c')} AS d2 FROM e CROSS JOIN cent),
+cell AS (  -- corpus rows: nearest cell, lowest cid on ties
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM cd) WHERE rn = 1),
+qcell AS (  -- query rows: 2 nearest cells
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM cd WHERE vec_id < 5) WHERE rn <= 2),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(({_dot_sql('qe.v', 'ce.v')})
+               / (SQRT({_dot_sql('qe.v', 'qe.v')}) * SQRT({_dot_sql('ce.v', 'ce.v')})), 6) AS score
+  FROM qcell q
+  JOIN cell c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  JOIN e qe ON qe.vec_id = q.vec_id
+  JOIN e ce ON ce.vec_id = c.vec_id)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM pairs)
+WHERE rank <= 5
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per 1024-byte offset of each
+    payload (as a video decoder would emit per sampled frame).  Pure
+    Catalyst sequence+explode — linear fan-out, no Python."""
+    media = MM.attach_payload(_docs(spark, sf_dir), "doc_id", "text")
+    return MM.frame_sample(media, every_n_bytes=1024)
+
+
+MM_FRAME_SQL = """
+SELECT doc_id AS media_id,
+       unnest(range(0, GREATEST(octet_length(encode(text)) - 1, 0) + 1, 1024)) AS offset
+FROM documents
+"""

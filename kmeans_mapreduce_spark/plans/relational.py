@@ -404,3 +404,206 @@ SELECT user_id, SUM(ns) AS n_sessions FROM (
     FROM events))
 GROUP BY user_id
 """
+
+
+# --- global sort / top-k --------------------------------------------------
+
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 orders by price — TakeOrderedAndProject: each
+    partition keeps its local top-20, driver merges k*partitions rows.
+    No global sort ever materializes (the reference's top-1 init pattern,
+    SURVEY §2.7, generalized)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+TOPK_GLOBAL_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+# --- distinct aggregation -------------------------------------------------
+
+def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group: distinct ordering customers per
+    priority.  Catalyst plans this as a two-phase expand/agg — the
+    partial-dedup happens map-side, so the shuffle carries distinct
+    (priority, custkey) pairs, not raw rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+DISTINCT_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- cube -----------------------------------------------------------------
+
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combos in
+    one pass via Expand (each input row fans out to 4 grouping rows
+    before the partial agg — one shuffle, not 4 scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- union ----------------------------------------------------------------
+
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of customer-nations and supplier-nations."""
+    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust_n.union(supp_n)
+        .distinct()
+        .join(F.broadcast(nation), F.col("nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+
+
+UNION_SQL = """
+SELECT n_name FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey FROM supplier)
+JOIN nation ON nationkey = n_nationkey
+"""
+
+
+# --- sliding (hopping) windows --------------------------------------------
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 30 min: each event lands in exactly
+    2 windows (width/slide = 2).  Spark's window() plans this as a
+    generator (row -> its windows) + normal agg — linear fan-out, no
+    self-join.  Same plan shape Structured Streaming uses; this is the
+    batch-checkable twin."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SLIDING_SQL = """
+SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM (
+  SELECT event_type, value,
+         unnest([(epoch_us(ts) // 1800000000) * 1800000000,
+                 ((epoch_us(ts) // 1800000000) - 1) * 1800000000]) AS ws
+  FROM events)
+GROUP BY ws, event_type
+"""
+
+
+# --- range (band) join ----------------------------------------------------
+
+def join_range_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: lineitem rows bucketed into quantity bands via a
+    non-equi join against a tiny band table.  The band side broadcasts,
+    so the theta condition is evaluated map-side (BroadcastNestedLoop) —
+    the right plan when one side is O(10) rows; an equi-join rewrite
+    (floor(qty/10)) is the fallback if the band table ever grows."""
+    bands = spark.createDataFrame(
+        [(i, float(i * 10), float((i + 1) * 10)) for i in range(5)],
+        "band int, lo double, hi double",
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+RANGE_BAND_SQL = """
+SELECT band, COUNT(*) AS n, ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem
+JOIN (SELECT i AS band, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+      FROM (SELECT unnest([0, 1, 2, 3, 4]) AS i))
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+"""
+
+
+# --- as-of join -----------------------------------------------------------
+
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks up the user's most recent
+    order-day total at or before the event time (operators/asof.py union
+    +window construction — one shuffle, no N x M pair blowup).  DuckDB's
+    native ASOF JOIN is the oracle."""
+    from kmeans_mapreduce_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("od"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    )
+    out = asof_join(
+        ev, daily, key="user_id", left_time="ts", right_time="od",
+        payload_cols=["day_total"], how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("matched_time", "yyyy-MM-dd").alias("order_day"),
+        "day_total",
+    )
+
+
+ASOF_SQL = """
+WITH daily AS (
+  SELECT o_custkey AS user_id, o_orderdate AS od,
+         ROUND(SUM(o_totalprice), 2) AS day_total
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, strftime(d.od, '%Y-%m-%d') AS order_day, d.day_total
+FROM events e ASOF JOIN daily d
+  ON e.user_id = d.user_id AND e.ts >= d.od
+"""

@@ -1,0 +1,86 @@
+"""As-of join semantics + IVF ANN quality tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators.asof import asof_join
+from kmeans_mapreduce_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def tiny_asof(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, 10),   # matches r@10 (exact-time inclusive would be r@100 if present)
+            (2, 100, 50),   # matches r@50
+            (3, 100, 5),    # matches r@5
+            (4, 100, 1),    # before any right row -> unmatched
+            (5, 200, 10),   # key with no right rows at all -> unmatched
+        ],
+        "event_id long, k long, t long",
+    ).selectExpr("event_id", "k", "t")
+    right = spark.createDataFrame(
+        [(100, 5, 1.0), (100, 10, 2.0), (100, 50, 3.0)],
+        "k long, rt long, payload double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, tiny_asof):
+    left, right = tiny_asof
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        payload_cols=["payload"], how="inner",
+    )
+    got = {r["event_id"]: (r["matched_time"], r["payload"]) for r in out.collect()}
+    # t=10 matches rt=10 exactly (inclusive), not rt=5
+    assert got == {1: (10, 2.0), 2: (50, 3.0), 3: (5, 1.0)}
+
+
+def test_asof_left_keeps_unmatched(spark, tiny_asof):
+    left, right = tiny_asof
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        payload_cols=["payload"], how="left",
+    )
+    rows = {r["event_id"]: r["matched_time"] for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[4] is None and rows[5] is None
+
+
+def test_asof_preserves_left_columns(tiny_asof):
+    left, right = tiny_asof
+    out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        payload_cols=["payload"], how="inner",
+    )
+    assert set(out.columns) == {"event_id", "k", "t", "matched_time", "payload"}
+
+
+def test_ivf_recall_vs_brute(spark, embs_mod):
+    """IVF with kmeans centroids + 2 probes of 8 cells should recover a
+    large fraction of the exact top-5 neighborhood."""
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
+
+    pts = embs_mod.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("features")
+    )
+    res = fit_kmeans_native(pts, k=8, dim=64, initial_centroids=None, seed=7, max_iter=5)
+    queries = embs_mod.where(F.col("vec_id") < 20)
+    ivf = SIM.ivf_topk(
+        embs_mod, queries, res.centroids, k=5, n_probe=2, id_col="vec_id", vec_col="embedding"
+    )
+    brute = SIM.brute_force_topk(
+        embs_mod, queries, k=5, id_col="vec_id", vec_col="embedding"
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+@pytest.fixture(scope="module")
+def embs_mod(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
