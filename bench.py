@@ -32,6 +32,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "window_top_orders",
+    "agg_cube_lineitem",
+    "asof_events_orders",
     "events_sessionize",
     "dedup_exact",
     "dedup_minhash",

@@ -202,6 +202,26 @@ def fit_kmeans_native(
     Spark analog of the reference worker's chunk cache (worker.go:54-60):
     iteration i ships only centroid literals down and k x (d+1) numbers up.
     """
+    from pyspark.sql import types as T
+
+    spark = points.sparkSession
+    cent_schema = T.StructType(
+        [T.StructField("_C", T.ArrayType(T.ArrayType(T.DoubleType())))]
+    )
+    # Assignment with centroids as a broadcast 1-row relation, not plan
+    # literals: the plan (and generated code) is then IDENTICAL across
+    # iterations — only the broadcast data changes — so Spark's codegen
+    # cache hits from iteration 2 on.  Literal centroids re-analyzed and
+    # re-compiled a fresh k x d-literal plan every iteration (~1s/iter of
+    # driver time at d=64).  Broadcasting k x d doubles per iteration is
+    # exactly the reference's "ship only centroids after round 0"
+    # (master.go:313-333).
+    assign_expr = F.expr(
+        "element_at(transform(array(transform(_C, c -> "
+        "aggregate(zip_with(features, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v))), "
+        "ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
+    )
+
     points = points.select("id", "features").cache()
     try:
         centroids = (
@@ -214,7 +234,12 @@ def fit_kmeans_native(
         it = 0
         while it < max_iter:
             it += 1
-            assigned = assign_clusters(points, centroids)
+            cent_df = spark.createDataFrame([([list(c) for c in centroids],)], cent_schema)
+            assigned = (
+                points.crossJoin(F.broadcast(cent_df))
+                .withColumn("cluster_id", assign_expr)
+                .drop("_C")
+            )
             if track_wssse:
                 dists = _dist2_to_centroids("features", centroids)
                 row = assigned.agg(

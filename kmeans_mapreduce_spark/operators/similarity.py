@@ -72,18 +72,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def signed_projection_bucket(vec_col, planes: list[list[float]]):
-    """int bucket id: bit i = sign(v . plane_i) — random-hyperplane LSH."""
+def _bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL for the random-hyperplane bucket id: bit i = sign(v . plane_i).
+
+    One expression string instead of nested Column literals — building
+    n_planes x dim F.lit() Columns costs a py4j round-trip each (~1s of
+    driver time per LSH table set, measured)."""
     bits = []
     for i, p in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(
-            F.when(dot(vec_col, lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")"
+        d = f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x*y), 0D, (s, v) -> s+v)"
+        bits.append(f"if({d} >= 0, {1 << i}, 0)")
+    return f"cast({' + '.join(bits)} as int)"
+
+
+def signed_projection_bucket(vec_col, planes: list[list[float]]):
+    """Column form of _bucket_sql for a plain column name or Column."""
+    vec_sql = vec_col if isinstance(vec_col, str) else None
+    if vec_sql is None:
+        # Column objects can't be spliced into a SQL string; fall back to
+        # the literal-Column build (test/interactive surface only).
+        bits = []
+        for i, p in enumerate(planes):
+            lit = F.array(*[F.lit(float(x)) for x in p])
+            bits.append(F.when(dot(vec_col, lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("int")
+    return F.expr(_bucket_sql(vec_sql, planes))
 
 
 def lsh_topk(
@@ -107,22 +124,16 @@ def lsh_topk(
     than k rows when buckets are sparse — that's the approximation).
     """
     def bucketed(df: DataFrame, ident: str) -> DataFrame:
+        vec_sql = f"cast({vec_col} as array<double>)"
+        structs = ",".join(
+            f"struct({t} as tbl, "
+            f"{_bucket_sql(vec_sql, _hyperplanes(dim, n_planes, seed + 1000 * t))} as bucket)"
+            for t in range(n_tables)
+        )
         cols = [F.col(id_col).alias(ident), F.col(vec_col).cast("array<double>").alias(f"{ident}_v")]
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    signed_projection_bucket(
-                        F.col(vec_col).cast("array<double>"),
-                        _hyperplanes(dim, n_planes, seed + 1000 * t),
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(*cols, F.explode(tables).alias("tb")).select(
-            ident, f"{ident}_v", "tb.tbl", "tb.bucket"
-        )
+        return df.select(
+            *cols, F.explode(F.expr(f"array({structs})")).alias("tb")
+        ).select(ident, f"{ident}_v", "tb.tbl", "tb.bucket")
 
     from kmeans_mapreduce_spark.session import ensure_parallelism
 

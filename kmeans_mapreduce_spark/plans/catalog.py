@@ -67,6 +67,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "km_farthest": KQ.km_farthest,
     "km_delta": KQ.km_delta,
     "km_avg_pairwise": KQ.km_avg_pairwise,
+    "km_avg_point_dist": KQ.km_avg_point_dist,
+    "km_reshape_2d": KQ.km_reshape_2d,
     "kmeans_fit_native": kmeans_fit_native,
     "kmeans_fit_mllib": kmeans_fit_mllib,
     # Relational coverage (SURVEY §2.5-2.9 absent-in-reference surface)
@@ -77,8 +79,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_anti_no_urgent": R.join_anti_no_urgent,
     "window_top_orders": R.window_top_orders,
     "window_running_total": R.window_running_total,
+    "window_ntile_customers": R.window_ntile_customers,
     "agg_rollup_orders": R.agg_rollup_orders,
     "agg_cube_lineitem": R.agg_cube_lineitem,
+    "agg_approx_stats": R.agg_approx_stats,
     "agg_distinct_customers": R.agg_distinct_customers,
     "topk_orders_global": R.topk_orders_global,
     "set_except_nations": R.set_except_nations,
@@ -89,6 +93,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
     "events_sliding_window": R.events_sliding_window,
+    "events_session_window": R.events_session_window,
     "events_sessionize": R.events_sessionize,
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
@@ -115,6 +120,8 @@ ORACLES: dict[str, str] = {
     "km_farthest": KQ.KM_FARTHEST_SQL,
     "km_delta": KQ.KM_DELTA_SQL,
     "km_avg_pairwise": KQ.KM_AVG_PAIRWISE_SQL,
+    "km_avg_point_dist": KQ.KM_AVG_POINT_SQL,
+    "km_reshape_2d": KQ.KM_RESHAPE_SQL,
     "q1_pricing_summary": R.Q1_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_local_supplier": R.Q5_SQL,
@@ -122,6 +129,7 @@ ORACLES: dict[str, str] = {
     "join_anti_no_urgent": R.ANTI_SQL,
     "window_top_orders": R.WINDOW_TOP_SQL,
     "window_running_total": R.WINDOW_RUN_SQL,
+    "window_ntile_customers": R.NTILE_SQL,
     "agg_rollup_orders": R.ROLLUP_SQL,
     "agg_cube_lineitem": R.CUBE_SQL,
     "agg_distinct_customers": R.DISTINCT_SQL,
@@ -134,6 +142,7 @@ ORACLES: dict[str, str] = {
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,
     "events_sliding_window": R.SLIDING_SQL,
+    "events_session_window": R.SESSION_WINDOW_SQL,
     "events_sessionize": R.SESSIONIZE_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_quality": PQ.TEXT_QUALITY_SQL,

@@ -206,3 +206,66 @@ SELECT l_orderkey * 10 + l_linenumber AS id, 4 AS dim,
        ROUND(l_quantity + l_extendedprice + l_discount + l_tax, 4) AS checksum
 FROM lineitem
 """
+
+
+def km_reshape_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plot-prep dimensionality reshape (reference plot/plotter.go:114-137):
+    average contiguous coordinate blocks to force d -> 2.  Lossy by
+    design (the reference's choice; the principled alternative is PCA).
+    Block j = mean(features[j*32 .. j*32+31]) for d=64 -> 2 blocks."""
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM)
+    half = DIM // 2
+    return pts.select(
+        F.col("id").alias("vec_id"),
+        F.round(
+            F.aggregate(F.slice("features", 1, half), F.lit(0.0), lambda s, v: s + v)
+            / half, 6,
+        ).alias("x"),
+        F.round(
+            F.aggregate(F.slice("features", half + 1, half), F.lit(0.0), lambda s, v: s + v)
+            / half, 6,
+        ).alias("y"),
+    )
+
+
+_X_SUM = " + ".join(f"v[{i}]" for i in range(1, DIM // 2 + 1))
+_Y_SUM = " + ".join(f"v[{i}]" for i in range(DIM // 2 + 1, DIM + 1))
+KM_RESHAPE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, ROUND(({_X_SUM}) / {DIM // 2}, 6) AS x,
+       ROUND(({_Y_SUM}) / {DIM // 2}, 6) AS y
+FROM e
+"""
+
+
+def km_avg_point_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetAvgDistance (reference utils/utils.go:57-75): per-point mean
+    Euclidean distance to every other point, zero distances skipped —
+    for the first 10 points (the reference only ever runs this on small
+    sets; unbounded it is O(N^2))."""
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM)
+    probes = pts.where(F.col("id") < 10).select(
+        F.col("id").alias("vec_id"), F.col("features").alias("va")
+    )
+    others = pts.select(F.col("id").alias("idb"), F.col("features").alias("vb"))
+    from kmeans_mapreduce_spark.functions.distance import euclidean
+
+    d = euclidean(F.col("va"), F.col("vb"))
+    return (
+        F.broadcast(probes)
+        .crossJoin(others)
+        .select("vec_id", d.alias("d"))
+        .where(F.col("d") != 0.0)
+        .groupBy("vec_id")
+        .agg(F.round(F.avg("d"), 6).alias("avg_dist"))
+    )
+
+
+KM_AVG_POINT_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, ROUND(AVG(d), 6) AS avg_dist FROM (
+  SELECT a.vec_id AS vec_id, SQRT({_d2_sql('a.v', 'b.v')}) AS d
+  FROM (SELECT * FROM e WHERE vec_id < 10) a CROSS JOIN e b)
+WHERE d != 0.0
+GROUP BY vec_id
+"""

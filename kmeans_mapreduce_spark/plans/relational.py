@@ -607,3 +607,87 @@ SELECT e.event_id, e.user_id, strftime(d.od, '%Y-%m-%d') AS order_day, d.day_tot
 FROM events e ASOF JOIN daily d
   ON e.user_id = d.user_id AND e.ts >= d.od
 """
+
+
+# --- session windows (batch twin of streaming session_window) -------------
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session intervals via F.session_window (30-min gap):
+    [user_id, session_start, n_events, sum_value].  The same operator
+    Structured Streaming uses for stateful session aggregation; in batch
+    Catalyst plans it as sort + merge of overlapping intervals per key —
+    one shuffle on user_id."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag_us IS NULL OR epoch_us(ts) - lag_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM (
+    SELECT user_id, ts, value,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC) AS lag_us
+    FROM events)),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of customers by account balance within each
+    market segment (ntile window) + per-quartile aggregates."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+NTILE_SQL = """
+SELECT c_mktsegment, quartile, COUNT(*) AS n, ROUND(AVG(c_acctbal), 4) AS avg_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+  FROM customer)
+GROUP BY c_mktsegment, quartile
+"""
+
+
+# --- approximate aggregates (rows-only: sketch families differ) -----------
+
+def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per priority: approx_count_distinct (HLL++) and
+    approx median (GK quantile sketch) beside their exact values.
+
+    At 100 TB these are the only affordable forms — fixed-size sketch
+    state, map-side mergeable, no distinct-shuffle.  Sketch parameters
+    and algorithms are engine-specific, so no SQL oracle; relative-error
+    bounds vs the exact columns are asserted in tests."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("approx_median"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+    )

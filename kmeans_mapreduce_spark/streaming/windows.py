@@ -100,3 +100,64 @@ def incremental_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_ts_us", T.LongType()),
+    ]
+)
+
+
+def stream_user_running_totals(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count / value sum across micro-batches.
+
+    This is the "custom stateful streaming operator" escape hatch for
+    semantics Spark's built-in aggs can't express (arbitrary per-key
+    state machines).  State is one tiny tuple per user, explicitly
+    managed; with a real watermark + timeout policy, idle keys would be
+    evicted (GroupStateTimeout.NoTimeout here — the harness events span
+    a bounded window).
+
+    Scale shape: input shuffles once on user_id; each task holds state
+    only for its key range; Arrow-batched pandas per group.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _as_timestamp(spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir))
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, max_ts = 0, 0.0, 0
+        if state.exists:
+            n, total, max_ts = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            max_ts = max(max_ts, int(pdf["ts"].astype("int64").max()) // 1000)
+        state.update((n, total, max_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total],
+                "max_ts_us": [max_ts],
+            }
+        )
+
+    return (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATE_SCHEMA,
+            stateStructType="n_events long, sum_value double, max_ts_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -64,3 +64,37 @@ def test_incremental_ingest_accumulates(spark, sf_dir, tmp_path):
 
     incremental_ingest(spark, _stage_events_dir(sf_dir, tmp_path), batch_fn, str(tmp_path / "ck"))
     assert sum(seen) == 1000
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState totals must equal the batch groupBy."""
+    from kmeans_mapreduce_spark.streaming.windows import stream_user_running_totals
+
+    stream = stream_user_running_totals(spark, _stage_events_dir(sf_dir, tmp_path))
+    out, ckpt = str(tmp_path / "state_out"), str(tmp_path / "state_ckpt")
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: take the LAST emitted row per user
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM user_totals").collect()
+    }
+
+    from kmeans_mapreduce_spark.plans.relational import _events
+    from pyspark.sql import functions as F2
+
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F2.count("*").alias("n"), F2.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
