@@ -28,6 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "kmeans_fit_native",
     "kmeans_fit_mllib",
+    "kmeans_fit_lineitem",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",

@@ -71,6 +71,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "km_reshape_2d": KQ.km_reshape_2d,
     "kmeans_fit_native": kmeans_fit_native,
     "kmeans_fit_mllib": kmeans_fit_mllib,
+    "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
     # Relational coverage (SURVEY §2.5-2.9 absent-in-reference surface)
     "q1_pricing_summary": R.q1_pricing_summary,
     "q3_shipping_priority": R.q3_shipping_priority,
@@ -108,6 +109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_topk": PQ.ann_brute_topk,
     "ann_lsh_topk": PQ.ann_lsh_topk,
     "ann_ivf_topk": PQ.ann_ivf_topk,
+    "ann_brute_topk_pandas": PQ.ann_brute_topk_pandas,
     "mm_metadata": PQ.mm_metadata,
     "mm_decode": PQ.mm_decode,
     "mm_frame_sample": PQ.mm_frame_sample,

@@ -308,3 +308,15 @@ SELECT doc_id AS media_id,
        unnest(range(0, GREATEST(octet_length(encode(text)) - 1, 0) + 1, 1024)) AS offset
 FROM documents
 """
+
+
+def ann_brute_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_brute_topk with the cosine computed in an Arrow-batched pandas
+    UDF (functions/udfs.py) — the template for Python-side scoring.
+    Rows-only: numpy pairwise summation differs from the SQL fold in the
+    last ulp; equality to the expr path at 1e-9 is asserted in tests."""
+    from kmeans_mapreduce_spark.functions.udfs import brute_force_topk_pandas
+
+    e = _embs(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 5)
+    return brute_force_topk_pandas(e, queries, k=5, id_col="vec_id", vec_col="embedding")

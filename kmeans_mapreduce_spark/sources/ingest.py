@@ -66,12 +66,22 @@ def points_from_columns(df: DataFrame, cols: list[str], id_col: str | None = Non
     The typed-projection analog (utils.go:21-42) for data already in a
     relational shape, e.g. lineitem's (l_quantity, l_extendedprice, ...).
     """
+    from kmeans_mapreduce_spark.session import ensure_parallelism
+
     id_expr = (
         F.col(id_col).cast("long").alias("id")
         if id_col
         else F.monotonically_increasing_id().alias("id")
     )
-    return df.select(id_expr, F.array(*[F.col(c).cast("double") for c in cols]).alias("features"))
+    # monotonically_increasing_id must run BEFORE any repartition (its
+    # value depends on partition layout); with an explicit id column the
+    # repartition can go first so downstream iteration scans parallelize
+    # even when the source is a few large row groups.
+    if id_col:
+        df = ensure_parallelism(df)
+        return df.select(id_expr, F.array(*[F.col(c).cast("double") for c in cols]).alias("features"))
+    out = df.select(id_expr, F.array(*[F.col(c).cast("double") for c in cols]).alias("features"))
+    return ensure_parallelism(out)
 
 
 def points_from_embeddings(

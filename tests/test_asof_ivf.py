@@ -84,3 +84,27 @@ def test_ivf_recall_vs_brute(spark, embs_mod):
 @pytest.fixture(scope="module")
 def embs_mod(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_pandas_udf_cosine_matches_expr(spark, embs_mod):
+    """Arrow-batched pandas cosine must equal the codegen expr path to
+    1e-9 (numpy pairwise summation may differ in the last ulp)."""
+    from kmeans_mapreduce_spark.functions.udfs import brute_force_topk_pandas
+
+    queries = embs_mod.where(F.col("vec_id") < 5)
+    pd_out = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in brute_force_topk_pandas(
+            embs_mod, queries, k=5, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    ex_out = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in SIM.brute_force_topk(
+            embs_mod, queries, k=5, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    assert set(pd_out) == set(ex_out)
+    for key, (nid, score) in ex_out.items():
+        pnid, pscore = pd_out[key]
+        assert pnid == nid and abs(pscore - score) <= 1e-6, (key, nid, pnid)

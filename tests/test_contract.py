@@ -16,10 +16,12 @@ def test_catalog_shapes():
     assert rows_only == {
         "kmeans_fit_native",
         "kmeans_fit_mllib",
+        "kmeans_fit_lineitem",
         "dedup_simhash",
         "ann_lsh_topk",
         "mm_decode",
         "agg_approx_stats",
+        "ann_brute_topk_pandas",
     }
 
 
