@@ -31,12 +31,22 @@ STOPWORDS_EN = LANG_MARKERS["en"] + ("for", "on", "it", "this", "that")
 PUNCT_CLASS = "[.,;:!?]"
 
 
+# The tokenization whitespace class, chosen to mean the SAME thing in
+# Java regex (Spark), RE2 (DuckDB oracles) and Python re (tests): the
+# ASCII set minus vertical tab (Java \s includes \x0B, RE2's doesn't —
+# so \s is NOT portable and is never used here).
+WS_CLASS = "[ \\t\\n\\f\\r]"
+
+
 def tokens(text: Column | str) -> Column:
-    """array<string> of lowercase whitespace tokens; [] for blank text."""
+    """array<string> of lowercase whitespace tokens; [] for blank text.
+
+    trim is regexp-based: SQL trim() strips only ' ' (a '\\r' document
+    would otherwise split into two empty tokens — found by hypothesis)."""
     c = F.col(text) if isinstance(text, str) else text
-    t = F.trim(F.lower(c))
+    t = F.regexp_replace(F.lower(c), f"^{WS_CLASS}+|{WS_CLASS}+$", "")
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, f"{WS_CLASS}+")
     )
 
 

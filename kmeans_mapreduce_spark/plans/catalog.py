@@ -85,6 +85,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_cube_lineitem": R.agg_cube_lineitem,
     "agg_approx_stats": R.agg_approx_stats,
     "agg_distinct_customers": R.agg_distinct_customers,
+    "agg_salted_user_rollup": R.agg_salted_user_rollup,
     "topk_orders_global": R.topk_orders_global,
     "set_except_nations": R.set_except_nations,
     "set_intersect_nations": R.set_intersect_nations,
@@ -135,6 +136,7 @@ ORACLES: dict[str, str] = {
     "agg_rollup_orders": R.ROLLUP_SQL,
     "agg_cube_lineitem": R.CUBE_SQL,
     "agg_distinct_customers": R.DISTINCT_SQL,
+    "agg_salted_user_rollup": R.SALTED_SQL,
     "topk_orders_global": R.TOPK_GLOBAL_SQL,
     "set_except_nations": R.EXCEPT_SQL,
     "set_intersect_nations": R.INTERSECT_SQL,

@@ -3,7 +3,8 @@ multimodal — over the harness documents/embeddings tables, each with a
 DuckDB oracle where SQL can express the semantics.
 
 Tokenization in every oracle matches functions/text.py exactly:
-lower → trim → regexp-split on \\s+ (empty string -> empty list).
+lower → regexp-trim → split on the explicit whitespace class
+[ \\t\\n\\f\\r] (empty string -> empty list); see functions/text.py WS_CLASS.
 """
 
 from __future__ import annotations
@@ -16,8 +17,14 @@ from kmeans_mapreduce_spark.operators import dedup as DD
 from kmeans_mapreduce_spark.operators import multimodal as MM
 from kmeans_mapreduce_spark.operators import similarity as SIM
 
-_TOKS = "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
-_TOKS_ALL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+# Whitespace policy shared with functions/text.py WS_CLASS: explicit
+# [ \t\n\f\r] — portable across Java regex / RE2 / Python re ('\s'
+# is not: Java includes \x0B, RE2 doesn't; SQL trim() strips ' ' only).
+_WS = "[ \\t\\n\\f\\r]"
+_TRIMMED = f"regexp_replace(lower(text), '^{_WS}+|{_WS}+$', '', 'g')"
+_BLANK = f"length({_TRIMMED}) = 0"
+_TOKS = f"list_distinct(regexp_split_to_array({_TRIMMED}, '{_WS}+'))"
+_TOKS_ALL = f"regexp_split_to_array({_TRIMMED}, '{_WS}+')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,9 +51,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_TOKEN_SQL = f"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END AS n_tokens,
+       CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS_ALL}) END AS n_tokens,
        length(text) AS n_chars_actual,
-       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_unique_tokens
+       CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS}) END AS n_unique_tokens
 FROM documents
 """
 
@@ -64,7 +71,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS_EN) + "]"
 _PUNCT_N = "len(regexp_extract_all(text, '[.,;:!?]'))"
-_NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_ALL}) END"
+_NTOK = f"CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS_ALL}) END"
 _NSW = f"len(list_filter({_TOKS_ALL}, t -> list_contains({_SW}, t)))"
 _PUNCT_RATIO = f"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST({_PUNCT_N} AS DOUBLE) / CAST(length(text) AS DOUBLE) END"
 _SW_RATIO = f"CASE WHEN {_NTOK} = 0 THEN 0.0 ELSE CAST({_NSW} AS DOUBLE) / CAST({_NTOK} AS DOUBLE) END"
@@ -132,7 +139,7 @@ _SHINGLES = (
     "list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))"
 )
 _JACCARD_CTE = f"""
-WITH t AS (SELECT doc_id, {_TOKS_ALL} AS toks FROM documents WHERE length(trim(text)) > 0),
+WITH t AS (SELECT doc_id, {_TOKS_ALL} AS toks FROM documents WHERE NOT ({_BLANK})),
 s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(toks) >= 2),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,

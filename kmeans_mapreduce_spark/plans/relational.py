@@ -691,3 +691,40 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("approx_median"),
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
     )
+
+
+# --- salted aggregation (skew mitigation) ---------------------------------
+
+def agg_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event rollup through the salted two-phase aggregation
+    (operators/skew.py): each key's rows spread over 16 salt buckets in
+    shuffle 1, per-salt partials merged in shuffle 2.  Output must be
+    bit-equal to the plain groupBy — the oracle checks exactly that, so
+    the skew machinery is correctness-gated, not just documented."""
+    from kmeans_mapreduce_spark.operators.skew import salted_agg
+
+    ev = _events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        key="user_id",
+        aggs={
+            "n_events": ("count", None),
+            "sum_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+SALTED_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY user_id
+"""

@@ -30,6 +30,10 @@ def get_spark(app_name: str = "kmeans-mapreduce-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
+        # Runtime bloom-filter pushdown: a selective dimension-side filter
+        # becomes a bloom filter applied to the fact-side scan before the
+        # shuffle — big shuffle-volume win on selective joins at scale.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow for any pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Dim tables (region/nation/customer at bench SF) broadcast freely.

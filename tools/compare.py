@@ -71,6 +71,10 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
 
     failures = 0
     names = only or list(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}; known: {sorted(qs)}")
+        return len(unknown)
     for name in names:
         t0 = time.time()
         try:
