@@ -57,10 +57,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum("l_discount"), 4).alias("_sum_disc"),
             F.count("*").alias("count_order"),
+        )
+        # avgs derived from the rounded sums (see events_tumbling_window:
+        # ROUND(AVG) straddles rounding boundaries across engines)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+            F.round(F.col("_sum_disc") / F.col("count_order"), 6).alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -71,9 +83,9 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 6) AS avg_qty,
+       ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 6) AS avg_price,
+       ROUND(ROUND(SUM(l_discount), 4) / COUNT(*), 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -334,18 +346,29 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object evaluates in the JVM; no Python, no UDF."""
     ev = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("double")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.avg(k), 6).alias("avg_k"),
-        F.round(F.max(k), 2).alias("max_k"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(k), 4).alias("_sk"),
+            F.count(k).alias("_nk"),
+            F.round(F.max(k), 2).alias("max_k"),
+        )
+        # avg from rounded sum / non-null count — see events_tumbling_window
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("_sk") / F.col("_nk"), 6).alias("avg_k"),
+            "max_k",
+        )
     )
 
 
 EVENTS_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
-       ROUND(MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS max_k
-FROM events
+       ROUND(ROUND(SUM(k), 4) / COUNT(k), 6) AS avg_k,
+       ROUND(MAX(k), 2) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events)
 GROUP BY event_type
 """
 
@@ -363,8 +386,13 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
         )
+        # avg derived from the ROUNDED sum, not ROUND(AVG(...)): raw
+        # double sums differ across engines in the last ulp (partial-agg
+        # order), and at sf0.1 one group's avg landed exactly on a 6dp
+        # rounding boundary.  round(sum,4)/n is deterministic given the
+        # sums hash-match — which they do.
+        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6))
     )
 
 
@@ -372,7 +400,7 @@ EVENTS_WINDOW_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS sum_value,
-       ROUND(AVG(value), 6) AS avg_value
+       ROUND(ROUND(SUM(value), 4) / COUNT(*), 6) AS avg_value
 FROM events
 GROUP BY 1, 2
 """
