@@ -150,3 +150,17 @@ def word_shingles(text: Column | str, n: int = 2) -> Column:
         return F.array_distinct(sh)
 
     return F.element_at(F.transform(F.array(toks), build), 1)
+
+
+# BPE-ish subword-boundary pattern: letter runs, digit runs, single
+# punctuation/symbol chars.  Deliberately lookahead-free (RE2, used by
+# the DuckDB oracles, has no lookahead) and ASCII-classed so Java regex
+# and RE2 agree.  Approximates a GPT-2-style pre-tokenizer's piece count
+# closely enough for corpus unit-economics.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """# of BPE-ish pieces in lowercased text (see BPE_PATTERN)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(BPE_PATTERN))

@@ -86,6 +86,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_approx_stats": R.agg_approx_stats,
     "agg_distinct_customers": R.agg_distinct_customers,
     "agg_salted_user_rollup": R.agg_salted_user_rollup,
+    "agg_pivot_status": R.agg_pivot_status,
     "topk_orders_global": R.topk_orders_global,
     "set_except_nations": R.set_except_nations,
     "set_intersect_nations": R.set_intersect_nations,
@@ -99,6 +100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": R.events_sessionize,
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
+    "text_bpe_tokens": PQ.text_bpe_tokens,
     "text_quality": PQ.text_quality,
     "text_lang_id": PQ.text_lang_id,
     "doc_fingerprint": PQ.doc_fingerprint,
@@ -137,6 +139,7 @@ ORACLES: dict[str, str] = {
     "agg_cube_lineitem": R.CUBE_SQL,
     "agg_distinct_customers": R.DISTINCT_SQL,
     "agg_salted_user_rollup": R.SALTED_SQL,
+    "agg_pivot_status": R.PIVOT_SQL,
     "topk_orders_global": R.TOPK_GLOBAL_SQL,
     "set_except_nations": R.EXCEPT_SQL,
     "set_intersect_nations": R.INTERSECT_SQL,
@@ -149,6 +152,7 @@ ORACLES: dict[str, str] = {
     "events_session_window": R.SESSION_WINDOW_SQL,
     "events_sessionize": R.SESSIONIZE_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
+    "text_bpe_tokens": PQ.TEXT_BPE_SQL,
     "text_quality": PQ.TEXT_QUALITY_SQL,
     "text_lang_id": PQ.TEXT_LANG_SQL,
     "doc_fingerprint": PQ.FINGERPRINT_SQL,

@@ -327,3 +327,24 @@ def ann_brute_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     queries = e.where(F.col("vec_id") < 5)
     return brute_force_topk_pandas(e, queries, k=5, id_col="vec_id", vec_col="embedding")
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish piece counting beside whitespace token counting — the two
+    unit-economics numbers a training-data pipeline tracks per doc.
+    Pure regexp_count per row; no shuffle."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_ws_tokens"),
+        TXT.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+_BPE = TXT.BPE_PATTERN.replace("\\", "\\\\")
+TEXT_BPE_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS_ALL}) END AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{_BPE}')) AS n_bpe_tokens
+FROM documents
+"""

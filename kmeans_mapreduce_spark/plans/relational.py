@@ -756,3 +756,33 @@ SELECT user_id, COUNT(*) AS n_events,
        ROUND(MAX(value), 4) AS max_value
 FROM events GROUP BY user_id
 """
+
+
+# --- pivot ------------------------------------------------------------------
+
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status, statuses as columns.
+    Values are enumerated explicitly — Spark then skips the extra
+    distinct-values job and the plan is a single grouped aggregation
+    with conditional counters (exactly the oracle's CASE WHEN sums)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
