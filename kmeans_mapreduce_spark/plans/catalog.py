@@ -87,6 +87,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_customers": R.agg_distinct_customers,
     "agg_salted_user_rollup": R.agg_salted_user_rollup,
     "agg_pivot_status": R.agg_pivot_status,
+    "agg_unpivot_lineitem": R.agg_unpivot_lineitem,
     "topk_orders_global": R.topk_orders_global,
     "set_except_nations": R.set_except_nations,
     "set_intersect_nations": R.set_intersect_nations,
@@ -140,6 +141,7 @@ ORACLES: dict[str, str] = {
     "agg_distinct_customers": R.DISTINCT_SQL,
     "agg_salted_user_rollup": R.SALTED_SQL,
     "agg_pivot_status": R.PIVOT_SQL,
+    "agg_unpivot_lineitem": R.UNPIVOT_SQL,
     "topk_orders_global": R.TOPK_GLOBAL_SQL,
     "set_except_nations": R.EXCEPT_SQL,
     "set_intersect_nations": R.INTERSECT_SQL,

@@ -786,3 +786,38 @@ SELECT o_orderpriority,
        SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
 FROM orders GROUP BY o_orderpriority
 """
+
+
+def agg_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): lineitem's four numeric measures to long form,
+    then per-measure stats.  Catalyst plans unpivot as Expand (row ->
+    4 rows map-side) + one normal aggregation — no joins, no self-scan
+    per measure."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("v"), 2).alias("total"),
+            F.round(F.min("v"), 2).alias("mn"),
+            F.round(F.max("v"), 2).alias("mx"),
+        )
+    )
+
+
+UNPIVOT_SQL = """
+SELECT measure, COUNT(*) AS n, ROUND(SUM(v), 2) AS total,
+       ROUND(MIN(v), 2) AS mn, ROUND(MAX(v), 2) AS mx
+FROM (
+  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+GROUP BY measure
+"""
