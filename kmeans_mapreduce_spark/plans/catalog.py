@@ -88,6 +88,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_salted_user_rollup": R.agg_salted_user_rollup,
     "agg_pivot_status": R.agg_pivot_status,
     "agg_unpivot_lineitem": R.agg_unpivot_lineitem,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "agg_grouping_sets_orders": R.agg_grouping_sets_orders,
+    "string_part_names": R.string_part_names,
+    "subq_small_quantity_revenue": R.subq_small_quantity_revenue,
+    "join_outer_nation_activity": R.join_outer_nation_activity,
+    "window_order_gaps": R.window_order_gaps,
     "topk_orders_global": R.topk_orders_global,
     "set_except_nations": R.set_except_nations,
     "set_intersect_nations": R.set_intersect_nations,
@@ -142,6 +148,12 @@ ORACLES: dict[str, str] = {
     "agg_salted_user_rollup": R.SALTED_SQL,
     "agg_pivot_status": R.PIVOT_SQL,
     "agg_unpivot_lineitem": R.UNPIVOT_SQL,
+    "q6_forecast_revenue": R.Q6_SQL,
+    "agg_grouping_sets_orders": R.GROUPING_SETS_SQL,
+    "string_part_names": R.STRING_FUNCS_SQL,
+    "subq_small_quantity_revenue": R.SUBQ_Q17_SQL,
+    "join_outer_nation_activity": R.OUTER_SQL,
+    "window_order_gaps": R.LAG_LEAD_SQL,
     "topk_orders_global": R.TOPK_GLOBAL_SQL,
     "set_except_nations": R.EXCEPT_SQL,
     "set_intersect_nations": R.INTERSECT_SQL,

@@ -821,3 +821,227 @@ FROM (
   UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
 GROUP BY measure
 """
+
+
+# --- global (no-groupBy) aggregation --------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + GLOBAL aggregate, no grouping keys.
+
+    The one aggregation form the catalog lacked: Catalyst plans it as
+    partial HashAggregate per partition -> single-partition exchange of
+    ONE state row per task -> final agg.  At 100 TB the shuffle carries
+    #tasks rows regardless of input size; all three filters reach the
+    parquet reader as PushedFilters (min/max row-group pruning on
+    l_shipdate does most of the work on date-sorted data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- correlated scalar subquery (decorrelated to a window) ----------------
+
+def subq_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows qualified by a CORRELATED per-group scalar
+    subquery (l_quantity < 50% of that part's average quantity).
+
+    The oracle states it as a correlated subquery; the Spark plan is the
+    decorrelated form every optimizer rewrites it to — here a window
+    average over l_partkey, which is ONE shuffle on the correlation key
+    and no join at all.  (DuckDB performs the same decorrelation
+    internally; at 100 TB the window form also avoids the broadcast-size
+    question a join-with-aggregated-subquery would raise.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+SUBQ_Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+# --- full outer join ------------------------------------------------------
+
+def join_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two independently-filtered per-nation aggs
+    (machinery customers vs high-balance suppliers), nulls coalesced.
+
+    Rounds out the join-type inventory (inner/semi/anti/range/as-of are
+    covered elsewhere).  Both inputs are already aggregated to nation
+    grain (25 rows) before the join, so the outer join itself is trivially
+    broadcastable at any scale — aggregate-then-join, never join-then-
+    aggregate, is the 100 TB-safe order here."""
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count("*").alias("n_machinery_cust"))
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000.0)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_rich_supp"))
+    )
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust_n.join(supp_n, F.col("nk_c") == F.col("nk_s"), "full_outer")
+    return (
+        joined.select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            F.coalesce("n_machinery_cust", F.lit(0)).alias("n_machinery_cust"),
+            F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+        )
+        .join(F.broadcast(nation), F.col("nationkey") == F.col("n_nationkey"))
+        .select("n_name", "n_machinery_cust", "n_rich_supp")
+    )
+
+
+OUTER_SQL = """
+SELECT n_name,
+       COALESCE(n_machinery_cust, 0) AS n_machinery_cust,
+       COALESCE(n_rich_supp, 0) AS n_rich_supp
+FROM (
+  SELECT COALESCE(nk_c, nk_s) AS nationkey, n_machinery_cust, n_rich_supp
+  FROM (SELECT c_nationkey AS nk_c, COUNT(*) AS n_machinery_cust
+        FROM customer WHERE c_mktsegment = 'MACHINERY' GROUP BY 1) c
+  FULL OUTER JOIN
+       (SELECT s_nationkey AS nk_s, COUNT(*) AS n_rich_supp
+        FROM supplier WHERE s_acctbal > 5000.0 GROUP BY 1) s
+    ON nk_c = nk_s)
+JOIN nation ON nationkey = n_nationkey
+"""
+
+
+# --- lag / lead -----------------------------------------------------------
+
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order cadence: days since the previous order (lag)
+    and the next order's key (lead), nulls at the partition edges
+    coalesced to -1 for portable hashing.  One shuffle on o_custkey;
+    both offset functions share a single Window node (same partition
+    + ordering spec)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    d = F.col("o_orderdate").cast("date")
+    gap = F.datediff(d, F.lag(d).over(w))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(gap, F.lit(-1)).alias("gap_days"),
+        F.coalesce(F.lead("o_orderkey").over(w), F.lit(-1)).alias("next_orderkey"),
+    )
+
+
+LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey,
+       COALESCE(date_diff('day',
+         LAG(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)), -1) AS gap_days,
+       COALESCE(LEAD(o_orderkey) OVER w, -1) AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# --- explicit grouping sets (via the SQL surface) -------------------------
+
+def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()) — the two
+    single-dimension marginals plus the grand total, which neither
+    ROLLUP nor CUBE expresses (rollup nests, cube takes all 4 combos).
+
+    Deliberately phrased through ``spark.sql`` so the catalog exercises
+    the SQL front-end surface too, not just the DataFrame DSL — same
+    Catalyst plan either way (Expand x3 -> partial/final agg, one
+    shuffle).  No NULLs exist in the grouping columns, so COALESCE to
+    'ALL' is unambiguous grouping-slot marking."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- string function family -----------------------------------------------
+
+def string_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function sweep over part: regexp_extract (noun of the
+    two-word p_name, digits of p_brand), upper, length, concat —
+    grouped per noun.  All JVM-side built-ins inside one codegen stage;
+    the only shuffle is the final low-cardinality agg."""
+    part = _t(spark, sf_dir, "part")
+    noun = F.regexp_extract("p_name", r"(\w+)$", 1)
+    brand_num = F.regexp_extract("p_brand", r"(\d+)", 1).cast("int")
+    return (
+        part.select(
+            F.upper(noun).alias("noun"),
+            brand_num.alias("brand_num"),
+            F.length("p_name").alias("name_len"),
+            F.col("p_retailprice"),
+        )
+        .groupBy("noun")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("brand_num").alias("n_brands"),
+            F.max("name_len").alias("max_name_len"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT UPPER(regexp_extract(p_name, '(\\w+)$', 1)) AS noun,
+       COUNT(*) AS n,
+       COUNT(DISTINCT CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT)) AS n_brands,
+       MAX(LENGTH(p_name)) AS max_name_len,
+       ROUND(SUM(p_retailprice), 2) AS total_price
+FROM part GROUP BY 1
+"""

@@ -1,0 +1,89 @@
+"""Physical-plan shape regression tests.
+
+PLANS.md documents the plans we audited by hand; these tests pin the
+load-bearing properties so a refactor can't silently regress them:
+filters reaching the parquet scan, column pruning, dimension-side
+broadcasts, TakeOrderedAndProject for global top-k, and the shuffle
+count of the decorrelated-subquery window form.
+
+All assertions run on explain("formatted") TEXT — no execution, so the
+whole module is seconds, not minutes.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from kmeans_mapreduce_spark.plans.catalog import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan must read only the 7
+    # referenced columns — l_orderkey in ReadSchema would mean pruning broke
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_returnflag" in read_schema
+
+
+def test_q6_all_filters_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"filter not pushed to scan: {pushed}"
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier"])
+def test_dim_tables_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan
+    # no dimension table may fall back to a shuffle (sort-merge) join
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    semi = plan_of(spark, sf_dir, "join_semi_urgent_customers")
+    anti = plan_of(spark, sf_dir, "join_anti_no_urgent")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_orders_global")
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort node would mean the full-sort plan regressed in
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_subquery_decorrelates_to_one_data_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "subq_small_quantity_revenue")
+    assert "Window" in plan
+    # exactly 2 exchanges: hash(l_partkey) for the window + the
+    # single-row final-agg gather; a join-based form would add a third
+    assert plan.count("(Exchange") <= 2 or plan.count("Exchange (") <= 2
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("(") and "Exchange" in ln
+    )
+    assert n_exchanges <= 2, f"expected <=2 exchanges, plan has {n_exchanges}"
+
+
+def test_asof_single_window_no_pair_blowup(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "asof_events_orders")
+    # the union+window as-of must never plan a nested-loop pair join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
