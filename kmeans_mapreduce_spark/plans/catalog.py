@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from kmeans_mapreduce_spark.plans import kmeans_queries as KQ
 from kmeans_mapreduce_spark.plans import pipeline_queries as PQ
 from kmeans_mapreduce_spark.plans import relational as R
+from kmeans_mapreduce_spark.plans import relational_ext as RX
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,6 +106,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_window": R.events_sliding_window,
     "events_session_window": R.events_session_window,
     "events_sessionize": R.events_sessionize,
+    # Relational extensions (percentiles, dates, subqueries, windows,
+    # multiset ops, conditionals, explode)
+    "agg_percentiles_lineitem": RX.agg_percentiles_lineitem,
+    "date_orders_seasonality": RX.date_orders_seasonality,
+    "subq_exists_parts": RX.subq_exists_parts,
+    "subq_scalar_threshold": RX.subq_scalar_threshold,
+    "window_value_funcs": RX.window_value_funcs,
+    "window_range_frame": RX.window_range_frame,
+    "set_multiset_priorities": RX.set_multiset_priorities,
+    "case_coalesce_buckets": RX.case_coalesce_buckets,
+    "array_top_tokens": RX.array_top_tokens,
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
     "text_bpe_tokens": PQ.text_bpe_tokens,
@@ -165,6 +177,15 @@ ORACLES: dict[str, str] = {
     "events_sliding_window": R.SLIDING_SQL,
     "events_session_window": R.SESSION_WINDOW_SQL,
     "events_sessionize": R.SESSIONIZE_SQL,
+    "agg_percentiles_lineitem": RX.PERCENTILES_SQL,
+    "date_orders_seasonality": RX.DATE_SEASONALITY_SQL,
+    "subq_exists_parts": RX.SUBQ_EXISTS_SQL,
+    "subq_scalar_threshold": RX.SUBQ_SCALAR_SQL,
+    "window_value_funcs": RX.WINDOW_VALUE_SQL,
+    "window_range_frame": RX.WINDOW_RANGE_SQL,
+    "set_multiset_priorities": RX.SET_MULTISET_SQL,
+    "case_coalesce_buckets": RX.CASE_COALESCE_SQL,
+    "array_top_tokens": RX.ARRAY_TOP_TOKENS_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_bpe_tokens": PQ.TEXT_BPE_SQL,
     "text_quality": PQ.TEXT_QUALITY_SQL,

@@ -87,3 +87,41 @@ def test_asof_single_window_no_pair_blowup(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_exists_decorrelates_to_semi_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "subq_exists_parts")
+    # EXISTS / NOT EXISTS must become hash joins, never per-row subqueries
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_stays_subquery(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "subq_scalar_threshold")
+    # the AVG threshold is a one-shot scalar subquery folded into the
+    # filter, not a join against the aggregate
+    assert "Subquery" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_range_frame_window_is_partitioned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_range_frame")
+    assert "Window" in plan
+    # partitioned by customer — a single-partition global window would
+    # show Exchange SinglePartition before the Window node
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_multiset_ops_use_generate_not_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "set_multiset_priorities")
+    # Spark plans EXCEPT/INTERSECT ALL as count-aggregate + Generate
+    # (replicate_rows), linear in input — never a pairwise join
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_tokens_is_take_ordered_after_explode(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "array_top_tokens")
+    assert "Generate" in plan  # explode fans out inside the scan stage
+    assert "TakeOrderedAndProject" in plan
