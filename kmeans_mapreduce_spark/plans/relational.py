@@ -423,7 +423,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSIONIZE_SQL = """
-SELECT user_id, SUM(ns) AS n_sessions FROM (
+SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN lag_us IS NULL OR epoch_us(ts) - lag_us > 1800 * 1000000 THEN 1 ELSE 0 END AS ns
   FROM (
@@ -781,9 +781,9 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -988,16 +988,19 @@ def agg_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL front-end surface too, not just the DataFrame DSL — same
     Catalyst plan either way (Expand x3 -> partial/final agg, one
     shuffle).  No NULLs exist in the grouping columns, so COALESCE to
-    'ALL' is unambiguous grouping-slot marking."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql("""
+    'ALL' is unambiguous grouping-slot marking.  The DataFrame binds as
+    a SQL parameter — no temp-view catalog state (sf_dir-safe)."""
+    return spark.sql(
+        """
         SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
                COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
                COUNT(*) AS n_orders,
                ROUND(SUM(o_totalprice), 2) AS total
-        FROM orders_v
+        FROM {orders}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """)
+        """,
+        orders=_t(spark, sf_dir, "orders"),
+    )
 
 
 GROUPING_SETS_SQL = """

@@ -112,19 +112,25 @@ def subq_exists_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalyst decorrelates both predicates to left-semi / left-anti hash
     joins on l_partkey — the EXISTS never executes per-row.  Both semi
-    and anti probe sides carry only the join key across the exchange."""
-    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql("""
+    and anti probe sides carry only the join key across the exchange.
+
+    DataFrames bind as SQL parameters ({part}/{lineitem}) rather than
+    temp views: no session-catalog mutation, so two sf_dirs queried in
+    one session can never silently read each other's data."""
+    return spark.sql(
+        """
         SELECT p_brand, COUNT(*) AS n_parts
-        FROM part_v p
-        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+        FROM {part} p
+        WHERE EXISTS (SELECT 1 FROM {lineitem} l
                       WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
-          AND NOT EXISTS (SELECT 1 FROM lineitem_v l
+          AND NOT EXISTS (SELECT 1 FROM {lineitem} l
                           WHERE l.l_partkey = p.p_partkey
                             AND l.l_returnflag = 'R' AND l.l_quantity >= 45)
         GROUP BY p_brand
-    """)
+        """,
+        part=_t(spark, sf_dir, "part"),
+        lineitem=_t(spark, sf_dir, "lineitem"),
+    )
 
 
 SUBQ_EXISTS_SQL = """
@@ -143,14 +149,16 @@ def subq_scalar_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery: orders above 1.5× the global mean
     price, counted per priority.  The inner AVG runs once and broadcasts
     as a literal into the filter — one extra tiny job, no join."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql("""
+    return spark.sql(
+        """
         SELECT o_orderpriority, COUNT(*) AS n_big,
                ROUND(SUM(o_totalprice), 2) AS total
-        FROM orders_v
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders_v)
+        FROM {orders}
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM {orders})
         GROUP BY o_orderpriority
-    """)
+        """,
+        orders=_t(spark, sf_dir, "orders"),
+    )
 
 
 SUBQ_SCALAR_SQL = """
@@ -187,7 +195,10 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.first("o_orderkey").over(run).alias("first_key"),
         F.last("o_orderkey").over(full).alias("last_key"),
-        F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
+        # coalesce: single-order customers get NULL from nth_value; a typed
+        # sentinel keeps the column integral through every comparator
+        # (pandas turns a nullable int column into float64).
+        F.coalesce(F.nth_value("o_orderkey", 2).over(full), F.lit(-1)).alias("second_key"),
         F.round(F.percent_rank().over(rank_w), 6).alias("pr"),
         F.round(F.cume_dist().over(rank_w), 6).alias("cd"),
     )
@@ -199,8 +210,8 @@ SELECT o_custkey, o_orderkey,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
        last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
-       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key,
+       COALESCE(nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1) AS second_key,
        ROUND(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6) AS pr,
        ROUND(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6) AS cd
 FROM orders

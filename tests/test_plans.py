@@ -116,9 +116,13 @@ def test_range_frame_window_is_partitioned(spark, sf_dir):
 def test_multiset_ops_use_generate_not_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "set_multiset_priorities")
     # Spark plans EXCEPT/INTERSECT ALL as count-aggregate + Generate
-    # (replicate_rows), linear in input — never a pairwise join
+    # (replicate_rows), linear in input — never a pairwise join of any
+    # strategy (hash, sort-merge, or cartesian)
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_top_tokens_is_take_ordered_after_explode(spark, sf_dir):

@@ -32,16 +32,24 @@ def norm_cell(v) -> str:
     import datetime
     import math
 
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    elif isinstance(v, np.integer):
+        v = int(v)
+    elif isinstance(v, np.floating):
+        v = float(v)
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "NULL"  # pandas renders SQL NULL as NaN in float cols
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))  # 3.0 vs 3 — engines disagree on int-ness
         return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
@@ -89,14 +97,23 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"ok    {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
             continue
         problems = []
+        # The driver compares through pandas, where DuckDB HUGEINT (e.g.
+        # SUM over integers) lands as float64 while Spark returns long —
+        # "3" vs "3.0" hash-mismatches even when values agree.  Catch
+        # int/float skew between engines before it costs a round.
+        sint = {f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in ("long", "integer", "short", "byte")}
+        for c in ocols:
+            if c in sint and str(odf[c].dtype).startswith("float"):
+                problems.append(f"dtype skew: {c} is integer in spark, {odf[c].dtype} in oracle (CAST the oracle to BIGINT)")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
