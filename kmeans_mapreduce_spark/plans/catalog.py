@@ -18,6 +18,7 @@ from kmeans_mapreduce_spark.plans import kmeans_queries as KQ
 from kmeans_mapreduce_spark.plans import pipeline_queries as PQ
 from kmeans_mapreduce_spark.plans import relational as R
 from kmeans_mapreduce_spark.plans import relational_ext as RX
+from kmeans_mapreduce_spark.plans import relational_ext2 as RX2
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,21 +27,33 @@ def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-cluster size + first mean coordinate of the converged
     model.  Iterative -> no SQL oracle; invariants in tests/."""
     from kmeans_mapreduce_spark.operators.kmeans import (
-        assign_clusters,
+        assign_clusters_broadcast,
         fit_kmeans_native,
         recenter,
     )
     from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
 
-    pts = points_from_embeddings(spark, sf_dir, dim=64)
-    init = KQ._fixed_centroids(spark, sf_dir, k=4)
-    res = fit_kmeans_native(pts, k=4, dim=64, initial_centroids=init)
-    final = assign_clusters(pts, res.centroids)
-    return (
-        recenter(final, 64)
-        .select("cluster_id", "cnt", F.round(F.col("mean")[0], 6).alias("m0"))
-        .orderBy("cluster_id")
-    )
+    # One cache spans init pick, every Lloyd iteration, and the final
+    # recenter report — no post-unpersist rescan.
+    pts = points_from_embeddings(spark, sf_dir, dim=64).cache()
+    try:
+        init = [
+            list(r["features"])
+            for r in pts.where(F.col("id") < 4).orderBy("id").collect()
+        ]
+        res = fit_kmeans_native(
+            pts, k=4, dim=64, initial_centroids=init, cache_input=False
+        )
+        final = assign_clusters_broadcast(pts, res.centroids)
+        out = (
+            recenter(final, 64)
+            .select("cluster_id", "cnt", F.round(F.col("mean")[0], 6).alias("m0"))
+            .orderBy("cluster_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        pts.unpersist()
+    return out
 
 
 def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +130,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_multiset_priorities": RX.set_multiset_priorities,
     "case_coalesce_buckets": RX.case_coalesce_buckets,
     "array_top_tokens": RX.array_top_tokens,
+    # Relational extensions, round 2 (Q4/Q10 shapes, higher-order
+    # arrays, lateral/generator TVFs, FILTER aggs, ROWS frames,
+    # interval arithmetic, histograms, null-safe joins)
+    "q4_late_shipments": RX2.q4_late_shipments,
+    "q10_returned_revenue": RX2.q10_returned_revenue,
+    "array_higher_order": RX2.array_higher_order,
+    "lateral_pos_tokens": RX2.lateral_pos_tokens,
+    "generator_order_years": RX2.generator_order_years,
+    "agg_filter_clause": RX2.agg_filter_clause,
+    "window_rows_moving_avg": RX2.window_rows_moving_avg,
+    "date_interval_arith": RX2.date_interval_arith,
+    "hist_order_values": RX2.hist_order_values,
+    "join_null_safe_status": RX2.join_null_safe_status,
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
     "text_bpe_tokens": PQ.text_bpe_tokens,
@@ -186,6 +212,16 @@ ORACLES: dict[str, str] = {
     "set_multiset_priorities": RX.SET_MULTISET_SQL,
     "case_coalesce_buckets": RX.CASE_COALESCE_SQL,
     "array_top_tokens": RX.ARRAY_TOP_TOKENS_SQL,
+    "q4_late_shipments": RX2.Q4_SQL,
+    "q10_returned_revenue": RX2.Q10_SQL,
+    "array_higher_order": RX2.ARRAY_HO_SQL,
+    "lateral_pos_tokens": RX2.LATERAL_POS_SQL,
+    "generator_order_years": RX2.GENERATOR_SQL,
+    "agg_filter_clause": RX2.FILTER_CLAUSE_SQL,
+    "window_rows_moving_avg": RX2.ROWS_MA_SQL,
+    "date_interval_arith": RX2.DATE_ARITH_SQL,
+    "hist_order_values": RX2.HIST_SQL,
+    "join_null_safe_status": RX2.NULL_SAFE_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_bpe_tokens": PQ.TEXT_BPE_SQL,
     "text_quality": PQ.TEXT_QUALITY_SQL,

@@ -1,0 +1,322 @@
+"""Relational coverage, round 2 — TPC-H Q4/Q10 shapes, higher-order
+array functions, lateral/generator table functions, FILTER-clause
+aggregates, ROWS-frame windows, date interval arithmetic, histogram
+bucketing, and null-safe equality joins.
+
+The reference engine has none of this surface (SURVEY §2.4-2.9); every
+query here is a Spark built-in composition with a hash-matched DuckDB
+oracle.  Scale posture in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- TPC-H Q4 shape: EXISTS -> semi join + agg ------------------------------
+
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 adapted to this schema (no commitdate): orders with at least
+    one line item shipped >60 days after the order date, counted per
+    priority.
+
+    The EXISTS decorrelates to a left-semi hash join on l_orderkey; the
+    probe side carries only (orderkey, shipdate-filter survivors), so
+    the shuffle is keys, not lineitem rows.  At 100 TB both sides
+    partition on orderkey and the semi join is shuffle-local."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # correlated condition via join: semi join keeps order rows only
+    late_keys = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey
+        )
+        .where(F.col("l_shipdate") > F.date_add("o_orderdate", 60))
+        .select("o_orderkey")
+    )
+    return (
+        o.join(late_keys, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --- TPC-H Q10 shape: 4-way join + agg + top-k ------------------------------
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: revenue lost to returned items per customer, top 20.
+
+    Join graph: lineitem(R-flagged) ⨝ orders ⨝ customer ⨝ nation.
+    nation broadcasts (25 rows); customer joins shuffle on custkey;
+    the fact-side filter (l_returnflag = 'R') pushes to the parquet
+    scan so only ~25% of lineitem leaves the scan.  Top-20 is
+    TakeOrderedAndProject — no global sort."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- higher-order array functions -------------------------------------------
+
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter / transform / exists / aggregate over token arrays —
+    Spark's lambda-expression family, all JVM-side codegen (no UDF).
+
+    Per document: token count, long-token count, distinct count, a
+    membership probe, and a fold (total characters).  Pure map stage:
+    at 100 TB this pipelines inside whole-stage codegen with zero
+    shuffles before the (optional) final agg."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.length(w) > 4)).alias("n_long"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.exists(toks, lambda w: w == F.lit("spark")).cast("int").alias("has_spark"),
+        F.aggregate(toks, F.lit(0), lambda s, w: s + F.length(w)).alias("total_chars"),
+    )
+
+
+ARRAY_HO_SQL = """
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, w -> len(w) > 4)) AS n_long,
+       len(list_distinct(toks)) AS n_distinct,
+       CAST(list_contains(toks, 'spark') AS INT) AS has_spark,
+       CAST(list_sum(list_transform(toks, w -> len(w))) AS INT) AS total_chars
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100)
+"""
+
+
+# --- lateral position explode (UDTF surface) --------------------------------
+
+def lateral_pos_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode = the lateral-view / table-function surface: one row
+    per (document, position, token).  Generate executes inside the scan
+    stage — the fan-out never shuffles; downstream aggs see partial
+    aggregation as usual."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 5)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+LATERAL_POS_SQL = """
+SELECT doc_id,
+       generate_subscripts(toks, 1) - 1 AS pos,
+       unnest(toks) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 5)
+"""
+
+
+# --- generator table function (sequence/explode) ----------------------------
+
+def generator_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generator: for each early order, emit one row per year from
+    its order year through 1998 (explode(sequence(...))) — the
+    scaffolding pattern for forward-filling time series.  Generate is
+    scan-local; no shuffle.
+
+    The start year is clamped to 1998: the synthetic dates run past
+    1998, and Spark's sequence(5, 3) counts DOWN while DuckDB's
+    generate_series(5, 3) is empty — clamping keeps both ascending."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(F.least(F.year("o_orderdate"), F.lit(1998)), F.lit(1998))
+        ).alias("yr"),
+    )
+
+
+GENERATOR_SQL = """
+SELECT o_orderkey, CAST(y AS INT) AS yr
+FROM orders, LATERAL (SELECT unnest(generate_series(LEAST(year(o_orderdate), 1998), 1998)) AS y) g
+WHERE o_orderkey < 100
+"""
+
+
+# --- FILTER-clause / conditional aggregation --------------------------------
+
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority aggregation with FILTER-ed sub-populations
+    (count_if / sum FILTER) — one pass, one shuffle, conditional
+    accumulators instead of self-joins per predicate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.round(
+            F.sum(F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice"))), 2
+        ).alias("big_total"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+        ).alias("avg_open_price"),
+    )
+
+
+FILTER_CLAUSE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2) AS big_total,
+       ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS avg_open_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- ROWS-frame moving average ----------------------------------------------
+
+def window_rows_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row (≈ weekly) moving average over the daily order-total
+    series: pre-aggregate to one row per day (shuffle #1), then a
+    single ordered window (shuffle #2, single partition over ~2.4k
+    days — fine at any SF because days, not orders, bound the rows).
+    For per-key series the window partitions and scales linearly."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_total")
+    )
+    w = Window.orderBy("o_orderdate").rowsBetween(-6, 0)
+    return daily.select(
+        "o_orderdate",
+        "day_total",
+        F.round(F.avg("day_total").over(w), 2).alias("ma7"),
+    )
+
+
+ROWS_MA_SQL = """
+SELECT o_orderdate, day_total,
+       ROUND(AVG(day_total) OVER (ORDER BY o_orderdate
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+FROM (SELECT o_orderdate, ROUND(SUM(o_totalprice), 2) AS day_total
+      FROM orders GROUP BY o_orderdate)
+"""
+
+
+# --- date interval arithmetic -----------------------------------------------
+
+def date_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic family: day offset, month addition with
+    end-of-month clamping (add_months), month-end (last_day) — all
+    engine-intrinsic date math, verified against DuckDB's INTERVAL
+    semantics.  Map-only."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 50)
+    od = F.col("o_orderdate").cast("date")
+    iso = "yyyy-MM-dd"
+    # Dates ship as ISO strings: engines (and their pandas bridges)
+    # disagree on date-vs-timestamp rendering, strings are unambiguous.
+    return o.select(
+        "o_orderkey",
+        F.date_format(od, iso).alias("odate"),
+        F.date_format(F.date_add(od, 7), iso).alias("ship_by"),
+        F.date_format(F.add_months(od, 3), iso).alias("quarter_out"),
+        F.date_format(F.last_day(od), iso).alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), od).alias("age_days"),
+    )
+
+
+DATE_ARITH_SQL = """
+SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
+       strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS ship_by,
+       strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS quarter_out,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS age_days
+FROM orders WHERE o_orderkey < 50
+"""
+
+
+# --- histogram bucketing ----------------------------------------------------
+
+def hist_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values (20 x 30k buckets):
+    bucket = floor(x / width), one groupBy — the one-pass distributed
+    histogram.  Bucket count is fixed, so the shuffle carries ≤21
+    partial rows per partition regardless of N."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 30000).cast("int"), F.lit(20))
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+HIST_SQL = """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 30000), 20) AS INT) AS bucket, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# --- null-safe equality join ------------------------------------------------
+
+def join_null_safe_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): join orders to
+    a status-dimension through a NULLable derived key (P -> NULL on
+    both sides) and count matches per bucket.  NULL keys pair up under
+    <=>, unlike '=' which drops them — the standard trap in SCD joins.
+    Planned as a regular hash join with null-aware key equality."""
+    o = _t(spark, sf_dir, "orders")
+    probe = o.select(F.nullif("o_orderstatus", F.lit("P")).alias("k"))
+    dim = (
+        o.select(F.nullif("o_orderstatus", F.lit("P")).alias("k"))
+        .distinct()
+        .withColumn("status_label", F.coalesce("k", F.lit("PENDING")))
+    )
+    return (
+        probe.join(dim, probe.k.eqNullSafe(dim.k))
+        .groupBy("status_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+NULL_SAFE_SQL = """
+WITH probe AS (SELECT NULLIF(o_orderstatus, 'P') AS k FROM orders),
+dim AS (SELECT k, COALESCE(k, 'PENDING') AS status_label
+        FROM (SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS k FROM orders))
+SELECT status_label, COUNT(*) AS n
+FROM probe JOIN dim ON probe.k IS NOT DISTINCT FROM dim.k
+GROUP BY status_label
+"""
