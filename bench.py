@@ -55,6 +55,13 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the
     # plan, not first-touch JIT/IO noise
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # warm the Python/Arrow workers too: one trivial mapInPandas across
+    # all cores forks the daemons and imports pandas/pyarrow once, so
+    # the pandas-path queries measure the operator, not 32 interpreter
+    # cold starts (~10s of noise otherwise, all landing on mm_decode)
+    spark.range(0, int(cpus := spark.sparkContext.defaultParallelism), 1, cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

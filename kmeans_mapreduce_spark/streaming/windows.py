@@ -102,6 +102,65 @@ def incremental_ingest(
     q.awaitTermination()
 
 
+def stream_dedup_events(
+    spark: SparkSession, events_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on event_id.
+
+    The streaming face of the batch dedup_exact operator: state keeps
+    only ids seen within the watermark horizon, so memory is bounded by
+    (arrival rate x watermark) — the property that lets exact dedup run
+    against an unbounded firehose.  Late duplicates beyond the horizon
+    are the documented trade-off (batch reconciliation catches them)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = _as_timestamp(spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir))
+    return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_stream_purchase_attribution(
+    spark: SparkSession,
+    events_dir: str,
+    attribution_window: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each 'purchase' to the same
+    user's preceding 'click' within the attribution window.
+
+    Both sides are watermarked and the join condition carries an
+    explicit event-time range, so Spark can bound join state: a click
+    is dropped from state once no purchase within the window can still
+    arrive.  Without the time bound this join would hold both streams
+    forever — the canonical unbounded-state mistake this module exists
+    to avoid."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        src = _as_timestamp(
+            spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+        )
+        return (
+            src.where(F.col("event_type") == event_type)
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purch")
+    return purchases.join(
+        clicks,
+        F.expr(
+            "purch_user = click_user AND "
+            f"click_ts <= purch_ts AND click_ts >= purch_ts - INTERVAL {attribution_window}"
+        ),
+        "inner",
+    ).select("purch_user", "purch_id", "click_id", "purch_ts", "click_ts")
+
+
 USER_STATE_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

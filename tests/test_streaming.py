@@ -66,6 +66,70 @@ def test_incremental_ingest_accumulates(spark, sf_dir, tmp_path):
     assert sum(seen) == 1000
 
 
+def test_stream_dedup_drops_replayed_file(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: replaying the same events file
+    (two hardlinks = two source files with identical rows) must yield
+    each event_id exactly once."""
+    import os
+
+    from kmeans_mapreduce_spark.streaming.windows import stream_dedup_events
+
+    d = tmp_path / "events_dup"
+    d.mkdir()
+    os.link(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    os.link(f"{sf_dir}/events.parquet", d / "part-001.parquet")
+    dedup = stream_dedup_events(spark, str(d))
+    out, ckpt = str(tmp_path / "dd_out"), str(tmp_path / "dd_ckpt")
+    run_available_now(dedup, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert got.select("event_id").distinct().count() == 1000
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join == the same join run as batch."""
+    from kmeans_mapreduce_spark.streaming.windows import (
+        stream_stream_purchase_attribution,
+    )
+
+    joined = stream_stream_purchase_attribution(
+        spark, _stage_events_dir(sf_dir, tmp_path)
+    )
+    out, ckpt = str(tmp_path / "ss_out"), str(tmp_path / "ss_ckpt")
+    run_available_now(joined, out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("purch_user"),
+        F.col("event_id").alias("purch_id"),
+        F.col("ts").alias("purch_ts"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            purchases.join(
+                clicks,
+                F.expr(
+                    "purch_user = click_user AND click_ts <= purch_ts "
+                    "AND click_ts >= purch_ts - INTERVAL 1 HOUR"
+                ),
+            )
+            .select("purch_user", "purch_id", "click_id", "purch_ts", "click_ts")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stateful_running_totals(spark, sf_dir, tmp_path):
     """applyInPandasWithState totals must equal the batch groupBy."""
     from kmeans_mapreduce_spark.streaming.windows import stream_user_running_totals
