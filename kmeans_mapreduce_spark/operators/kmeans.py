@@ -175,6 +175,9 @@ def farthest_point_init(
     Unlike the reference's unseeded rand.Intn (master.go:160) the first
     pick is seeded -> reproducible runs.
     """
+    from pyspark.sql import types as T
+
+    spark = points.sparkSession
     first = (
         points.select(id_col, features_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
@@ -182,20 +185,25 @@ def farthest_point_init(
         .collect()[0]
     )
     centroids: Centroids = [list(first[features_col])]
+    # Centroids ride a broadcast 1-row relation (same economics as the
+    # Lloyd loop: round-invariant plan + codegen, k x d doubles as
+    # broadcast data) rather than plan literals.
+    cent_schema = T.StructType(
+        [T.StructField("_C", T.ArrayType(T.ArrayType(T.DoubleType())))]
+    )
+    min_d2 = F.expr(
+        "array_min(transform(_C, c -> "
+        f"aggregate(zip_with({features_col}, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v)))"
+    )
     for _ in range(k - 1):
-        c_lit = _centroids_sql_literal(centroids)
-        min_d2 = F.expr(
-            f"array_min(transform({c_lit}, c -> "
-            f"aggregate(zip_with({features_col}, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v)))"
-        )
+        cent_df = spark.createDataFrame([(centroids,)], cent_schema)
         # Deterministic tie-break on id so reruns are bit-identical.
         far = (
-            points.select(
-                F.col(id_col).alias("id"), min_d2.alias("min_d2")
-            )
+            points.select(F.col(id_col).alias("id"), features_col)
+            .crossJoin(F.broadcast(cent_df))
+            .select("id", features_col, min_d2.alias("min_d2"))
             .orderBy(F.desc("min_d2"), F.asc("id"))
             .limit(1)
-            .join(points.select(F.col(id_col).alias("id"), features_col), "id")
             .collect()[0]
         )
         centroids.append(list(far[features_col]))

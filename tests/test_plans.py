@@ -129,3 +129,35 @@ def test_top_tokens_is_take_ordered_after_explode(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "array_top_tokens")
     assert "Generate" in plan  # explode fans out inside the scan stage
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q10_star_join_broadcasts_and_takes_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_revenue")
+    # returnflag filter must reach the fact scan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # nation (25 rows) must broadcast; top-20 must not global-sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q4_late_shipments")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_higher_order_arrays_stay_codegen_map_stage(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "array_higher_order")
+    # pure map over the scan: lambda functions must not force a shuffle
+    # or leave whole-stage codegen for a Python evaluator
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_histogram_single_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "hist_order_values")
+    # one partial/final agg pair over the scan: exactly one exchange
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("(") and "Exchange" in ln
+    )
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}"
