@@ -1,0 +1,92 @@
+"""Incremental K-Means: streaming fold must agree with the batch loop.
+
+Two pinned properties:
+  * decay=1, one batch == exactly one batch-Lloyd iteration (the
+    streaming operator degrades to the reference's accumulate-then-fit);
+  * multi-batch drain with decay=1 keeps total weight == row count and
+    produces a model whose WSSSE is no worse than the init's.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kmeans_mapreduce_spark.operators.kmeans import (
+    assign_clusters_broadcast,
+    fit_kmeans_native,
+)
+from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
+from kmeans_mapreduce_spark.streaming.kmeans_stream import (
+    StreamingKMeansModel,
+    run_streaming_kmeans,
+)
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _to_points(df):
+    return df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+
+
+def _init(points, k=4):
+    return [
+        list(r["features"])
+        for r in points.where(F.col("id") < k).orderBy("id").collect()
+    ]
+
+
+def _wssse(points, centroids):
+    a = assign_clusters_broadcast(points, centroids)
+    dim = len(centroids[0])
+    cent = [f"array({','.join(repr(float(x)) + 'D' for x in c)})" for c in centroids]
+    arr = f"array({','.join(cent)})"
+    d2 = (
+        f"aggregate(zip_with(features, element_at({arr}, cluster_id + 1), "
+        "(x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v)"
+    )
+    return a.select(F.expr(d2).alias("d2")).agg(F.sum("d2")).collect()[0][0]
+
+
+def test_single_batch_equals_one_lloyd_iteration(spark, sf_dir, points):
+    init = _init(points)
+    model = StreamingKMeansModel([list(c) for c in init], decay=1.0)
+    model.update(points)
+    batch = fit_kmeans_native(
+        points, k=4, dim=64, initial_centroids=init, max_iter=1, cache_input=False
+    )
+    for got, want in zip(model.centroids, batch.centroids):
+        assert got == pytest.approx(want, abs=1e-9)
+    assert sum(model.weights) == points.count()
+
+
+def test_streamed_drain_matches_weight_and_improves(spark, sf_dir, tmp_path):
+    src = tmp_path / "emb_stream"
+    src.mkdir()
+    os.link(f"{sf_dir}/embeddings.parquet", src / "part-000.parquet")
+    pts = points_from_embeddings(spark, sf_dir, dim=64)
+    init = _init(pts)
+    model = run_streaming_kmeans(
+        spark,
+        str(src),
+        EMB_SCHEMA,
+        _to_points,
+        init,
+        decay=1.0,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    n = pts.count()
+    assert model.batches_seen >= 1
+    assert sum(model.weights) == pytest.approx(n)
+    # a Lloyd step never increases WSSSE relative to the init model
+    assert _wssse(pts, model.centroids) <= _wssse(pts, init) + 1e-6
