@@ -143,6 +143,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_interval_arith": RX2.date_interval_arith,
     "hist_order_values": RX2.hist_order_values,
     "join_null_safe_status": RX2.join_null_safe_status,
+    "sort_global_daily": RX2.sort_global_daily,
+    "agg_collect_sets": RX2.agg_collect_sets,
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
     "text_bpe_tokens": PQ.text_bpe_tokens,
@@ -222,6 +224,8 @@ ORACLES: dict[str, str] = {
     "date_interval_arith": RX2.DATE_ARITH_SQL,
     "hist_order_values": RX2.HIST_SQL,
     "join_null_safe_status": RX2.NULL_SAFE_SQL,
+    "sort_global_daily": RX2.SORT_GLOBAL_SQL,
+    "agg_collect_sets": RX2.COLLECT_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_bpe_tokens": PQ.TEXT_BPE_SQL,
     "text_quality": PQ.TEXT_QUALITY_SQL,

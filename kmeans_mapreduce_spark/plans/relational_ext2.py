@@ -290,6 +290,71 @@ FROM orders GROUP BY 1
 """
 
 
+# --- global sort (range partitioning) ---------------------------------------
+
+def sort_global_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full global ORDER BY (no limit): daily totals sorted by value.
+
+    The one sort the reference never had (§2.7).  Spark samples the sort
+    key to build range boundaries, Exchange(rangepartitioning) sends
+    each range to one task, tasks sort locally — total order across
+    output files without any single-node sort.  Output is bounded by
+    distinct days, so the query is safe at any SF; the hash comparator
+    is order-insensitive, so the plan property (rangepartitioning, no
+    global single-partition sort) is pinned in tests/test_plans.py."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("day_total"),
+        F.count("*").alias("n_orders"),
+    )
+    return daily.orderBy(F.desc("day_total"), F.asc("day")).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "day_total", "n_orders"
+    )
+
+
+SORT_GLOBAL_SQL = """
+SELECT strftime(day, '%Y-%m-%d') AS day, day_total, n_orders FROM (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         ROUND(SUM(o_totalprice), 2) AS day_total,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1)
+ORDER BY day_total DESC, day ASC
+"""
+
+
+# --- collect_list / collect_set aggregation ---------------------------------
+
+def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregation: per region, the sorted set of nation
+    names and the sorted list of nation keys.
+
+    collect_set/collect_list are holistic (state = the whole group) —
+    exactly the aggregates partial aggregation can't shrink, so they
+    belong on BOUNDED groups (25 nations here).  sort_array pins a
+    deterministic output order for the oracle."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.sort_array(F.collect_list("n_nationkey")).alias("nation_keys"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+COLLECT_SQL = """
+SELECT r_name,
+       list_sort(list(DISTINCT n_name)) AS nations,
+       list_sort(list(n_nationkey)) AS nation_keys,
+       COUNT(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 # --- null-safe equality join ------------------------------------------------
 
 def join_null_safe_status(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,6 +154,14 @@ def test_higher_order_arrays_stay_codegen_map_stage(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_global_daily")
+    # distributed total order: range exchange + local sorts, never a
+    # single-partition gather-then-sort
+    assert "rangepartitioning" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_histogram_single_aggregation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "hist_order_values")
     # one partial/final agg pair over the scan: exactly one exchange
