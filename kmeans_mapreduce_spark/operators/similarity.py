@@ -159,6 +159,89 @@ def lsh_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> None:
+    """Materialize the IVF inverted file: corpus partitioned BY CELL on
+    disk (hive layout `cell=<i>/`).
+
+    This is the 100 TB shape of ivf_topk's cell assignment: the one-time
+    nearest-centroid pass is written out partitioned, so every later
+    probe with a cell predicate PRUNES AT THE SCAN — a query touching
+    n_probe of k cells reads n_probe/k of the corpus bytes, no filter
+    execution involved (pinned in tests/test_asof_ivf.py)."""
+    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    dists = _dist2_to_centroids("cv", centroids)
+    c = c.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+    c.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Probe a written IVF index: same result as ivf_topk, but the cell
+    restriction is a PARTITION filter on the index layout, so only the
+    probed cells' files are opened."""
+    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    qd = _dist2_to_centroids("qv", centroids)
+    cells = F.transform(
+        F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(qd[i].alias("d"), F.lit(i).alias("i"))
+                        for i in range(len(centroids))
+                    ]
+                )
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["i"],
+    )
+    q = q.withColumn("cell", F.explode(cells))
+    probed_cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(index_path).where(F.col("cell").isin(probed_cells))
+    pairs = (
+        F.broadcast(q)
+        .join(corpus, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

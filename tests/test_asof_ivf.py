@@ -86,6 +86,43 @@ def embs_mod(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
 
 
+def test_ivf_index_prunes_and_matches(spark, embs_mod, tmp_path):
+    """The written IVF index must (a) give the same answer as the
+    in-memory ivf_topk and (b) prune unprobed cells at the scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
+
+    pts = embs_mod.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    res = fit_kmeans_native(pts, k=8, dim=64, initial_centroids=None, seed=7, max_iter=5)
+    idx = str(tmp_path / "ivf_index")
+    SIM.write_ivf_index(
+        embs_mod, res.centroids, idx, id_col="vec_id", vec_col="embedding"
+    )
+    queries = embs_mod.where(F.col("vec_id") < 20)
+    from_index = SIM.ivf_topk_from_index(
+        spark, idx, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    in_memory = SIM.ivf_topk(
+        embs_mod, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        from_index.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_pandas_udf_cosine_matches_expr(spark, embs_mod):
     """Arrow-batched pandas cosine must equal the codegen expr path to
     1e-9 (numpy pairwise summation may differ in the last ulp)."""
