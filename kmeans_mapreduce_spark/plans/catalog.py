@@ -145,6 +145,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_null_safe_status": RX2.join_null_safe_status,
     "sort_global_daily": RX2.sort_global_daily,
     "agg_collect_sets": RX2.agg_collect_sets,
+    "q14_promo_revenue": RX2.q14_promo_revenue,
+    "q19_branded_revenue": RX2.q19_branded_revenue,
+    "string_customer_profile": RX2.string_customer_profile,
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
     "text_bpe_tokens": PQ.text_bpe_tokens,
@@ -226,6 +229,9 @@ ORACLES: dict[str, str] = {
     "join_null_safe_status": RX2.NULL_SAFE_SQL,
     "sort_global_daily": RX2.SORT_GLOBAL_SQL,
     "agg_collect_sets": RX2.COLLECT_SQL,
+    "q14_promo_revenue": RX2.Q14_SQL,
+    "q19_branded_revenue": RX2.Q19_SQL,
+    "string_customer_profile": RX2.STRING2_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_bpe_tokens": PQ.TEXT_BPE_SQL,
     "text_quality": PQ.TEXT_QUALITY_SQL,

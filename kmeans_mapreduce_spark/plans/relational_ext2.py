@@ -290,6 +290,106 @@ FROM orders GROUP BY 1
 """
 
 
+# --- TPC-H Q14 shape: conditional share over a join -------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share: % of revenue from PROMO-type parts over one
+    month.  lineitem ⨝ part on partkey (part broadcasts at bench SF;
+    shuffles on partkey beyond the threshold), conditional numerator
+    via CASE inside the same single aggregation — no second scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+"""
+
+
+# --- TPC-H Q19 shape: disjunctive join predicates ---------------------------
+
+def q19_branded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate join (Q19's shape): revenue from three
+    disjoint (brand, quantity-band) configurations.
+
+    The equi-join key (partkey) stays conjunctive, so Catalyst still
+    plans a hash join; the disjunction lands in the post-join filter
+    with each side's single-table conjuncts (brand IN, quantity range)
+    pushed below the join — predicate pushdown through OR via CNF
+    conversion."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cfg = (
+        ((F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cfg).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- string function family, part 2 -----------------------------------------
+
+def string_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string sweep: regexp_replace, translate, lpad, split_part
+    (element_at of split), initcap — per market segment.  All JVM
+    built-ins, one codegen stage, one low-cardinality agg shuffle."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    num = F.element_at(F.split("c_name", "#"), -1)
+    return c.select(
+        F.col("c_mktsegment"),
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+        F.regexp_replace("c_name", "[0-9]", "").alias("name_alpha"),
+        F.translate("c_name", "#0", "_O").alias("name_translated"),
+        F.lpad(num, 12, "0").alias("num_padded"),
+    ).orderBy("c_mktsegment", "num_padded").limit(25)
+
+
+STRING2_SQL = """
+SELECT c_mktsegment,
+       -- initcap: first letter upper, rest lower (single-word segments)
+       UPPER(SUBSTR(LOWER(c_mktsegment), 1, 1)) || SUBSTR(LOWER(c_mktsegment), 2) AS seg_title,
+       regexp_replace(c_name, '[0-9]', '', 'g') AS name_alpha,
+       translate(c_name, '#0', '_O') AS name_translated,
+       lpad(split_part(c_name, '#', -1), 12, '0') AS num_padded
+FROM customer WHERE c_custkey < 500
+ORDER BY c_mktsegment, num_padded
+LIMIT 25
+"""
+
+
 # --- global sort (range partitioning) ---------------------------------------
 
 def sort_global_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
