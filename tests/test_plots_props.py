@@ -123,6 +123,61 @@ def test_euclidean_matches_python(spark_global, vecs):
         assert r["d"] == pytest.approx(want, rel=1e-12, abs=1e-12)
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_lang_id_domain_and_fingerprint_stability(spark_global, samples):
+    """lang_id stays in its closed codomain for arbitrary unicode, and
+    fingerprint is a pure function (same text -> same 128-bit hex)."""
+    from kmeans_mapreduce_spark.functions.text import fingerprint, lang_id
+
+    df = spark_global.createDataFrame([(s,) for s in samples], "text string")
+    out = df.select(
+        "text", lang_id("text").alias("lg"), fingerprint("text").alias("fp")
+    ).collect()
+    allowed = {"en", "es", "de", "fr", "und"}
+    by_text = {}
+    for r in out:
+        assert r["lg"] in allowed, repr(r["text"])
+        assert re.fullmatch(r"[0-9a-f]{32}", r["fp"]), r["fp"]
+        if r["text"] in by_text:
+            assert by_text[r["text"]] == r["fp"]
+        by_text[r["text"]] = r["fp"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.floats(-1e3, 1e3, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_salted_agg_equals_plain_groupby(spark_global, rows):
+    """salted_agg is bit-equal to the plain groupBy for any input —
+    the invariant the skew mitigation must never trade away."""
+    from kmeans_mapreduce_spark.operators.skew import salted_agg
+
+    df = spark_global.createDataFrame(rows, "k int, v double")
+    got = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in salted_agg(
+            df, "k", {"n": ("count", None), "s": ("sum", "v"), "mx": ("max", "v")},
+            salt_buckets=4,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12, abs=1e-9)
+        assert got[k][2] == want[k][2]
+
+
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
