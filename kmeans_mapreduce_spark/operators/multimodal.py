@@ -103,6 +103,53 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb_width", T.IntegerType()),
+        T.StructField("thumb_height", T.IntegerType()),
+        T.StructField("thumb_feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 32, use_real_codec: bool = False) -> DataFrame:
+    """Resize/thumbnail stage: decode -> aspect-preserving downscale ->
+    re-extracted (coarser) feature, as a second mapInPandas stage.
+
+    A real pipeline chains decode -> resize -> feature-extract inside
+    ONE task (no shuffle between stages: mapInPandas composes in the
+    same whole-stage pipeline); the fake decoder mirrors that by
+    deriving the thumbnail dims from the decoded dims and pooling the
+    8-dim feature down to 4.  Swap _decode_fake for the PIL path on a
+    real cluster (same schema contract)."""
+    import pandas as pd
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            if use_real_codec:
+                _decode_real(b"", "")  # raises NotImplementedError by design
+            out = {k: [] for k in RESIZED_SCHEMA.fieldNames()}
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                n, w, h, feature = _decode_fake(bytes(payload))
+                scale = max_side / max(w, h)
+                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+                pooled = [
+                    (feature[2 * i] + feature[2 * i + 1]) / 2.0 for i in range(4)
+                ]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["thumb_width"].append(tw)
+                out["thumb_height"].append(th)
+                out["thumb_feature"].append(pooled)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """'Frame sampling' plumbing demo: explode each payload into
     one row per sampled offset (as a video decoder would per frame).

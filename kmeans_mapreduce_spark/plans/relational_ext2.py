@@ -455,6 +455,47 @@ GROUP BY r_name
 """
 
 
+# --- map type: build, look up, measure --------------------------------------
+
+def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per user, build event_type -> count as a MAP
+    (map_from_entries over collected structs), then read it back via
+    map lookups and size().
+
+    The map is created and consumed inside the query; the output is
+    plain integers so the oracle is the equivalent relational
+    conditional-count form.  Maps are the right shape for sparse
+    per-entity feature bags at scale — bounded entries per key (5 event
+    types), built in one grouped pass."""
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 30)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.col("m")["click"], F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("m")["purchase"], F.lit(0)).alias("n_purchases"),
+        F.coalesce(F.col("m")["error"], F.lit(0)).alias("n_errors"),
+    )
+
+
+MAP_COUNTS_SQL = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors
+FROM events WHERE user_id < 30
+GROUP BY user_id
+"""
+
+
 # --- null-safe equality join ------------------------------------------------
 
 def join_null_safe_status(spark: SparkSession, sf_dir: str) -> DataFrame:
