@@ -1,4 +1,4 @@
-"""Skew mitigation: salted two-phase aggregation.
+"""Skew mitigation: salted two-phase aggregation + salted replicated join.
 
 At 100 TB a groupBy on a power-law key (user_id, domain, token) puts one
 key's entire volume through one reducer.  AQE's skew-join splitting
@@ -52,3 +52,35 @@ def salted_agg(
             for out, (fn, src) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defusing equi-join: salt the (skewed) fact side, replicate
+    the dim side once per salt bucket, join on (key, salt).
+
+    Each hot key's rows spread over `salt_buckets` reducers instead of
+    one; the price is a `salt_buckets`x blow-up of the OTHER side's
+    shuffle, so use this when `dim` is small-ish but above the
+    broadcast threshold (below it, broadcast makes skew moot; at the
+    other extreme AQE's skew-join splitting handles two big sides).
+    Result is row-identical to the plain join — the invariant the
+    tests pin.
+
+    Supported `how`: inner / left (semantics preserved because every
+    fact row carries exactly one salt and every dim row exists in
+    every bucket).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")
