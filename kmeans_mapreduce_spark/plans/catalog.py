@@ -149,6 +149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_branded_revenue": RX2.q19_branded_revenue,
     "string_customer_profile": RX2.string_customer_profile,
     "map_event_type_counts": RX2.map_event_type_counts,
+    "dedup_latest_event": RX2.dedup_latest_event,
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
     "text_bpe_tokens": PQ.text_bpe_tokens,
@@ -234,6 +235,7 @@ ORACLES: dict[str, str] = {
     "q19_branded_revenue": RX2.Q19_SQL,
     "string_customer_profile": RX2.STRING2_SQL,
     "map_event_type_counts": RX2.MAP_COUNTS_SQL,
+    "dedup_latest_event": RX2.DEDUP_LATEST_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_bpe_tokens": PQ.TEXT_BPE_SQL,
     "text_quality": PQ.TEXT_QUALITY_SQL,

@@ -455,6 +455,46 @@ GROUP BY r_name
 """
 
 
+# --- window dedup: keep the latest row per key ------------------------------
+
+def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup: one row per user — their most recent event
+    (row_number over ts DESC with event_id tiebreak).
+
+    The standard CDC/SCD compaction shape: one hash shuffle on the key,
+    per-partition sort, rank filter.  Unlike groupBy(max(ts)) + join,
+    the window form carries the whole row through in one pass."""
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+DEDUP_LATEST_SQL = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       ROUND(value, 4) AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
 # --- map type: build, look up, measure --------------------------------------
 
 def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,3 +90,28 @@ def test_streamed_drain_matches_weight_and_improves(spark, sf_dir, tmp_path):
     assert sum(model.weights) == pytest.approx(n)
     # a Lloyd step never increases WSSSE relative to the init model
     assert _wssse(pts, model.centroids) <= _wssse(pts, init) + 1e-6
+
+
+def test_multi_batch_drain_conserves_weight(spark, sf_dir, tmp_path):
+    """Two source files + maxFilesPerTrigger=1 -> two micro-batches;
+    decay=1 total weight must still equal the total row count (the
+    replayed file doubles the corpus — this checks batch folding, not
+    dedup)."""
+    src = tmp_path / "emb_stream2"
+    src.mkdir()
+    os.link(f"{sf_dir}/embeddings.parquet", src / "part-000.parquet")
+    os.link(f"{sf_dir}/embeddings.parquet", src / "part-001.parquet")
+    pts = points_from_embeddings(spark, sf_dir, dim=64)
+    init = _init(pts)
+    model = run_streaming_kmeans(
+        spark,
+        str(src),
+        EMB_SCHEMA,
+        _to_points,
+        init,
+        decay=1.0,
+        checkpoint=str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    assert model.batches_seen == 2
+    assert sum(model.weights) == pytest.approx(2 * pts.count())
