@@ -348,3 +348,57 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '{_BPE}')) AS n_bpe_tokens
 FROM documents
 """
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 highest-scoring terms per document (doc_id < 50).
+
+    The canonical retrieval/feature-selection stack in three grouped
+    passes: term frequency per (doc, term), document frequency per term
+    (distinct-doc count over the WHOLE corpus — the filter applies only
+    to the output docs, not the statistics), smoothed idf
+    ln((N+1)/(df+1)), then a per-doc top-3 window with (score desc,
+    term asc) tiebreak.
+
+    Scale shape: tf and df are partial-aggregated token shuffles; the
+    df side joins back by term (hash join, term-key); N is one scalar.
+    At 100 TB the df frame is the hot-key risk (stopword terms) —
+    count-distinct partial aggregation bounds it to one row per term
+    per upstream partition."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(TXT.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    from pyspark.sql import Window
+
+    score = F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .select("doc_id", "term", "tf", "df", F.round(score, 6).alias("score"))
+        .where(F.col("doc_id") < 50)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "df", "score")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_ALL}) AS term FROM documents WHERE NOT ({_BLANK})
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 50)
+SELECT doc_id, rnk, term, tf, df, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+WHERE rnk <= 3
+"""
