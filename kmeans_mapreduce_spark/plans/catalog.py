@@ -160,6 +160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": PQ.dedup_exact,
     "dedup_ngram_jaccard": PQ.dedup_ngram_jaccard,
     "dedup_minhash": PQ.dedup_minhash,
+    "dedup_components": PQ.dedup_components,
     "dedup_simhash": PQ.dedup_simhash,
     "dedup_embedding_cosine": PQ.dedup_embedding_cosine,
     "ann_brute_topk": PQ.ann_brute_topk,
@@ -246,6 +247,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": PQ.DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": PQ.DEDUP_JACCARD_SQL,
     "dedup_minhash": PQ.DEDUP_JACCARD_SQL,  # LSH must equal ground truth here
+    "dedup_components": PQ.DEDUP_COMPONENTS_SQL,
     "dedup_embedding_cosine": PQ.DEDUP_COSINE_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,
     "ann_ivf_topk": PQ.ANN_IVF_SQL,

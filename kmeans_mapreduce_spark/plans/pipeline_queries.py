@@ -402,3 +402,35 @@ SELECT doc_id, rnk, term, tf, df, score FROM (
   FROM scored)
 WHERE rnk <= 3
 """
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    MinHash pair graph (J >= 0.8), labels = min doc_id per component.
+
+    This is the stage that turns pairs into droppable groups; the
+    oracle recomputes the same components with a recursive-CTE
+    transitive closure over the exact all-pairs graph (safe at oracle
+    scale; the Spark side is the iterative O(diameter)-round
+    label-propagation that works at corpus scale)."""
+    from kmeans_mapreduce_spark.operators.components import connected_components
+
+    pairs = DD.minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text", threshold=0.8)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+_COMPONENTS_RECURSIVE = _JACCARD_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1) + """
+, edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.8
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs WHERE jaccard >= 0.8),
+reach AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+FROM reach GROUP BY src
+"""
+DEDUP_COMPONENTS_SQL = _COMPONENTS_RECURSIVE
