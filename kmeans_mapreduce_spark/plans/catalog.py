@@ -153,6 +153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
     "text_tfidf_topterms": PQ.text_tfidf_topterms,
+    "text_bm25_rank": PQ.text_bm25_rank,
     "text_bpe_tokens": PQ.text_bpe_tokens,
     "text_quality": PQ.text_quality,
     "text_lang_id": PQ.text_lang_id,
@@ -240,6 +241,7 @@ ORACLES: dict[str, str] = {
     "dedup_latest_event": RX2.DEDUP_LATEST_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_tfidf_topterms": PQ.TFIDF_SQL,
+    "text_bm25_rank": PQ.BM25_SQL,
     "text_bpe_tokens": PQ.TEXT_BPE_SQL,
     "text_quality": PQ.TEXT_QUALITY_SQL,
     "text_lang_id": PQ.TEXT_LANG_SQL,

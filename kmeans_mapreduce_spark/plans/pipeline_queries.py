@@ -434,3 +434,75 @@ SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
 FROM reach GROUP BY src
 """
 DEDUP_COMPONENTS_SQL = _COMPONENTS_RECURSIVE
+
+
+BM25_TERMS = ("spark", "table", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-15 documents for a fixed 3-term query.
+
+    Okapi BM25 with k1=1.2, b=0.75: per query term,
+        idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+        score += idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen))
+    summed over matching terms, top-15 by (score desc, doc_id asc).
+
+    Same distributed shape as TF-IDF (tf pass, df pass, one scalar
+    pair N/avglen) plus a 3-row broadcast of query terms; the ranking
+    is TakeOrderedAndProject.  The arithmetic is spelled identically in
+    the oracle so doubles match to the 6dp rounding."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(TXT.tokens("text")).alias("term"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    qterms = [F.lit(t) for t in BM25_TERMS]
+    tf = (
+        toks.where(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    return (
+        tf.join(df, "term")
+        .join(doclen, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in BM25_TERMS)
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_ALL}) AS term FROM documents WHERE NOT ({_BLANK})
+),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen),
+q(term) AS (VALUES {_BM25_TERMS_SQL}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+SELECT doc_id,
+       ROUND(SUM(LN(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * doclen.dl / stats.avgdl))), 6) AS bm25
+FROM tf
+JOIN df USING (term)
+JOIN doclen USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 15
+"""
