@@ -92,6 +92,28 @@ def test_streamed_drain_matches_weight_and_improves(spark, sf_dir, tmp_path):
     assert _wssse(pts, model.centroids) <= _wssse(pts, init) + 1e-6
 
 
+def test_decay_zero_forgets_history(spark, sf_dir, points):
+    """decay=0: the model must equal a fresh one-iteration fit on the
+    LAST batch alone (total forgetting), regardless of prior batches."""
+    init = _init(points)
+    m = StreamingKMeansModel([list(c) for c in init], decay=0.0)
+    # feed a skewed first batch, then the full corpus
+    m.update(points.where(F.col("id") % 3 == 0))
+    first_batch_centroids = [list(c) for c in m.centroids]
+    m.update(points)
+    want = fit_kmeans_native(
+        points,
+        k=4,
+        dim=64,
+        initial_centroids=first_batch_centroids,
+        max_iter=1,
+        cache_input=False,
+    )
+    for got, exp in zip(m.centroids, want.centroids):
+        assert got == pytest.approx(exp, abs=1e-9)
+    assert sum(m.weights) == points.count()
+
+
 def test_multi_batch_drain_conserves_weight(spark, sf_dir, tmp_path):
     """Two source files + maxFilesPerTrigger=1 -> two micro-batches;
     decay=1 total weight must still equal the total row count (the
