@@ -83,6 +83,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "km_avg_pairwise": KQ.km_avg_pairwise,
     "km_avg_point_dist": KQ.km_avg_point_dist,
     "km_reshape_2d": KQ.km_reshape_2d,
+    "km_two_iterations": KQ.km_two_iterations,
     "kmeans_fit_native": kmeans_fit_native,
     "kmeans_fit_mllib": kmeans_fit_mllib,
     "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
@@ -182,6 +183,7 @@ ORACLES: dict[str, str] = {
     "km_avg_pairwise": KQ.KM_AVG_PAIRWISE_SQL,
     "km_avg_point_dist": KQ.KM_AVG_POINT_SQL,
     "km_reshape_2d": KQ.KM_RESHAPE_SQL,
+    "km_two_iterations": KQ.KM_TWO_ITER_SQL,
     "q1_pricing_summary": R.Q1_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_local_supplier": R.Q5_SQL,

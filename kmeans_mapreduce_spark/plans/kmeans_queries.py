@@ -336,3 +336,61 @@ def kmeans_fit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pts.unpersist()
     return out
+
+
+def km_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained Lloyd steps with an exact SQL oracle.
+
+    The full loop (kmeans_fit_native) is rows-only-checked because its
+    iteration count is data-dependent; this query pins the iterative
+    semantics themselves: assign -> recenter -> re-assign (against the
+    computed means) -> recenter, all from the fixed first-K centroids.
+    If the loop's per-iteration algebra drifted (tie-breaks, mean
+    arithmetic, empty-cluster handling), this hash would catch it.
+    Output: per-cluster count and first mean coordinate after step 2."""
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        assign_clusters,
+        recenter,
+    )
+
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM)
+    c0 = _fixed_centroids(spark, sf_dir)
+    rec1 = recenter(assign_clusters(pts, c0), DIM).collect()
+    c1 = [list(c) for c in c0]  # empty cluster keeps old (master.go:581)
+    for r in rec1:
+        # Quantize the intermediate centroids to 6dp: partial-agg sum
+        # order differs across engines in the last ulp, and an
+        # unquantized mean could flip a near-tie assignment in step 2.
+        # km_recenter proves the rounded means hash-match, so rounded
+        # c1 is bit-identical on both sides.
+        c1[r["cluster_id"]] = [round(x, 6) for x in r["mean"]]
+    out = recenter(assign_clusters(pts, c1), DIM)
+    return out.select(
+        "cluster_id", "cnt", F.round(F.col("mean")[0], 6).alias("m0")
+    )
+
+
+# Oracle: iteration 1's means become literal-free CTE columns; the
+# iteration-2 distance expands over m0..m63 per cluster row.
+_D2_TO_MEANS = " + ".join(f"(e.v[{i + 1}]-m.m{i})*(e.v[{i + 1}]-m.m{i})" for i in range(DIM))
+KM_TWO_ITER_SQL = (
+    _ASSIGN_CTE
+    + f""",
+means1 AS (
+  SELECT cluster_id, {_MEAN_COLS}
+  FROM assign JOIN e USING (vec_id)
+  GROUP BY cluster_id),
+d2 AS (
+  SELECT e.vec_id, m.cluster_id AS cid, {_D2_TO_MEANS} AS d2
+  FROM e CROSS JOIN means1 m),
+assign2 AS (
+  SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d2)
+  WHERE rn = 1)
+SELECT a.cluster_id, COUNT(*) AS cnt,
+       ROUND(SUM(e.v[1]) / COUNT(*), 6) AS m0
+FROM assign2 a JOIN e USING (vec_id)
+GROUP BY a.cluster_id
+"""
+)
