@@ -19,6 +19,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries as PQ
 from kmeans_mapreduce_spark.plans import relational as R
 from kmeans_mapreduce_spark.plans import relational_ext as RX
 from kmeans_mapreduce_spark.plans import relational_ext2 as RX2
+from kmeans_mapreduce_spark.plans import relational_ext3 as RX3
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,6 +152,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_customer_profile": RX2.string_customer_profile,
     "map_event_type_counts": RX2.map_event_type_counts,
     "dedup_latest_event": RX2.dedup_latest_event,
+    # Relational extensions, round 3 (remaining expressible TPC-H shapes)
+    "q7_volume_shipping": RX3.q7_volume_shipping,
+    "q8_market_share": RX3.q8_market_share,
+    "q13_customer_distribution": RX3.q13_customer_distribution,
+    "q15_top_supplier": RX3.q15_top_supplier,
+    "q18_large_volume": RX3.q18_large_volume,
+    "q21_sole_late_supplier": RX3.q21_sole_late_supplier,
+    "q22_dormant_customers": RX3.q22_dormant_customers,
     # Training-data pipeline (north-star mandate)
     "text_token_stats": PQ.text_token_stats,
     "text_tfidf_topterms": PQ.text_tfidf_topterms,
@@ -241,6 +250,13 @@ ORACLES: dict[str, str] = {
     "string_customer_profile": RX2.STRING2_SQL,
     "map_event_type_counts": RX2.MAP_COUNTS_SQL,
     "dedup_latest_event": RX2.DEDUP_LATEST_SQL,
+    "q7_volume_shipping": RX3.Q7_SQL,
+    "q8_market_share": RX3.Q8_SQL,
+    "q13_customer_distribution": RX3.Q13_SQL,
+    "q15_top_supplier": RX3.Q15_SQL,
+    "q18_large_volume": RX3.Q18_SQL,
+    "q21_sole_late_supplier": RX3.Q21_SQL,
+    "q22_dormant_customers": RX3.Q22_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_tfidf_topterms": PQ.TFIDF_SQL,
     "text_bm25_rank": PQ.BM25_SQL,

@@ -1,0 +1,393 @@
+"""Relational coverage, round 3 — the remaining TPC-H query shapes the
+driver's star schema can express: Q7 (two-sided dimension filter over a
+4-way join), Q8 (market-share ratio agg), Q13 (outer-join grouped
+distribution), Q15 (CTE + scalar-subquery max), Q18 (HAVING-subquery
+semi join), Q21 (multi-correlated EXISTS/NOT EXISTS), Q22 (scalar
+subquery + anti join).  Q2/Q9/Q11/Q16/Q20 need a partsupp table the
+testdata does not ship, so they are out of reach by construction.
+
+The reference engine has no relational surface at all (SURVEY §2.6
+"joins: none implemented"); every query here is Spark built-ins with a
+hash-matched DuckDB oracle.  Scale posture in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- TPC-H Q7: volume shipping between two nations --------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: yearly shipped volume between NATION_1 and NATION_2 in both
+    directions (supplier nation -> customer nation).
+
+    Join graph: lineitem ⨝ supplier ⨝ orders ⨝ customer, with nation
+    joined twice (supplier side and customer side).  Both nation copies
+    broadcast (25 rows), and crucially the nation-pair filter is applied
+    to supplier/customer BEFORE the fact joins: only ~1/25 of suppliers
+    and ~2/25 of customers survive, so the orderkey shuffle carries a
+    fraction of lineitem.  At 100 TB the fact-fact join (lineitem ⨝
+    orders) shuffles on orderkey; everything else is broadcast."""
+    n = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# --- TPC-H Q8: national market share ----------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3's share of PROMO-part revenue among EUROPE customers,
+    by order year.  A ratio-of-conditional-sums aggregation over a 6-way
+    join (lineitem ⨝ part ⨝ supplier ⨝ orders ⨝ customer ⨝ nation ⨝
+    region).
+
+    All dimensions broadcast; the p_type filter prunes part before the
+    join so the partkey probe side is small; the share is a single agg
+    pass (sum(CASE)/sum), not two scans.  At 100 TB the only shuffles
+    are lineitem⨝orders on orderkey and the final 7-row agg."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    europe_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    promo = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(promo.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(europe_cust), o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n2.n_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+# --- TPC-H Q13: customer order-count distribution ---------------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: how many customers placed 0, 1, 2, ... non-urgent orders.
+    Two-level aggregation over a LEFT OUTER join: customers with no
+    orders must survive with count 0 (the whole point of the shape).
+
+    The outer join shuffles on custkey; the second agg groups on the
+    derived count — tiny domain, no skew.  At 100 TB the custkey join is
+    the only real shuffle and co-partitions with any bucketing on
+    custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+# --- TPC-H Q15: top supplier by windowed revenue ----------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the supplier(s) whose Q1-1996 shipped revenue equals the
+    maximum over all suppliers.  CTE (revenue per supplier) consumed
+    twice: once for the scalar MAX, once for the equality filter.
+
+    Spark evaluates the revenue agg once per consumer; the date filter
+    pushes to the lineitem scan (PushedFilters on l_shipdate), so both
+    passes read ~4% of the fact table.  The scalar max is a one-row
+    broadcast, not a join.  At 100 TB: two pruned scans + 100-row agg —
+    or cache the CTE, which fit_kmeans does for its loop; here the agg
+    output is 100 rows so recompute is cheaper than a cache round-trip."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# --- TPC-H Q18: large-volume customers --------------------------------------
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: orders whose total quantity exceeds 250, with customer and
+    order detail — the HAVING-subquery-feeding-a-semi-join shape.
+
+    The qualifying-keys agg runs first (groupBy orderkey, map-side
+    partial sums), producing ~0.3% of orders; that key set then
+    semi-joins orders and joins lineitem again for the total.  Both
+    fact joins share the orderkey partitioning, so AQE reuses one
+    exchange.  Top-100 with a unique tiebreaker (orderkey) keeps the
+    result deterministic across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    big_keys = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big_keys, o.o_orderkey == big_keys.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250) big ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# --- TPC-H Q21: suppliers who alone shipped late ----------------------------
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 adapted (no receipt/commit dates): suppliers who were the
+    ONLY late shipper (>60 days after order date) on a multi-supplier
+    order, counted per supplier, top 20.
+
+    TPC-H states this as EXISTS (another supplier) AND NOT EXISTS
+    (another LATE supplier) — two correlated self-joins of lineitem.
+    Per-order aggregation is the scale-correct plan: a (orderkey,
+    suppkey) pre-aggregation stands in for DISTINCT, then a per-order
+    rollup computes `n_supp > 1 AND n_late = 1`, replacing both EXISTS
+    probes.  Everything is max/sum — whole-stage codegen HashAggregates
+    with map-side partials, no ObjectHashAggregate (collect_set would
+    force one).  The oracle states the textbook double-EXISTS form —
+    the hash match proves the rewrite.  At 100 TB this is one scan of
+    lineitem and orderkey-local shuffles instead of three self-join
+    shuffles."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("late", F.col("l_shipdate") > F.date_add("o_orderdate", 60))
+    )
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    sole = (
+        per_order.where((F.col("n_late") == 1) & (F.col("n_supp") > 1))
+        .select(F.col("late_supp").alias("s_suppkey_q"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), F.col("s_suppkey_q") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+    SELECT l_orderkey, l_suppkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1, 2
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN late l1 ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+# --- TPC-H Q22: dormant high-balance customers ------------------------------
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 adapted (no phone country codes — segments group instead):
+    customers with above-average positive account balance and no urgent
+    order on file, per market segment.  (Plain "no orders at all" is
+    empty in this synthetic data — every customer has orders — so the
+    correlated predicate keeps a filter, like Q22's phone-code IN list.)
+
+    Through the SQL front-end so Catalyst handles both subqueries: the
+    scalar AVG folds into the filter as a literal (one tiny extra job),
+    the NOT EXISTS decorrelates to a left-anti hash join on custkey.
+    DataFrames bind as SQL parameters — no temp-view catalog state.
+    At 100 TB the anti join shuffles only custkeys from the orders
+    side."""
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM {customer} c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM {customer}
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM {orders} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        """,
+        customer=_t(spark, sf_dir, "customer"),
+        orders=_t(spark, sf_dir, "orders"),
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""

@@ -169,3 +169,46 @@ def test_histogram_single_aggregation(spark, sf_dir):
         1 for ln in plan.splitlines() if ln.strip().startswith("(") and "Exchange" in ln
     )
     assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}"
+
+
+def test_q7_nation_pair_filter_prunes_before_fact_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q7_volume_shipping")
+    # the nation-pair filter must reach the supplier/customer side as a
+    # broadcast build, never a cartesian of facts × nations
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # n_name IN (...) applies to the 25-row nation scan, pre-join
+    assert "In(n_name" in plan
+
+
+def test_q8_promo_filter_pushes_to_part_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_semi_filter_via_aggregate_before_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_volume")
+    # the HAVING subquery becomes an aggregate feeding the join — the
+    # quantity sum must partial-aggregate map-side before its exchange
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_one_lineitem_scan_no_self_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_sole_late_supplier")
+    # the double-EXISTS rewrite must not reintroduce self-joins:
+    # lineitem is scanned exactly once (textbook Q21 scans it 3×)
+    assert plan.count("lineitem.parquet") == 1
+    # all aggregates stay codegen'd — collect_set/countDistinct would
+    # show up as ObjectHashAggregate
+    assert "ObjectHashAggregate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_not_exists_is_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # the scalar AVG subquery stays a subquery, not a join
+    assert "Subquery" in plan
