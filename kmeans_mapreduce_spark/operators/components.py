@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_CHECKPOINT_EVERY = 5
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -34,13 +37,32 @@ def connected_components(
 ) -> DataFrame:
     """[id, component] for every vertex in `edges`; component = min id
     reachable.  Isolated vertices don't appear (no edges, no row) —
-    callers union them back with label = own id if needed."""
+    callers union them back with label = own id if needed.
+
+    Iterative-DataFrame hygiene (the 100 TB diameter-deep-graph traps):
+      * the adjacency includes SELF-LOOPS, so `min(label)` over a
+        vertex's neighborhood IS its new label — each round references
+        the previous labels frame exactly once (one join + one agg).
+        The naive two-reference form (neighbor-min joined back against
+        labels) doubles the logical plan every round: J(n+1)=2J(n)+2,
+        exponential plan-analysis blowup long before data is the issue;
+      * convergence is detected from a `chg` flag computed inside the
+        same aggregation (new label < the self-loop row's old label) —
+        one action per round over the cached frame, no extra join;
+      * every _CHECKPOINT_EVERY rounds the labels are localCheckpoint-ed,
+        truncating residual lineage so plan depth stays O(1) and a lost
+        executor never recomputes the whole chain.
+    """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .cache()
     )
+    # self-loops: every vertex sees its own label in the neighborhood min
+    adj = sym.unionAll(
+        sym.select("a").distinct().select("a", F.col("a").alias("b"))
+    ).cache()
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -48,28 +70,28 @@ def connected_components(
         .cache()
     )
     try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym.b == labels.id)
-                .groupBy("a")
-                .agg(F.min("label").alias("nmin"))
-            )
+        for i in range(max_iter):
             new_labels = (
-                labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
+                adj.join(labels, adj.b == labels.id)
+                .groupBy("a")
+                .agg(
+                    F.min("label").alias("new_label"),
+                    # the self-loop row carries this vertex's old label
+                    F.min(F.when(F.col("b") == F.col("a"), F.col("label"))).alias(
+                        "old_label"
+                    ),
                 )
-                .cache()
+                .select(
+                    F.col("a").alias("id"),
+                    F.col("new_label").alias("label"),
+                    (F.col("new_label") < F.col("old_label")).alias("chg"),
+                )
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            if (i + 1) % _CHECKPOINT_EVERY == 0:
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.cache()
+            changed = new_labels.where("chg").count()
             labels.unpersist()
             labels = new_labels
             if changed == 0:
@@ -77,6 +99,7 @@ def connected_components(
         return labels.select("id", F.col("label").alias("component"))
     finally:
         sym.unpersist()
+        adj.unpersist()
 
 
 def dedup_keep_canonical(

@@ -74,93 +74,14 @@ def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dict order is load-bearing: the driver's correctness gate checks the
+# FIRST 50 entries only.  The north-star pipeline operators + the
+# newest/least-pinned relational extensions go first so the hard driver
+# signal covers them; the km_*/core-relational queries live past the
+# cutoff because they are also pinned by pytest plan tests and
+# tools/compare.py (which covers the whole catalog every round).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # K-Means pipeline stages (reference parity, SURVEY §2.2-2.4)
-    "ingest_typed_projection": KQ.ingest_typed_projection,
-    "km_assign": KQ.km_assign,
-    "km_recenter": KQ.km_recenter,
-    "km_farthest": KQ.km_farthest,
-    "km_delta": KQ.km_delta,
-    "km_avg_pairwise": KQ.km_avg_pairwise,
-    "km_avg_point_dist": KQ.km_avg_point_dist,
-    "km_reshape_2d": KQ.km_reshape_2d,
-    "km_two_iterations": KQ.km_two_iterations,
-    "kmeans_fit_native": kmeans_fit_native,
-    "kmeans_fit_mllib": kmeans_fit_mllib,
-    "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
-    # Relational coverage (SURVEY §2.5-2.9 absent-in-reference surface)
-    "q1_pricing_summary": R.q1_pricing_summary,
-    "q3_shipping_priority": R.q3_shipping_priority,
-    "q5_local_supplier": R.q5_local_supplier,
-    "join_semi_urgent_customers": R.join_semi_urgent_customers,
-    "join_anti_no_urgent": R.join_anti_no_urgent,
-    "window_top_orders": R.window_top_orders,
-    "window_running_total": R.window_running_total,
-    "window_ntile_customers": R.window_ntile_customers,
-    "agg_rollup_orders": R.agg_rollup_orders,
-    "agg_cube_lineitem": R.agg_cube_lineitem,
-    "agg_approx_stats": R.agg_approx_stats,
-    "agg_distinct_customers": R.agg_distinct_customers,
-    "agg_salted_user_rollup": R.agg_salted_user_rollup,
-    "agg_pivot_status": R.agg_pivot_status,
-    "agg_unpivot_lineitem": R.agg_unpivot_lineitem,
-    "q6_forecast_revenue": R.q6_forecast_revenue,
-    "agg_grouping_sets_orders": R.agg_grouping_sets_orders,
-    "string_part_names": R.string_part_names,
-    "subq_small_quantity_revenue": R.subq_small_quantity_revenue,
-    "join_outer_nation_activity": R.join_outer_nation_activity,
-    "window_order_gaps": R.window_order_gaps,
-    "topk_orders_global": R.topk_orders_global,
-    "set_except_nations": R.set_except_nations,
-    "set_intersect_nations": R.set_intersect_nations,
-    "set_union_nations": R.set_union_nations,
-    "join_range_quantity_bands": R.join_range_quantity_bands,
-    "asof_events_orders": R.asof_events_orders,
-    "events_json_extract": R.events_json_extract,
-    "events_tumbling_window": R.events_tumbling_window,
-    "events_sliding_window": R.events_sliding_window,
-    "events_session_window": R.events_session_window,
-    "events_sessionize": R.events_sessionize,
-    # Relational extensions (percentiles, dates, subqueries, windows,
-    # multiset ops, conditionals, explode)
-    "agg_percentiles_lineitem": RX.agg_percentiles_lineitem,
-    "date_orders_seasonality": RX.date_orders_seasonality,
-    "subq_exists_parts": RX.subq_exists_parts,
-    "subq_scalar_threshold": RX.subq_scalar_threshold,
-    "window_value_funcs": RX.window_value_funcs,
-    "window_range_frame": RX.window_range_frame,
-    "set_multiset_priorities": RX.set_multiset_priorities,
-    "case_coalesce_buckets": RX.case_coalesce_buckets,
-    "array_top_tokens": RX.array_top_tokens,
-    # Relational extensions, round 2 (Q4/Q10 shapes, higher-order
-    # arrays, lateral/generator TVFs, FILTER aggs, ROWS frames,
-    # interval arithmetic, histograms, null-safe joins)
-    "q4_late_shipments": RX2.q4_late_shipments,
-    "q10_returned_revenue": RX2.q10_returned_revenue,
-    "array_higher_order": RX2.array_higher_order,
-    "lateral_pos_tokens": RX2.lateral_pos_tokens,
-    "generator_order_years": RX2.generator_order_years,
-    "agg_filter_clause": RX2.agg_filter_clause,
-    "window_rows_moving_avg": RX2.window_rows_moving_avg,
-    "date_interval_arith": RX2.date_interval_arith,
-    "hist_order_values": RX2.hist_order_values,
-    "join_null_safe_status": RX2.join_null_safe_status,
-    "sort_global_daily": RX2.sort_global_daily,
-    "agg_collect_sets": RX2.agg_collect_sets,
-    "q14_promo_revenue": RX2.q14_promo_revenue,
-    "q19_branded_revenue": RX2.q19_branded_revenue,
-    "string_customer_profile": RX2.string_customer_profile,
-    "map_event_type_counts": RX2.map_event_type_counts,
-    "dedup_latest_event": RX2.dedup_latest_event,
-    # Relational extensions, round 3 (remaining expressible TPC-H shapes)
-    "q7_volume_shipping": RX3.q7_volume_shipping,
-    "q8_market_share": RX3.q8_market_share,
-    "q13_customer_distribution": RX3.q13_customer_distribution,
-    "q15_top_supplier": RX3.q15_top_supplier,
-    "q18_large_volume": RX3.q18_large_volume,
-    "q21_sole_late_supplier": RX3.q21_sole_late_supplier,
-    "q22_dormant_customers": RX3.q22_dormant_customers,
-    # Training-data pipeline (north-star mandate)
+    # Training-data pipeline (north-star mandate) — entries 1-20
     "text_token_stats": PQ.text_token_stats,
     "text_tfidf_topterms": PQ.text_tfidf_topterms,
     "text_bm25_rank": PQ.text_bm25_rank,
@@ -181,6 +102,91 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata": PQ.mm_metadata,
     "mm_decode": PQ.mm_decode,
     "mm_frame_sample": PQ.mm_frame_sample,
+    # Relational extensions, round 2 — entries 21-37
+    "q4_late_shipments": RX2.q4_late_shipments,
+    "q10_returned_revenue": RX2.q10_returned_revenue,
+    "array_higher_order": RX2.array_higher_order,
+    "lateral_pos_tokens": RX2.lateral_pos_tokens,
+    "generator_order_years": RX2.generator_order_years,
+    "agg_filter_clause": RX2.agg_filter_clause,
+    "window_rows_moving_avg": RX2.window_rows_moving_avg,
+    "date_interval_arith": RX2.date_interval_arith,
+    "hist_order_values": RX2.hist_order_values,
+    "join_null_safe_status": RX2.join_null_safe_status,
+    "sort_global_daily": RX2.sort_global_daily,
+    "agg_collect_sets": RX2.agg_collect_sets,
+    "q14_promo_revenue": RX2.q14_promo_revenue,
+    "q19_branded_revenue": RX2.q19_branded_revenue,
+    "string_customer_profile": RX2.string_customer_profile,
+    "map_event_type_counts": RX2.map_event_type_counts,
+    "dedup_latest_event": RX2.dedup_latest_event,
+    # Relational extensions, round 3 (TPC-H shapes) — entries 38-44
+    "q7_volume_shipping": RX3.q7_volume_shipping,
+    "q8_market_share": RX3.q8_market_share,
+    "q13_customer_distribution": RX3.q13_customer_distribution,
+    "q15_top_supplier": RX3.q15_top_supplier,
+    "q18_large_volume": RX3.q18_large_volume,
+    "q21_sole_late_supplier": RX3.q21_sole_late_supplier,
+    "q22_dormant_customers": RX3.q22_dormant_customers,
+    # Fixed/changed this round + headline fits — entries 45-50
+    "events_sessionize": R.events_sessionize,
+    "agg_approx_stats": R.agg_approx_stats,
+    "km_two_iterations": KQ.km_two_iterations,
+    "kmeans_fit_native": kmeans_fit_native,
+    "kmeans_fit_mllib": kmeans_fit_mllib,
+    "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
+    # ---- 50-entry window boundary ----
+    # K-Means pipeline stages (reference parity, SURVEY §2.2-2.4)
+    "ingest_typed_projection": KQ.ingest_typed_projection,
+    "km_assign": KQ.km_assign,
+    "km_recenter": KQ.km_recenter,
+    "km_farthest": KQ.km_farthest,
+    "km_delta": KQ.km_delta,
+    "km_avg_pairwise": KQ.km_avg_pairwise,
+    "km_avg_point_dist": KQ.km_avg_point_dist,
+    "km_reshape_2d": KQ.km_reshape_2d,
+    # Relational coverage (SURVEY §2.5-2.9 absent-in-reference surface)
+    "q1_pricing_summary": R.q1_pricing_summary,
+    "q3_shipping_priority": R.q3_shipping_priority,
+    "q5_local_supplier": R.q5_local_supplier,
+    "join_semi_urgent_customers": R.join_semi_urgent_customers,
+    "join_anti_no_urgent": R.join_anti_no_urgent,
+    "window_top_orders": R.window_top_orders,
+    "window_running_total": R.window_running_total,
+    "window_ntile_customers": R.window_ntile_customers,
+    "agg_rollup_orders": R.agg_rollup_orders,
+    "agg_cube_lineitem": R.agg_cube_lineitem,
+    "agg_distinct_customers": R.agg_distinct_customers,
+    "agg_salted_user_rollup": R.agg_salted_user_rollup,
+    "agg_pivot_status": R.agg_pivot_status,
+    "agg_unpivot_lineitem": R.agg_unpivot_lineitem,
+    "q6_forecast_revenue": R.q6_forecast_revenue,
+    "agg_grouping_sets_orders": R.agg_grouping_sets_orders,
+    "string_part_names": R.string_part_names,
+    "subq_small_quantity_revenue": R.subq_small_quantity_revenue,
+    "join_outer_nation_activity": R.join_outer_nation_activity,
+    "window_order_gaps": R.window_order_gaps,
+    "topk_orders_global": R.topk_orders_global,
+    "set_except_nations": R.set_except_nations,
+    "set_intersect_nations": R.set_intersect_nations,
+    "set_union_nations": R.set_union_nations,
+    "join_range_quantity_bands": R.join_range_quantity_bands,
+    "asof_events_orders": R.asof_events_orders,
+    "events_json_extract": R.events_json_extract,
+    "events_tumbling_window": R.events_tumbling_window,
+    "events_sliding_window": R.events_sliding_window,
+    "events_session_window": R.events_session_window,
+    # Relational extensions (percentiles, dates, subqueries, windows,
+    # multiset ops, conditionals, explode)
+    "agg_percentiles_lineitem": RX.agg_percentiles_lineitem,
+    "date_orders_seasonality": RX.date_orders_seasonality,
+    "subq_exists_parts": RX.subq_exists_parts,
+    "subq_scalar_threshold": RX.subq_scalar_threshold,
+    "window_value_funcs": RX.window_value_funcs,
+    "window_range_frame": RX.window_range_frame,
+    "set_multiset_priorities": RX.set_multiset_priorities,
+    "case_coalesce_buckets": RX.case_coalesce_buckets,
+    "array_top_tokens": RX.array_top_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -214,6 +220,7 @@ ORACLES: dict[str, str] = {
     "join_outer_nation_activity": R.OUTER_SQL,
     "window_order_gaps": R.LAG_LEAD_SQL,
     "topk_orders_global": R.TOPK_GLOBAL_SQL,
+    "agg_approx_stats": R.APPROX_STATS_SQL,
     "set_except_nations": R.EXCEPT_SQL,
     "set_intersect_nations": R.INTERSECT_SQL,
     "set_union_nations": R.UNION_SQL,
@@ -274,5 +281,6 @@ ORACLES: dict[str, str] = {
     "mm_metadata": PQ.MM_METADATA_SQL,
     "mm_frame_sample": PQ.MM_FRAME_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
-    # dedup_simhash, ann_lsh_topk, mm_decode — see docstrings.
+    # kmeans_fit_lineitem, dedup_simhash, ann_lsh_topk, mm_decode,
+    # ann_brute_topk_pandas — see docstrings.
 }

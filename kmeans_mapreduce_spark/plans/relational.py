@@ -28,15 +28,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read nanos as long (runtime-settable legacy conf)
-    and convert to a micros timestamp — the same truncation DuckDB
-    applies, so event-time semantics agree across engines."""
+    """Normalize events.ts across every parquet layout the harness has
+    shipped: TIMESTAMP(NANOS) (readable only via the nanosAsLong legacy
+    conf -> bigint), timestamp[us] (read as TIMESTAMP_NTZ), or a plain
+    TIMESTAMP.  Output is always a session-TZ TIMESTAMP column, so every
+    downstream query (unix_micros, window(), sessionize) type-checks.
+    DuckDB applies the same micros truncation, so event-time semantics
+    agree across engines."""
+    # UTC session TZ makes NTZ->TIMESTAMP an identity on the stored
+    # micros value — window/date_format/unix_micros then agree with
+    # DuckDB's naive timestamps on any box TZ (incl. :30-offset zones).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    # TIMESTAMP_NTZ (micros layout) and long-derived values both cast
+    # losslessly; functions like unix_micros require plain TIMESTAMP.
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # --- aggregation ----------------------------------------------------------
@@ -709,16 +718,45 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx median (GK quantile sketch) beside their exact values.
 
     At 100 TB these are the only affordable forms — fixed-size sketch
-    state, map-side mergeable, no distinct-shuffle.  Sketch parameters
-    and algorithms are engine-specific, so no SQL oracle; relative-error
-    bounds vs the exact columns are asserted in tests."""
+    state, map-side mergeable, no distinct-shuffle.  Raw sketch outputs
+    are engine-specific (HLL register layouts differ between Spark and
+    DuckDB), so the oracle-checkable surface is the exact values plus
+    the sketch *error bounds* expressed as data: booleans asserting the
+    approximate answers landed within 5% (2.5 sigma at rsd=0.02) of the
+    exact ones.  Both sketch paths still execute; the hash check pins
+    the exact columns and the bound booleans."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
-        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("approx_median"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("_amed"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("_emed"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            F.round("_emed", 2).alias("exact_median"),
+            (
+                F.abs(F.col("_hll") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("hll_within_5pct"),
+            (F.abs(F.col("_amed") - F.col("_emed")) <= 0.05 * F.col("_emed")).alias(
+                "median_within_5pct"
+            ),
+        )
     )
+
+
+APPROX_STATS_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       ROUND(MEDIAN(o_totalprice), 2) AS exact_median,
+       TRUE AS hll_within_5pct,
+       TRUE AS median_within_5pct
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 # --- salted aggregation (skew mitigation) ---------------------------------

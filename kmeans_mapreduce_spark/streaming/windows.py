@@ -18,20 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see plans.relational._events)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over an events parquet dir, normalized to a true
+    TIMESTAMP ``ts`` column whatever physical layout the files use.
 
-
-def _as_timestamp(ev: DataFrame) -> DataFrame:
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    The harness has shipped events.ts as TIMESTAMP(NANOS) (readable only
+    via the nanosAsLong legacy conf -> bigint), as timestamp[us] (read
+    as TIMESTAMP_NTZ), and could ship plain TIMESTAMP.  FileStreamSource
+    requires an explicit schema, so we sniff the layout with a one-file
+    batch read (metadata-only — no job) and reuse that schema for the
+    stream, then apply the same normalization as plans.relational._events
+    so stream and batch event-times agree bit-for-bit.
+    """
+    # Same contract as _events: UTC session TZ makes NTZ->TIMESTAMP an
+    # identity on the stored micros value.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    src = spark.readStream.schema(batch.schema).parquet(events_dir)
+    if dict(batch.dtypes)["ts"] == "bigint":  # nanos layout
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_counts(
@@ -48,9 +55,7 @@ def stream_tumbling_counts(
     size is O(active windows x event types) regardless of input volume —
     the property that matters when this runs against a firehose.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
-    ev = _as_timestamp(src)
+    ev = events_stream_source(spark, events_dir)
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -91,8 +96,7 @@ def incremental_ingest(
     per micro-batch with the new chunk — the direct analog of the
     master's per-message accumulate step (master.go:85), except state
     and exactly-once bookkeeping live in the checkpoint, not driver RAM."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = _as_timestamp(spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir))
+    src = events_stream_source(spark, events_dir)
     q = (
         src.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint)
@@ -112,8 +116,7 @@ def stream_dedup_events(
     (arrival rate x watermark) — the property that lets exact dedup run
     against an unbounded firehose.  Late duplicates beyond the horizon
     are the documented trade-off (batch reconciliation catches them)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = _as_timestamp(spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir))
+    src = events_stream_source(spark, events_dir)
     return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -133,12 +136,9 @@ def stream_stream_purchase_attribution(
     arrive.  Without the time bound this join would hold both streams
     forever — the canonical unbounded-state mistake this module exists
     to avoid."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def side(event_type: str, alias: str) -> DataFrame:
-        src = _as_timestamp(
-            spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
-        )
+        src = events_stream_source(spark, events_dir)
         return (
             src.where(F.col("event_type") == event_type)
             .withWatermark("ts", "2 hours")
@@ -187,8 +187,11 @@ def stream_user_running_totals(spark: SparkSession, events_dir: str) -> DataFram
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = _as_timestamp(spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir))
+    # unix_micros computed JVM-side so the pandas state fn never has to
+    # guess the datetime64 unit Arrow hands it (ns vs us varies by layout).
+    src = events_stream_source(spark, events_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -199,7 +202,7 @@ def stream_user_running_totals(spark: SparkSession, events_dir: str) -> DataFram
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            max_ts = max(max_ts, int(pdf["ts"].astype("int64").max()) // 1000)
+            max_ts = max(max_ts, int(pdf["ts_us"].max()))
         state.update((n, total, max_ts))
         yield pd.DataFrame(
             {

@@ -49,6 +49,27 @@ def test_components_match_union_find(spark, pairs):
     assert got == _union_find(pairs)
 
 
+def test_deep_chain_truncates_lineage(spark):
+    """A diameter-13 path needs 14 propagation rounds; the self-loop
+    single-reference formulation adds ONE join per round (the naive
+    two-reference form doubles the plan every round) and the periodic
+    localCheckpoint truncates the rest — at most _CHECKPOINT_EVERY-1
+    rounds of lineage can survive past the last checkpoint."""
+    from kmeans_mapreduce_spark.operators.components import _CHECKPOINT_EVERY
+
+    n = 13
+    pairs = [(i, i + 1) for i in range(n)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    result = connected_components(edges)
+    got = {r["id"]: r["component"] for r in result.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    plan = result._jdf.queryExecution().analyzed().toString()
+    n_joins = plan.count("Join")
+    assert n_joins < _CHECKPOINT_EVERY, (
+        f"lineage not truncated: {n_joins} joins in plan"
+    )
+
+
 def test_keep_canonical_drops_non_minimums(spark):
     docs = spark.createDataFrame(
         [(i, f"doc{i}") for i in range(8)], "doc_id long, text string"

@@ -20,9 +20,23 @@ def test_catalog_shapes():
         "dedup_simhash",
         "ann_lsh_topk",
         "mm_decode",
-        "agg_approx_stats",
         "ann_brute_topk_pandas",
     }
+    # the driver's correctness gate only checks the first 50 dict
+    # entries — the north-star pipeline + newest queries must be inside
+    first50 = list(qs)[:50]
+    for name in (
+        "dedup_minhash",
+        "dedup_components",
+        "ann_ivf_topk",
+        "text_bm25_rank",
+        "mm_decode",
+        "events_sessionize",
+        "agg_approx_stats",
+        "q22_dormant_customers",
+        "dedup_latest_event",
+    ):
+        assert name in first50, f"{name} fell outside the correctness window"
 
 
 def test_entry_smoke(spark):
@@ -36,15 +50,12 @@ def test_entry_smoke(spark):
 
 
 def test_approx_stats_error_bounds(spark, sf_dir):
-    """Sketch aggregates must be close to exact: HLL++ rsd=0.02 -> allow
-    5x sigma; GK median with accuracy 10000 -> tight on this data."""
+    """Sketch error bounds are now part of the query's own output (so
+    the DuckDB oracle hash-checks them); assert they hold here too."""
     from kmeans_mapreduce_spark.plans.relational import agg_approx_stats
 
-    for r in agg_approx_stats(spark, sf_dir).collect():
-        assert abs(r["approx_customers"] - r["exact_customers"]) <= max(
-            3, 0.10 * r["exact_customers"]
-        ), r
-        # percentile_approx returns a real data value; exact percentile
-        # interpolates — at smoke scale (~300 rows/group) one inter-value
-        # gap near the median can be ~1% of the value itself.
-        assert abs(r["approx_median"] - r["exact_median"]) <= 0.05 * abs(r["exact_median"]) + 1, r
+    rows = agg_approx_stats(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["hll_within_5pct"], r
+        assert r["median_within_5pct"], r
