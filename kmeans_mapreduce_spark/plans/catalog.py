@@ -128,14 +128,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume": RX3.q18_large_volume,
     "q21_sole_late_supplier": RX3.q21_sole_late_supplier,
     "q22_dormant_customers": RX3.q22_dormant_customers,
-    # Fixed/changed this round + headline fits — entries 45-50
+    "q11_important_parts": RX3.q11_important_parts,
+    "q16_supplier_part_counts": RX3.q16_supplier_part_counts,
+    # Fixed/changed this round + flagship fit — entries 47-50
     "events_sessionize": R.events_sessionize,
     "agg_approx_stats": R.agg_approx_stats,
     "km_two_iterations": KQ.km_two_iterations,
     "kmeans_fit_native": kmeans_fit_native,
+    # ---- 50-entry window boundary ----
     "kmeans_fit_mllib": kmeans_fit_mllib,
     "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
-    # ---- 50-entry window boundary ----
     # K-Means pipeline stages (reference parity, SURVEY §2.2-2.4)
     "ingest_typed_projection": KQ.ingest_typed_projection,
     "km_assign": KQ.km_assign,
@@ -264,6 +266,8 @@ ORACLES: dict[str, str] = {
     "q18_large_volume": RX3.Q18_SQL,
     "q21_sole_late_supplier": RX3.Q21_SQL,
     "q22_dormant_customers": RX3.Q22_SQL,
+    "q11_important_parts": RX3.Q11_SQL,
+    "q16_supplier_part_counts": RX3.Q16_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_tfidf_topterms": PQ.TFIDF_SQL,
     "text_bm25_rank": PQ.BM25_SQL,

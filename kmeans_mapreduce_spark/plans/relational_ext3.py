@@ -391,3 +391,108 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
 """
+
+
+# --- TPC-H Q11 (partsupp-free): important parts by supplied value -----------
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's shape without the partsupp table the testdata lacks
+    (reference has no relational surface at all): per-part supplied
+    value from lineitem restricted to NATION_1's suppliers, keeping
+    parts whose value exceeds 0.1% of the filtered total (Q11's
+    group-by + global-scalar HAVING structure, value = sum of
+    discounted extended price instead of supplycost*availqty).
+
+    Scale shape: the supplier-side filter broadcasts (nation 25 rows ->
+    filtered suppliers still tiny), so lineitem never shuffles for the
+    dimension join; one partial+final agg on l_partkey; the HAVING
+    scalar is a second full agg over the SAME grouped result, which
+    Spark computes off the grouped frame (reused, not a rescan of the
+    fact), then folds into a literal filter."""
+    n = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_1")
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    # cache the |parts|-sized aggregate: the scalar total AND the final
+    # filter both read it, so lineitem is scanned exactly once.  The
+    # cached frame is key+double per part — small at any fact scale.
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_value"
+            )
+        )
+        .cache()
+    )
+    total = per_part.agg(F.sum("_value")).collect()[0][0]
+    return (
+        per_part.where(F.col("_value") > 0.001 * F.lit(total))
+        .select("l_partkey", F.round("_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+    SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS v
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(v, 2) AS value
+FROM per_part
+WHERE v > 0.001 * (SELECT SUM(v) FROM per_part)
+ORDER BY value DESC, l_partkey
+"""
+
+
+# --- TPC-H Q16 (partsupp-free): supplier counts per part profile ------------
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16's shape without partsupp: distinct-supplier counts per
+    (p_brand, p_size) over the part-supplier pairs lineitem witnesses,
+    excluding Brand_3 parts and suppliers in deficit (s_acctbal < 0 —
+    the stand-in for Q16's complaints NOT IN subquery, same anti-join
+    plan shape).
+
+    Scale shape: the excluded-supplier set is tiny -> broadcast
+    left-anti join on the fact side; part broadcasts too; the only
+    shuffle is the final (brand, size) count-distinct, whose
+    cardinality is bounded by |parts| regardless of fact size."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") != "Brand_3")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand_3'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""

@@ -1,0 +1,135 @@
+"""100x-posture smoke: run the headline operators at sf0.1 with the
+shuffle width a real cluster would use, and assert the PLAN SHAPE the
+docstrings promise — no cartesian products, no broadcast of the big
+side, dimension joins broadcast, index probes pruned at the scan.
+Correctness at sf0.01 doesn't prove these properties; a plan that
+silently broadcasts a fact table passes every small-SF hash check and
+then dies at 100 TB.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_SCALE = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.1")
+
+pytestmark = pytest.mark.scale
+
+
+@pytest.fixture(scope="module")
+def wide_shuffle(spark):
+    """Widen shuffle partitions to cluster-like width for this module."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _physical_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_minhash_no_cartesian_at_scale(wide_shuffle):
+    """MinHash+LSH dedup must stay banded-candidates: no all-pairs
+    anywhere in the physical plan, even with 256-way shuffles."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries import dedup_minhash
+
+    df = dedup_minhash(wide_shuffle, SF_SCALE)
+    n = df.count()  # executes end-to-end at sf0.1
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n >= 0
+
+
+def test_assign_broadcasts_only_centroids(wide_shuffle):
+    """The K-Means assign step may broadcast exactly one relation: the
+    1-row centroid array.  The points side must never appear under a
+    BroadcastExchange (a broadcast points side = driver OOM at scale)."""
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        assign_clusters_broadcast,
+    )
+    from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
+
+    pts = points_from_embeddings(wide_shuffle, SF_SCALE, dim=64)
+    assigned = assign_clusters_broadcast(pts, [[0.0] * 64, [1.0] * 64])
+    import re
+
+    plan = _physical_plan(assigned)
+    assert "CartesianProduct" not in plan
+    # formatted explain lists each node twice (tree + details): count
+    # distinct numbered broadcast nodes
+    n_broadcasts = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    assert n_broadcasts <= 1
+    # the single allowed broadcast is the centroid RDD, never a file scan
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\n(.*?)\n\n", plan, re.S):
+        assert "parquet" not in m.group(1)
+    assert assigned.count() == pts.count()
+
+
+def test_q16_dim_joins_broadcast(wide_shuffle):
+    """Q16 shape: the excluded-supplier anti join and the part join must
+    both broadcast — lineitem must not shuffle for a dimension join."""
+    from kmeans_mapreduce_spark.plans.relational_ext3 import (
+        q16_supplier_part_counts,
+    )
+
+    df = q16_supplier_part_counts(wide_shuffle, SF_SCALE)
+    assert df.count() > 0
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim join degraded to a shuffle join"
+    assert "ShuffledHashJoin" not in plan, "dim join degraded to a shuffle join"
+
+
+def test_q11_single_fact_scan(wide_shuffle):
+    """Q11 shape: the per-part aggregate is cached and reused by both
+    the scalar total and the final filter — the filter branch must read
+    the InMemoryRelation, not rescan lineitem."""
+    from kmeans_mapreduce_spark.plans.relational_ext3 import q11_important_parts
+
+    df = q11_important_parts(wide_shuffle, SF_SCALE)
+    # row count is scale-sensitive by design (TPC-H Q11's HAVING
+    # fraction scales with SF); here only the plan shape matters
+    assert df.count() >= 0
+    plan = _physical_plan(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    # lineitem may appear exactly once: inside the cached relation's
+    # definition.  A second mention = the filter branch rescanning it.
+    assert plan.count("lineitem") <= 1, "filter branch rescans the fact table"
+
+
+def test_ivf_index_scale_prunes_partitions(wide_shuffle, tmp_path):
+    """IVF with a persisted index at sf0.1: cell probes must be parquet
+    PartitionFilters (scan reads n_probe cells, not the corpus)."""
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
+    from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
+
+    embs = wide_shuffle.read.parquet(f"{SF_SCALE}/embeddings.parquet")
+    pts = points_from_embeddings(wide_shuffle, SF_SCALE, dim=64)
+    res = fit_kmeans_native(
+        pts, k=16, dim=64, initial_centroids=None, seed=7, max_iter=3
+    )
+    idx = str(tmp_path / "ivf_index_scale")
+    SIM.write_ivf_index(
+        embs, res.centroids, idx, id_col="vec_id", vec_col="embedding"
+    )
+    queries = embs.where(F.col("vec_id") < 8)
+    out = SIM.ivf_topk_from_index(
+        wide_shuffle, idx, queries, res.centroids, k=5, n_probe=4,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert out.count() == 8 * 5
+    plan = _physical_plan(out)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
