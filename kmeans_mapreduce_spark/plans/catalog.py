@@ -130,12 +130,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_dormant_customers": RX3.q22_dormant_customers,
     "q11_important_parts": RX3.q11_important_parts,
     "q16_supplier_part_counts": RX3.q16_supplier_part_counts,
-    # Fixed/changed this round + flagship fit — entries 47-50
+    # New/changed this round — entries 47-50
+    "events_ohlc_rollup": R.events_ohlc_rollup,
+    "sample_train_split": PQ.sample_train_split,
     "events_sessionize": R.events_sessionize,
     "agg_approx_stats": R.agg_approx_stats,
+    # ---- 50-entry window boundary ----
+    # (kmeans_fit_native has standing driver signal via entry();
+    #  km_two_iterations is oracle-pinned by compare.py + plan tests)
     "km_two_iterations": KQ.km_two_iterations,
     "kmeans_fit_native": kmeans_fit_native,
-    # ---- 50-entry window boundary ----
     "kmeans_fit_mllib": kmeans_fit_mllib,
     "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
     # K-Means pipeline stages (reference parity, SURVEY §2.2-2.4)
@@ -268,6 +272,8 @@ ORACLES: dict[str, str] = {
     "q22_dormant_customers": RX3.Q22_SQL,
     "q11_important_parts": RX3.Q11_SQL,
     "q16_supplier_part_counts": RX3.Q16_SQL,
+    "events_ohlc_rollup": R.OHLC_SQL,
+    "sample_train_split": PQ.SAMPLE_SPLIT_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_tfidf_topterms": PQ.TFIDF_SQL,
     "text_bm25_rank": PQ.BM25_SQL,

@@ -506,3 +506,52 @@ GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 15
 """
+
+
+# --- deterministic stratified sampling (train/eval splits) ------------------
+
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the training-data
+    split primitive: ~20% of documents per language bucket, selected by
+    content-independent hash of the doc id, NOT by rand().
+
+    Why hash, not rand(): reproducible across runs/engines/partitionings
+    (rand(seed) is partition-dependent in Spark, so a repartition
+    silently changes the split — poison for train/eval hygiene).  The
+    bucket is the first 4 hex digits of md5(id), uniform on [0, 65536);
+    both Spark and DuckDB compute identical md5, so the oracle checks
+    the SPLIT itself, not just its size.
+
+    Scale shape: pure per-row projection + filter, no shuffle at all
+    except the output count agg; sampling 100 TB is a map-only scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") < int(0.2 * 65536))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLE_SPLIT_SQL = f"""
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       MIN(doc_id) AS first_id,
+       MAX(doc_id) AS last_id,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT *,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS INT) AS bucket
+  FROM documents
+)
+WHERE bucket < {int(0.2 * 65536)}
+GROUP BY lang
+ORDER BY lang
+"""

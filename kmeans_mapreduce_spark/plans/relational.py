@@ -759,6 +759,55 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# --- time-series OHLC rollup ----------------------------------------------
+
+def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: per (hour,
+    event_type) bucket emit open/high/low/close/avg/count over `value`
+    — the downsampling primitive every time-series store exposes
+    (TimescaleDB continuous aggregates, InfluxDB tasks).
+
+    open/close are min_by/max_by on event time: order-insensitive
+    aggregates, so the whole rollup is ONE partial+final aggregation —
+    map-side combine shrinks each bucket to a constant-size state and
+    the shuffle carries O(buckets), not O(events).  That is what makes
+    a 100 TB backfill a single pass; a window-function formulation
+    (row_number per bucket) would shuffle every event instead."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+OHLC_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       ROUND(arg_min(value, ts), 4) AS open,
+       ROUND(MAX(value), 4) AS high,
+       ROUND(MIN(value), 4) AS low,
+       ROUND(arg_max(value, ts), 4) AS close,
+       ROUND(AVG(value), 4) AS avg_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+"""
+
+
 # --- salted aggregation (skew mitigation) ---------------------------------
 
 def agg_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,6 +72,43 @@ def stream_tumbling_counts(
     )
 
 
+def stream_session_windows(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-user SESSION windows over the event stream:
+    dynamic-length windows that extend while events keep arriving
+    within `gap` of each other and close after a quiet period.
+
+    Unlike tumbling windows (fixed boundaries, state keyed by window
+    start), session state is per (user, open-session) and MERGES when a
+    late event bridges two provisional sessions — Spark's
+    session_window handles the merge; the watermark closes sessions
+    whose gap can no longer be bridged, bounding state by
+    (active users x open sessions) regardless of stream length.  The
+    batch equivalent is plans.relational.events_session_window, which
+    shares the aggregation shape the DuckDB oracle pins.
+    """
+    ev = events_stream_source(spark, events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
     """Drain everything currently available (Trigger.AvailableNow) into
     parquet and stop — the reference's accumulate-until-Last framing."""

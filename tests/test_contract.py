@@ -35,6 +35,10 @@ def test_catalog_shapes():
         "agg_approx_stats",
         "q22_dormant_customers",
         "dedup_latest_event",
+        "q11_important_parts",
+        "q16_supplier_part_counts",
+        "events_ohlc_rollup",
+        "sample_train_split",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

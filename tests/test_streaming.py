@@ -54,6 +54,45 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(g) >= len(w) - 12
 
 
+def test_stream_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """Session windows via readStream(availableNow) == batch
+    session_window aggregation, modulo the trailing sessions append
+    mode withholds (watermark can't prove them closed at drain)."""
+    from kmeans_mapreduce_spark.streaming.windows import stream_session_windows
+
+    stream = stream_session_windows(spark, _stage_events_dir(sf_dir, tmp_path))
+    out, ckpt = str(tmp_path / "sw_out"), str(tmp_path / "sw_ckpt")
+    run_available_now(stream, out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                "user_id",
+                "n_events",
+                "sum_value",
+            )
+            .collect(),
+        )
+    )
+    assert set(got) <= set(want)
+    missing = sorted(set(want) - set(got))
+    horizon = max(r[0] for r in want)
+    assert all(m[0] >= "2024-01-30" for m in missing), missing[:5]
+    assert len(got) >= len(want) - 60, f"{len(missing)} sessions withheld"
+
+
 def test_incremental_ingest_accumulates(spark, sf_dir, tmp_path):
     """foreachBatch sees every event exactly once (the reference's
     accumulate-until-Last contract, master.go:85)."""
