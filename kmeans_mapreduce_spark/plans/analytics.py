@@ -1,0 +1,159 @@
+"""Event-analytics pack: funnel conversion and retention cohorts.
+
+The reference engine has no event surface at all (SURVEY §2.9/2.10:
+windows and streaming absent); these are the two query shapes every
+product-analytics workload runs on an events table, expressed
+Spark-first and hash-checked against DuckDB oracles.
+
+Scale posture (both queries):
+  * every join is keyed on user_id — high cardinality, so the shuffles
+    co-partition and no single reducer hot-spots;
+  * per-step/per-cohort frames only ever SHRINK (funnel steps filter,
+    cohorts aggregate to |users|), so AQE flips late joins to broadcast
+    as the data narrows;
+  * nothing is collected; final outputs are O(steps) / O(weeks²) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.plans.relational import _events
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view → click → purchase: a user converts a
+    step only with an event STRICTLY AFTER their previous step's first
+    qualifying event (the ordering constraint is what separates a
+    funnel from three independent counts).
+
+    Plan shape: three min-aggregations chained by user_id equi-joins;
+    each step's frame is a subset of the previous, so the join inputs
+    monotonically shrink.  The final result is 3 rows."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+
+    def first_after(event_type: str, prev: DataFrame | None, t_prev: str, t_out: str) -> DataFrame:
+        step = ev.where(F.col("event_type") == event_type)
+        if prev is not None:
+            step = step.join(prev, "user_id").where(F.col("ts") > F.col(t_prev))
+        return step.groupBy("user_id").agg(F.min("ts").alias(t_out))
+
+    s1 = first_after("view", None, "", "t1")
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+
+    def count_step(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("step"), F.count("*").alias("users")
+        )
+
+    counts = (
+        count_step(s1, "1_view")
+        .unionAll(count_step(s2, "2_click"))
+        .unionAll(count_step(s3, "3_purchase"))
+    )
+    base = counts.where(F.col("step") == "1_view").select(
+        F.col("users").alias("_base")
+    )
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "users",
+            F.round(F.col("users") / F.col("_base"), 4).alias("conversion"),
+        )
+        .orderBy("step")
+    )
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+),
+counts AS (
+  SELECT '1_view' AS step, COUNT(*) AS users FROM s1
+  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+)
+SELECT step, users,
+       ROUND(CAST(users AS DOUBLE)
+             / (SELECT users FROM counts WHERE step = '1_view'), 4) AS conversion
+FROM counts ORDER BY step
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    tracked by how many are active N weeks later, with retention as a
+    fraction of the cohort's size.
+
+    Plan shape: distinct (user, week) activity -> min-week cohort per
+    user -> one join on user_id -> (cohort, offset) aggregation.  The
+    cohort-size denominator joins back on cohort week — a tiny
+    broadcast relation (O(weeks) rows)."""
+    ev = _events(spark, sf_dir)
+    activity = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    )
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = activity.join(cohort, "user_id").select(
+        "user_id",
+        "cohort_wk",
+        (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("int").alias(
+            "week_offset"
+        ),
+    )
+    grid = joined.groupBy("cohort_wk", "week_offset").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    size = grid.where(F.col("week_offset") == 0).select(
+        F.col("cohort_wk").alias("c"), F.col("active_users").alias("cohort_size")
+    )
+    return (
+        grid.join(F.broadcast(size), grid.cohort_wk == size.c)
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            F.round(F.col("active_users") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM activity GROUP BY 1
+),
+grid AS (
+  SELECT c.cohort_wk,
+         CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS INT) AS week_offset,
+         COUNT(DISTINCT a.user_id) AS active_users
+  FROM activity a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(g.cohort_wk, '%Y-%m-%d') AS cohort_week,
+       g.week_offset,
+       g.active_users,
+       ROUND(CAST(g.active_users AS DOUBLE) / s.active_users, 4) AS retention
+FROM grid g
+JOIN (SELECT cohort_wk, active_users FROM grid WHERE week_offset = 0) s
+  ON g.cohort_wk = s.cohort_wk
+ORDER BY cohort_week, week_offset
+"""

@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kmeans_mapreduce_spark.plans import analytics as AN
 from kmeans_mapreduce_spark.plans import kmeans_queries as KQ
 from kmeans_mapreduce_spark.plans import pipeline_queries as PQ
 from kmeans_mapreduce_spark.plans import relational as R
@@ -142,6 +143,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_fit_native": kmeans_fit_native,
     "kmeans_fit_mllib": kmeans_fit_mllib,
     "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
+    # Event analytics (funnel / retention)
+    "events_funnel": AN.events_funnel,
+    "events_retention_cohorts": AN.events_retention_cohorts,
     # K-Means pipeline stages (reference parity, SURVEY §2.2-2.4)
     "ingest_typed_projection": KQ.ingest_typed_projection,
     "km_assign": KQ.km_assign,
@@ -274,6 +278,8 @@ ORACLES: dict[str, str] = {
     "q16_supplier_part_counts": RX3.Q16_SQL,
     "events_ohlc_rollup": R.OHLC_SQL,
     "sample_train_split": PQ.SAMPLE_SPLIT_SQL,
+    "events_funnel": AN.FUNNEL_SQL,
+    "events_retention_cohorts": AN.RETENTION_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_tfidf_topterms": PQ.TFIDF_SQL,
     "text_bm25_rank": PQ.BM25_SQL,
