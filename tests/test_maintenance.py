@@ -1,0 +1,91 @@
+"""Compaction + sorted-write maintenance: file counts, data equality,
+and the footer statistics that make data skipping real."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.sources.maintenance import (
+    compact_parquet,
+    write_sorted,
+)
+
+
+def _files(path: str) -> list[str]:
+    return sorted(glob.glob(f"{path}/*.parquet"))
+
+
+def test_compact_binpacks_small_files(spark, sf_dir, tmp_path):
+    """50 shredded files -> ~total/target files, bytes-driven, with the
+    data intact."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shredded = str(tmp_path / "shredded")
+    src.repartition(50).write.parquet(shredded)
+    assert len(_files(shredded)) == 50
+
+    from kmeans_mapreduce_spark.sources.maintenance import _tree_bytes
+
+    total = _tree_bytes(spark, shredded)
+    compacted = str(tmp_path / "compacted")
+    n = compact_parquet(spark, shredded, compacted, target_file_bytes=total // 4)
+    got_files = _files(compacted)
+    assert len(got_files) == n <= 6  # ceil(total/(total//4)) with slack
+    before = sorted(r["doc_id"] for r in src.collect())
+    after = sorted(
+        r["doc_id"] for r in spark.read.parquet(compacted).collect()
+    )
+    assert before == after
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """After write_sorted on o_orderdate, parquet footers must show
+    (near-)disjoint per-file min/max ranges — the property an engine's
+    row-group pruning needs.  Unsorted writes fail this badly: every
+    file spans the whole key range."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "sorted_orders")
+    write_sorted(orders, out, ["o_orderdate"], num_files=8)
+
+    ranges = []
+    for f in _files(out):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    # consecutive files may share at most the boundary key
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+
+    # and the data survives the round trip
+    assert spark.read.parquet(out).count() == orders.count()
+
+    # control: an unsorted write spans ~the whole range in every file
+    unsorted = str(tmp_path / "unsorted_orders")
+    orders.repartition(8).write.parquet(unsorted)
+    f0 = _files(unsorted)[0]
+    md = pq.ParquetFile(f0).metadata
+    col_idx = next(
+        i for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema == "o_orderdate"
+    )
+    st = md.row_group(0).column(col_idx).statistics
+    global_lo, global_hi = ranges[0][0], ranges[-1][1]
+    covered = (st.max - st.min).days if hasattr(st.max - st.min, "days") else (
+        st.max - st.min
+    )
+    full = (global_hi - global_lo).days if hasattr(
+        global_hi - global_lo, "days"
+    ) else (global_hi - global_lo)
+    assert covered > full * 0.5, "control failed: unsorted file unexpectedly narrow"
