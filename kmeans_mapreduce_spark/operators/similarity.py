@@ -307,3 +307,49 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def stream_append_ivf_index(
+    spark,
+    source_dir: str,
+    index_path: str,
+    centroids: list[list[float]],
+    checkpoint: str,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> None:
+    """Continuously maintain the IVF inverted file from a vector stream:
+    each arriving embedding is assigned its nearest coarse centroid and
+    appended to the hive-partitioned (`cell=<i>/`) index that
+    ivf_topk_from_index probes.
+
+    This closes the ingestion loop for the 100 TB ANN story: the index
+    is not a one-shot artifact but a live table — new vectors become
+    searchable after the next micro-batch, exactly-once via the sink's
+    checkpoint/_spark_metadata log, and probes keep pruning at the scan
+    because the stream writes THROUGH the same partition layout.
+    Centroids stay fixed between index rebuilds (the standard IVF
+    regime: drift is handled by periodic re-train + re-build, not by
+    moving cells under a live index).
+    """
+    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
+
+    schema = spark.read.parquet(source_dir).schema
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    c = src.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    dists = _dist2_to_centroids("cv", centroids)
+    c = c.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+    q = (
+        c.writeStream.format("parquet")
+        .partitionBy("cell")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

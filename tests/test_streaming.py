@@ -201,3 +201,48 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_built_ivf_index_matches_batch(spark, sf_dir, tmp_path):
+    """An IVF index appended from a stream must answer probes exactly
+    like the batch-written index (same layout, same partition pruning,
+    same results)."""
+    import os
+
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
+    from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pts = points_from_embeddings(spark, sf_dir, dim=64)
+    res = fit_kmeans_native(
+        pts, k=8, dim=64, initial_centroids=None, seed=7, max_iter=3
+    )
+
+    # FileStreamSource needs a directory; hardlink the table in
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    os.link(f"{sf_dir}/embeddings.parquet", d / "part-000.parquet")
+
+    stream_idx = str(tmp_path / "stream_idx")
+    SIM.stream_append_ivf_index(
+        spark, str(d), stream_idx, res.centroids,
+        checkpoint=str(tmp_path / "idx_ckpt"),
+        id_col="vec_id", vec_col="embedding",
+    )
+    batch_idx = str(tmp_path / "batch_idx")
+    SIM.write_ivf_index(
+        embs, res.centroids, batch_idx, id_col="vec_id", vec_col="embedding"
+    )
+
+    queries = embs.where(F.col("vec_id") < 10)
+    got = sorted(map(tuple, SIM.ivf_topk_from_index(
+        spark, stream_idx, queries, res.centroids, k=5, n_probe=3,
+        id_col="vec_id", vec_col="embedding",
+    ).collect()))
+    want = sorted(map(tuple, SIM.ivf_topk_from_index(
+        spark, batch_idx, queries, res.centroids, k=5, n_probe=3,
+        id_col="vec_id", vec_col="embedding",
+    ).collect()))
+    assert got == want
+    assert len(got) == 10 * 5
