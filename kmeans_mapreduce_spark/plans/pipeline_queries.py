@@ -555,3 +555,74 @@ WHERE bucket < {int(0.2 * 65536)}
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# --- end-to-end corpus curation (operator composition) ----------------------
+
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE lazy plan: quality-filter
+    -> exact dedup (keep lowest doc_id per content hash) -> 50%
+    deterministic md5-bucket sample -> per-language corpus stats.
+
+    Composability is the point: every stage is a primitive that is
+    individually oracle-checked elsewhere (text_quality, dedup_exact,
+    sample_train_split, text_token_stats); chaining them stays a single
+    declarative plan, so Catalyst prunes columns through all four
+    stages and the only shuffles are the dedup window's hash partition
+    and the final per-lang aggregation.  At 100 TB: one pass over the
+    corpus, no intermediate materialization."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.round(TXT.quality_score("text"), 6).alias("q"),
+        TXT.token_count("text").alias("ntok"),
+    ).where(F.col("q") >= 0.5)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    sampled = deduped.where(bucket < 32768)  # 50% split
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY6 = f"""ROUND(0.4 * (LEAST(CAST({_NTOK} AS DOUBLE), 100.0) / 100.0)
+           + 0.3 * (1.0 - {_PUNCT_RATIO})
+           + 0.3 * LEAST({_SW_RATIO} * 4.0, 1.0), 6)"""
+
+CURATION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, text, lang, {_QUALITY6} AS q, {_NTOK} AS ntok
+  FROM documents
+),
+filtered AS (SELECT * FROM scored WHERE q >= 0.5),
+deduped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM filtered
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE rn = 1
+    AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS INT) < 32768
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(q), 4) AS avg_quality
+FROM sampled GROUP BY lang ORDER BY lang
+"""
