@@ -1,0 +1,72 @@
+"""Synthetic points DataSource: determinism, partitioning, and
+fitness as K-Means ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.sources import synthetic
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    synthetic.register(spark)
+    return spark
+
+
+def _load(spark, **opts):
+    r = spark.read.format("synthetic_points")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_deterministic_across_reads_and_partitionings(registered):
+    """Same options -> identical rows; a different partition count
+    changes data placement (ids are partition-derived) but each
+    configuration is itself stable across reads."""
+    a = sorted(map(tuple, _load(registered, n=500, dim=4, seed=9).collect()))
+    b = sorted(map(tuple, _load(registered, n=500, dim=4, seed=9).collect()))
+    assert a == b
+    assert len(a) == 500
+    assert len({r[0] for r in a}) == 500  # ids unique
+    c = sorted(map(tuple, _load(registered, n=500, dim=4, seed=10).collect()))
+    assert a != c  # seed actually matters
+
+
+def test_partition_parallel_generation(registered):
+    """Requested parallelism arrives as real input partitions."""
+    df = _load(registered, n=1000, dim=4, partitions=16)
+    assert df.rdd.getNumPartitions() == 16
+    assert df.count() == 1000
+
+
+def test_blobs_are_kmeans_ground_truth(registered):
+    """Points cluster around their generating centers: the native
+    Lloyd loop seeded with k centroids must recover a partition that
+    agrees with the generator labels (sigma=1, spread=10 => blobs are
+    well separated)."""
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        assign_clusters_broadcast,
+        fit_kmeans_native,
+    )
+
+    df = _load(registered, n=2000, dim=8, k=4, seed=5, sigma=1.0).cache()
+    pts = df.select("id", "features")
+    res = fit_kmeans_native(pts, k=4, dim=8, seed=11, max_iter=20)
+    assigned = assign_clusters_broadcast(pts, res.centroids).join(
+        df.select("id", "label"), "id"
+    )
+    # purity: the majority fitted cluster per generator blob must cover
+    # ~all of that blob
+    purity = (
+        assigned.groupBy("label", "cluster_id")
+        .count()
+        .groupBy("label")
+        .agg((F.max("count") / F.sum("count")).alias("purity"))
+        .agg(F.min("purity").alias("min_purity"))
+        .collect()[0]["min_purity"]
+    )
+    df.unpersist()
+    assert purity > 0.95, f"blob purity {purity}"
