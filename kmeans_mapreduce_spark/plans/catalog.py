@@ -148,6 +148,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention_cohorts": AN.events_retention_cohorts,
     # End-to-end corpus curation (operator composition)
     "pipeline_corpus_curation": PQ.pipeline_corpus_curation,
+    # Mergeable-sketch rollup (daily HLL -> weekly union)
+    "sketch_rollup_weekly_users": AN.sketch_rollup_weekly_users,
     # K-Means pipeline stages (reference parity, SURVEY §2.2-2.4)
     "ingest_typed_projection": KQ.ingest_typed_projection,
     "km_assign": KQ.km_assign,
@@ -283,6 +285,7 @@ ORACLES: dict[str, str] = {
     "events_funnel": AN.FUNNEL_SQL,
     "events_retention_cohorts": AN.RETENTION_SQL,
     "pipeline_corpus_curation": PQ.CURATION_SQL,
+    "sketch_rollup_weekly_users": AN.SKETCH_ROLLUP_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_tfidf_topterms": PQ.TFIDF_SQL,
     "text_bm25_rank": PQ.BM25_SQL,
