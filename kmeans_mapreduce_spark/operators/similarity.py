@@ -353,3 +353,198 @@ def stream_append_ivf_index(
         .start()
     )
     q.awaitTermination()
+
+
+# --- product quantization (PQ) ----------------------------------------------
+
+def pq_train(
+    points: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    id_col: str = "id",
+    vec_col: str = "v",
+    init: str = "farthest",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into m subspaces and K-Means
+    each independently (k_codes codewords per subspace).  Returns
+    codebooks[m][k_codes][dim//m].
+
+    Deterministic either way: init="farthest" seeds each subspace's
+    farthest-point init from (seed + subspace index); init="first"
+    uses the k_codes lowest-id vectors' sub-slices as starting
+    codewords — one collect total instead of k_codes-1 distributed
+    argmax rounds PER subspace, the right trade when training runs
+    inside a latency-bounded job.  Training reuses the
+    reference-semantics Lloyd loop (operators/kmeans.py): K-Means as
+    ANN infrastructure again, same as IVF's coarse quantizer."""
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
+
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    base = points.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).cache()
+    try:
+        first_rows = (
+            [list(r["v"]) for r in base.orderBy("id").limit(k_codes).collect()]
+            if init == "first"
+            else None
+        )
+        for j in range(m):
+            sub_pts = base.select(
+                "id", F.slice("v", j * sub + 1, sub).alias("features")
+            )
+            init_c = (
+                [v[j * sub : (j + 1) * sub] for v in first_rows]
+                if first_rows is not None
+                else None
+            )
+            res = fit_kmeans_native(
+                sub_pts,
+                k=k_codes,
+                dim=sub,
+                seed=seed + j,
+                max_iter=max_iter,
+                initial_centroids=init_c,
+            )
+            books.append([list(c) for c in res.centroids])
+    finally:
+        base.unpersist()
+    return books
+
+
+def pq_encode(
+    points: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """[id, codes: array<int>] — each vector compressed to m small ints
+    (4 bits each at k_codes=16: a 64-dim float64 vector becomes 8
+    codes, a 64x compression of the scan payload).
+
+    One pass, pure codegen expressions: per subspace, argmin over the
+    codeword literals.  At 100 TB this is the representation you scan
+    for candidate generation; raw vectors stay in cold storage for
+    optional exact re-ranking."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+
+    def code(j: int):
+        s = F.slice(v, j * sub + 1, sub)
+        d2s = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        s,
+                        F.array(*[F.lit(x) for x in cw]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cw in codebooks[j]
+            ]
+        )
+        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+    return points.select(
+        F.col(id_col).alias("id"),
+        F.array(*[code(j) for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    lookup table lut[subspace][code] = d2(query_sub, codeword) is built
+    driver-side (m x k_codes floats — the PQ analog of broadcasting
+    centroids), and approx d2(q, x) = sum_j lut[j][codes[j]].
+
+    Plan shape: codes explode to (id, subspace, code) — N*m tiny rows —
+    broadcast-joined to the lut relation, then one (query, id) sum and
+    a per-query top-k window.  No full-dimension vector ever crosses a
+    shuffle; at 100 TB the scan side is the compressed codes table."""
+    spark = codes.sparkSession
+    m = len(codebooks)
+    lut_rows = []
+    for qid, qv in query_vectors:
+        for j, book in enumerate(codebooks):
+            sub = len(book[0])
+            qs = qv[j * len(book[0]) : (j + 1) * len(book[0])]
+            for c, cw in enumerate(book):
+                d2 = sum((a - b) * (a - b) for a, b in zip(qs, cw))
+                lut_rows.append((qid, j, c, float(d2)))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, subspace int, code int, d2 double"
+    )
+    exploded = codes.select(
+        F.col("id").alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "approx_d2")
+    )
+
+
+def pq_topk_rerank(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus: DataFrame,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """PQ with exact re-ranking — the standard production shape: ADC
+    over compressed codes produces a `shortlist` of candidates per
+    query (cheap, codes-only scan), then ONLY those candidates fetch
+    their raw vectors for exact euclidean re-ranking.
+
+    Recall is bounded by shortlist coverage instead of quantization
+    error, at the cost of |queries| x shortlist exact distances — at
+    100 TB that is the difference between scanning 64-byte codes for
+    everything and reading full vectors for a few thousand rows."""
+    cand = pq_topk(codes, codebooks, query_vectors, k=shortlist)
+    spark = codes.sparkSession
+    q = spark.createDataFrame(
+        [(qid, qv) for qid, qv in query_vectors],
+        "query_id long, qv array<double>",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("exact_d2"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", F.round(d2, 6).alias("exact_d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "exact_d2")
+    )

@@ -150,6 +150,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_corpus_curation": PQ.pipeline_corpus_curation,
     # Mergeable-sketch rollup (daily HLL -> weekly union)
     "sketch_rollup_weekly_users": AN.sketch_rollup_weekly_users,
+    # Data-quality gate
+    "dq_validation_report": RX3.dq_validation_report,
+    # PQ ANN (compressed-code search + exact rerank; rows-only)
+    "ann_pq_topk": PQ.ann_pq_topk,
     # K-Means pipeline stages (reference parity, SURVEY §2.2-2.4)
     "ingest_typed_projection": KQ.ingest_typed_projection,
     "km_assign": KQ.km_assign,
@@ -286,6 +290,7 @@ ORACLES: dict[str, str] = {
     "events_retention_cohorts": AN.RETENTION_SQL,
     "pipeline_corpus_curation": PQ.CURATION_SQL,
     "sketch_rollup_weekly_users": AN.SKETCH_ROLLUP_SQL,
+    "dq_validation_report": RX3.DQ_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_tfidf_topterms": PQ.TFIDF_SQL,
     "text_bm25_rank": PQ.BM25_SQL,

@@ -626,3 +626,36 @@ SELECT lang,
        ROUND(AVG(q), 4) AS avg_quality
 FROM sampled GROUP BY lang ORDER BY lang
 """
+
+
+# --- PQ ANN ------------------------------------------------------------------
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking: train 8x16
+    codebooks (deterministic first-k init + 3 Lloyd steps per
+    subspace), compress the corpus to 8 codes/vector, ADC-shortlist 30
+    candidates per query, exact-rerank to top-5.
+
+    Iterative K-Means training inside -> no SQL oracle (rows-only);
+    recall and determinism are pinned in tests/test_pq.py.  At 100 TB
+    the candidate scan touches 8-byte codes, not 512-byte vectors —
+    see operators/similarity.py pq_* docstrings for the plan shape."""
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+
+    embs = _embs(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).cache()
+    try:
+        books = SIM.pq_train(
+            embs, dim=64, m=8, k_codes=16, seed=3, max_iter=3, init="first"
+        )
+        codes = SIM.pq_encode(embs, books)
+        qs = [
+            (r["id"], list(r["v"]))
+            for r in embs.where(F.col("id") < 5).collect()
+        ]
+        out = SIM.pq_topk_rerank(codes, books, embs, qs, k=5, shortlist=30)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        embs.unpersist()

@@ -496,3 +496,104 @@ WHERE p_brand <> 'Brand_3'
 GROUP BY p_brand, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_size
 """
+
+
+# --- data-quality validation report -----------------------------------------
+
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate a training pipeline runs before anything
+    else: declarative rules (domain ranges, referential integrity,
+    derived-column consistency, blank payloads) evaluated in bulk, one
+    report row per rule.
+
+    Plan shape: in-scan conditional aggregation — each table is read
+    ONCE and every per-row rule on it is a count_if in the same agg
+    (not one job per rule, the classic DQ-framework mistake); the one
+    relational rule (lineitem -> orders FK) is a broadcast-key anti
+    join counted in the same pass style.  At 100 TB the whole report
+    costs approximately one scan per table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    d = _t(spark, sf_dir, "documents")
+
+    def report(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
+        aggs = [F.count("*").alias("_total")] + [
+            F.count_if(cond).alias(name) for name, cond in rules.items()
+        ]
+        wide = df.agg(*aggs)
+        frames = [
+            wide.select(
+                F.lit(name).alias("rule"),
+                F.col(name).alias("violations"),
+                F.col("_total").alias("total"),
+            )
+            for name in rules
+        ]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionAll(fr)
+        return out
+
+    orders_r = report(o, {"orders_nonpositive_total": F.col("o_totalprice") <= 0})
+    li_r = report(
+        li,
+        {
+            "lineitem_discount_out_of_range": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.5),
+            "lineitem_nonpositive_qty": F.col("l_quantity") <= 0,
+        },
+    )
+    cust_r = report(c, {"customer_negative_balance": F.col("c_acctbal") < 0})
+    docs_r = report(
+        d,
+        {
+            "documents_blank_text": F.length(F.trim("text")) == 0,
+            "documents_nchars_mismatch": F.col("n_chars") != F.length("text"),
+        },
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .crossJoin(li.agg(F.count("*").alias("total")))
+        .select(F.lit("lineitem_orphan_orderkey").alias("rule"), "violations", "total")
+    )
+    return (
+        orders_r.unionAll(li_r)
+        .unionAll(cust_r)
+        .unionAll(docs_r)
+        .unionAll(orphans)
+        .select("rule", "violations", "total", (F.col("violations") == 0).alias("passed"))
+        .orderBy("rule")
+    )
+
+
+DQ_SQL = """
+WITH r AS (
+  SELECT 'orders_nonpositive_total' AS rule,
+         COUNT(*) FILTER (WHERE o_totalprice <= 0) AS violations,
+         COUNT(*) AS total FROM orders
+  UNION ALL
+  SELECT 'lineitem_discount_out_of_range',
+         COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5), COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_nonpositive_qty',
+         COUNT(*) FILTER (WHERE l_quantity <= 0), COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'customer_negative_balance',
+         COUNT(*) FILTER (WHERE c_acctbal < 0), COUNT(*) FROM customer
+  UNION ALL
+  SELECT 'documents_blank_text',
+         COUNT(*) FILTER (WHERE length(trim(text)) = 0), COUNT(*) FROM documents
+  UNION ALL
+  SELECT 'documents_nchars_mismatch',
+         COUNT(*) FILTER (WHERE n_chars <> length(text)), COUNT(*) FROM documents
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkey',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         (SELECT COUNT(*) FROM lineitem)
+)
+SELECT rule, violations, total, violations = 0 AS passed FROM r ORDER BY rule
+"""

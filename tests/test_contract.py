@@ -21,6 +21,7 @@ def test_catalog_shapes():
         "ann_lsh_topk",
         "mm_decode",
         "ann_brute_topk_pandas",
+        "ann_pq_topk",
     }
     # the driver's correctness gate only checks the first 50 dict
     # entries — the north-star pipeline + newest queries must be inside
