@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _tree_bytes(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
@@ -75,3 +76,60 @@ def write_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     part.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """CDC merge (upsert) into a plain-parquet table: rows in `updates`
+    replace target rows with the same key; new keys append.
+
+    Without a table format's MERGE, the honest parquet strategy is
+    rewrite-the-affected-scope: anti-join the target against the update
+    keys, union the updates, overwrite.  With `partition_col` set (the
+    table laid out hive-partitioned on it), ONLY the partitions that
+    appear in `updates` are rewritten — at 100 TB an upsert batch
+    touching 3 days of a date-partitioned table rewrites 3 partitions,
+    not the table.  `dedup_latest_event`/keep-latest compaction is the
+    read-side counterpart for when updates must land without rewrites.
+    """
+    import glob as _glob
+
+    has_target = bool(_glob.glob(f"{target_dir.removeprefix('file:')}/*"))
+    if not has_target:
+        w = updates.write.mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(target_dir)
+        return
+    target = spark.read.parquet(target_dir)
+    if partition_col:
+        parts = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        scope = target.where(F.col(partition_col).isin(parts))
+        keep = scope.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = keep.unionByName(updates.select(*scope.columns))
+        # materialize BEFORE writing — the plan reads the same files the
+        # write replaces; then dynamic partition overwrite rewrites only
+        # the listed partitions
+        staged = merged.localCheckpoint(eager=True)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        staged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_dir
+        )
+    else:
+        keep = target.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = keep.unionByName(updates.select(*target.columns))
+        # full rewrite path: stage then swap (overwrite-in-place would
+        # read and clobber the same files)
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(target_dir)

@@ -89,3 +89,47 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
         global_hi - global_lo, "days"
     ) else (global_hi - global_lo)
     assert covered > full * 0.5, "control failed: unsorted file unexpectedly narrow"
+
+
+def test_upsert_unpartitioned(spark, tmp_path):
+    from kmeans_mapreduce_spark.sources.maintenance import upsert_parquet
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, val double",
+    )
+    upsert_parquet(spark, t, base, ["id"])
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, val double"
+    )
+    upsert_parquet(spark, t, updates, ["id"])
+    got = {r["id"]: (r["name"], r["val"]) for r in spark.read.parquet(t).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from kmeans_mapreduce_spark.sources.maintenance import upsert_parquet
+
+    t = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0), (3, "2024-01-02", 30.0)],
+        "id long, day string, val double",
+    )
+    upsert_parquet(spark, t, base, ["id"], partition_col="day")
+    untouched_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{t}/day=2024-01-02/*.parquet")
+    }
+    updates = spark.createDataFrame(
+        [(2, "2024-01-01", 21.0), (4, "2024-01-01", 40.0)],
+        "id long, day string, val double",
+    )
+    upsert_parquet(spark, t, updates, ["id"], partition_col="day")
+    got = {r["id"]: r["val"] for r in spark.read.parquet(t).collect()}
+    assert got == {1: 10.0, 2: 21.0, 3: 30.0, 4: 40.0}
+    # dynamic overwrite must not have touched the 2024-01-02 partition
+    for f, mtime in untouched_files.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mtime
