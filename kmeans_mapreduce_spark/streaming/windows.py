@@ -260,3 +260,43 @@ def stream_user_running_totals(spark: SparkSession, events_dir: str) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_ohlc_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming continuous aggregate: per (hour, event_type) OHLC over
+    `value`, the streaming face of plans.relational.events_ohlc_rollup.
+
+    open/close are min_by/max_by on event time — order-insensitive
+    aggregates with constant per-bucket state, so the streaming rollup
+    carries the same O(buckets) state bound as the batch one-pass plan;
+    the watermark finalizes and evicts buckets, making this an
+    always-fresh materialized downsample (the hypertable continuous
+    aggregate, Spark-native)."""
+    ev = events_stream_source(spark, events_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "avg_value",
+            "n_events",
+        )
+    )

@@ -246,3 +246,21 @@ def test_stream_built_ivf_index_matches_batch(spark, sf_dir, tmp_path):
     ).collect()))
     assert got == want
     assert len(got) == 10 * 5
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming OHLC (availableNow drain) == the batch
+    events_ohlc_rollup on the same files, modulo watermark-withheld
+    trailing buckets."""
+    from kmeans_mapreduce_spark.plans.relational import events_ohlc_rollup
+    from kmeans_mapreduce_spark.streaming.windows import stream_ohlc_rollup
+
+    stream = stream_ohlc_rollup(spark, _stage_events_dir(sf_dir, tmp_path))
+    out, ckpt = str(tmp_path / "ohlc_out"), str(tmp_path / "ohlc_ckpt")
+    run_available_now(stream, out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, events_ohlc_rollup(spark, sf_dir).collect()))
+    assert set(got) <= set(want)
+    missing = sorted(set(want) - set(got))
+    assert all(m[0] >= "2024-01-30" for m in missing), missing[:5]
+    assert len(got) >= len(want) - 12
