@@ -81,6 +81,15 @@ def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signal covers them; the km_*/core-relational queries live past the
 # cutoff because they are also pinned by pytest plan tests and
 # tools/compare.py (which covers the whole catalog every round).
+#
+# ROTATION LEDGER (update each round): driver-recorded green so far —
+# rounds 1-2 covered km_* + core relational + RX + early RX2; round 3
+# covers pipeline + RX2 + RX3 + q11/q16/ohlc/sample/sessionize/approx.
+# Still WITHOUT any driver-recorded row (local compare.py green only):
+# events_funnel, events_retention_cohorts, pipeline_corpus_curation,
+# sketch_rollup_weekly_users, dq_validation_report, ann_pq_topk,
+# set_multiset_priorities, case_coalesce_buckets, array_top_tokens.
+# Round 4 should rotate THOSE into the first 50.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Training-data pipeline (north-star mandate) — entries 1-20
     "text_token_stats": PQ.text_token_stats,
