@@ -60,8 +60,12 @@ class SyntheticPointsReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         # numpy per partition: one Generator seeded from (seed, pid) —
-        # independent streams, deterministic under any task placement
+        # independent streams, deterministic under any task placement.
+        # Yields ONE Arrow RecordBatch per partition (zero per-row
+        # Python) — generation throughput is numpy-bound, so a million
+        # rows per partition is fine.
         import numpy as np
+        import pyarrow as pa
 
         rng = np.random.default_rng([self.seed, partition.pid])
         count = partition.end - partition.start
@@ -75,12 +79,16 @@ class SyntheticPointsReader(DataSourceReader):
         labels = rng.integers(0, self.k, size=count)
         noise = rng.normal(0.0, self.sigma, size=(count, self.dim))
         pts = centers[labels] + noise
-        for i in range(count):
-            yield (
-                partition.start + i,
-                [float(x) for x in pts[i]],
-                int(labels[i]),
-            )
+        ids = pa.array(
+            np.arange(partition.start, partition.end, dtype=np.int64)
+        )
+        features = pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.reshape(-1), pa.float64()), self.dim
+        ).cast(pa.list_(pa.float64()))
+        yield pa.RecordBatch.from_arrays(
+            [ids, features, pa.array(labels, pa.int32())],
+            names=["id", "features", "label"],
+        )
 
 
 class SyntheticPointsDataSource(DataSource):

@@ -133,3 +133,19 @@ def test_ivf_index_scale_prunes_partitions(wide_shuffle, tmp_path):
     plan = _physical_plan(out)
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ppjoin_and_bm25_no_cartesian_at_scale(wide_shuffle):
+    """The exact n-gram Jaccard path must stay prefix-filtered (PPJoin)
+    and BM25 must stay a term-join — no all-pairs anywhere even at
+    256-way shuffles."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries import (
+        dedup_ngram_jaccard,
+        text_bm25_rank,
+    )
+
+    for q in (dedup_ngram_jaccard, text_bm25_rank):
+        df = q(wide_shuffle, SF_SCALE)
+        assert df.count() >= 0
+        plan = _physical_plan(df)
+        assert "CartesianProduct" not in plan, q.__name__

@@ -70,3 +70,17 @@ def test_blobs_are_kmeans_ground_truth(registered):
     )
     df.unpersist()
     assert purity > 0.95, f"blob purity {purity}"
+
+
+def test_arrow_batch_generation_at_volume(registered):
+    """RecordBatch-per-partition generation: 200k rows arrive fast and
+    partition-parallel (per-row Python would time this out)."""
+    df = _load(registered, n=200_000, dim=16, k=8, partitions=32, seed=1)
+    assert df.rdd.getNumPartitions() == 32
+    assert df.count() == 200_000
+    stats = df.agg(
+        F.countDistinct("label").alias("k"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    ).collect()[0]
+    assert stats["k"] == 8 and stats["lo"] == 0 and stats["hi"] == 199_999
