@@ -548,3 +548,55 @@ def pq_topk_rerank(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "exact_d2")
     )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> None:
+    """Materialize a PQ index as two parquet tables: `{path}/codes`
+    (id, 8 small ints per vector — the only thing searches scan) and
+    `{path}/codebooks` (subspace, code, codeword vector — KBs total).
+
+    Same posture as write_ivf_index: the index is a TABLE, not an
+    in-process artifact — any session (or engine) can reopen it, and
+    at 100 TB the codes table is ~1/64th the corpus bytes.  Compose
+    with write_ivf_index for IVF-PQ: partition the codes table by IVF
+    cell and probes prune at the scan while distances stay ADC."""
+    spark = corpus.sparkSession
+    pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    rows = [
+        (j, c, list(cw))
+        for j, book in enumerate(codebooks)
+        for c, cw in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def pq_topk_from_index(
+    spark,
+    path: str,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k against a written PQ index: codebooks reload into the
+    driver (m x k_codes x sub floats — centroid-sized), codes stream
+    from the scan.  Identical results to pq_topk over the in-memory
+    frames (pinned in tests)."""
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["subspace"] for r in cb_rows) + 1
+    k_codes = max(r["code"] for r in cb_rows) + 1
+    books: list[list[list[float]]] = [
+        [None] * k_codes for _ in range(m)  # type: ignore[list-item]
+    ]
+    for r in cb_rows:
+        books[r["subspace"]][r["code"]] = list(r["codeword"])
+    codes = spark.read.parquet(f"{path}/codes")
+    return pq_topk(codes, books, query_vectors, k=k)

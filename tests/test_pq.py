@@ -85,3 +85,21 @@ def test_pq_recall_vs_exact(spark, pq_setup):
     rr_mean = sum(rr_recalls) / len(rr_recalls)
     assert rr_mean >= 0.6, f"reranked mean recall@5 {rr_mean}"
     assert rr_mean > mean_recall
+
+
+def test_pq_index_roundtrip_matches_in_memory(spark, pq_setup, tmp_path):
+    """A written PQ index must answer ADC searches identically to the
+    in-memory codes/codebooks it was built from."""
+    embs, books, codes = pq_setup
+    idx = str(tmp_path / "pq_index")
+    SIM.write_pq_index(embs, books, idx)
+    qs = [(r["id"], list(r["v"])) for r in embs.where(F.col("id") < 6).collect()]
+    from_disk = sorted(
+        map(tuple, SIM.pq_topk_from_index(spark, idx, qs, k=5).collect())
+    )
+    in_mem = sorted(map(tuple, SIM.pq_topk(codes, books, qs, k=5).collect()))
+    assert from_disk == in_mem
+    assert len(from_disk) == 6 * 5
+    # the scan payload really is codes-only
+    cols = set(spark.read.parquet(f"{idx}/codes").columns)
+    assert cols == {"id", "codes"}
