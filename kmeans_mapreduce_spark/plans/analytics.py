@@ -211,3 +211,46 @@ FROM events
 GROUP BY date_trunc('week', ts)
 ORDER BY week
 """
+
+
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: turn a change stream
+    (each event sets its user's current value) into validity intervals
+    [valid_from, valid_to) with an is_current flag — the historization
+    step every warehouse dimension pipeline runs on CDC input.
+
+    Plan shape: one window (lead over (user, event-time)) per user
+    partition — high-cardinality key, single shuffle, no self-join (the
+    naive interval build joins each row to its successor).  Restricted
+    to user_id < 10 to keep the checked output small; the plan is
+    row-count-independent."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 10)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_id", "value", "ts")
+        .withColumn("valid_to_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            F.col("valid_to_ts").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_id, ROUND(value, 4) AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           AS is_current
+FROM events
+WHERE user_id < 10
+ORDER BY user_id, valid_from, event_id
+"""

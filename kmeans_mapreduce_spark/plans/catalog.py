@@ -163,6 +163,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_validation_report": RX3.dq_validation_report,
     # PQ ANN (compressed-code search + exact rerank; rows-only)
     "ann_pq_topk": PQ.ann_pq_topk,
+    # SCD2 historization (CDC -> validity intervals)
+    "scd2_user_value_history": AN.scd2_user_value_history,
     # K-Means pipeline stages (reference parity, SURVEY §2.2-2.4)
     "ingest_typed_projection": KQ.ingest_typed_projection,
     "km_assign": KQ.km_assign,
@@ -300,6 +302,7 @@ ORACLES: dict[str, str] = {
     "pipeline_corpus_curation": PQ.CURATION_SQL,
     "sketch_rollup_weekly_users": AN.SKETCH_ROLLUP_SQL,
     "dq_validation_report": RX3.DQ_SQL,
+    "scd2_user_value_history": AN.SCD2_SQL,
     "text_token_stats": PQ.TEXT_TOKEN_SQL,
     "text_tfidf_topterms": PQ.TFIDF_SQL,
     "text_bm25_rank": PQ.BM25_SQL,
