@@ -431,15 +431,22 @@ def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set/collect_list are holistic (state = the whole group) —
     exactly the aggregates partial aggregation can't shrink, so they
     belong on BOUNDED groups (25 nations here).  sort_array pins a
-    deterministic output order for the oracle."""
+    deterministic output order, and array_join flattens to a string so
+    every downstream comparator (the driver canonicalizes with a pandas
+    sort that cannot hash raw list cells) can hash the result."""
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_set("n_name")).alias("nations"),
-            F.sort_array(F.collect_list("n_nationkey")).alias("nation_keys"),
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias(
+                "nations"
+            ),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("n_nationkey").cast("string"))),
+                ",",
+            ).alias("nation_keys"),
             F.count("*").alias("n"),
         )
     )
@@ -447,8 +454,9 @@ def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COLLECT_SQL = """
 SELECT r_name,
-       list_sort(list(DISTINCT n_name)) AS nations,
-       list_sort(list(n_nationkey)) AS nation_keys,
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+       array_to_string(list_sort(list(CAST(n_nationkey AS VARCHAR))), ',')
+         AS nation_keys,
        COUNT(*) AS n
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
