@@ -38,8 +38,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UTC session TZ makes NTZ->TIMESTAMP an identity on the stored
     # micros value — window/date_format/unix_micros then agree with
     # DuckDB's naive timestamps on any box TZ (incl. :30-offset zones).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # session.get_spark sets both confs at build; the guarded sets below
+    # only fire for EXTERNALLY-built sessions (the round driver passes
+    # its own SparkSession), so no repeated shared-conf mutation happens
+    # on the harness path.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -782,10 +788,17 @@ def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(
-            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            # tiebreak on event_id: two events sharing a ts would make a
+            # bare min_by(value, ts) partition-order-dependent; the
+            # struct compares lexicographically (ts, then event_id)
+            F.round(F.min_by("value", F.struct("ts", "event_id")), 4).alias(
+                "open"
+            ),
             F.round(F.max("value"), 4).alias("high"),
             F.round(F.min("value"), 4).alias("low"),
-            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.round(F.max_by("value", F.struct("ts", "event_id")), 4).alias(
+                "close"
+            ),
             F.round(F.avg("value"), 4).alias("avg_value"),
             F.count("*").alias("n_events"),
         )
@@ -796,10 +809,10 @@ def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 OHLC_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
        event_type,
-       ROUND(arg_min(value, ts), 4) AS open,
+       ROUND(first(value ORDER BY ts, event_id), 4) AS open,
        ROUND(MAX(value), 4) AS high,
        ROUND(MIN(value), 4) AS low,
-       ROUND(arg_max(value, ts), 4) AS close,
+       ROUND(last(value ORDER BY ts, event_id), 4) AS close,
        ROUND(AVG(value), 4) AS avg_value,
        COUNT(*) AS n_events
 FROM events

@@ -430,12 +430,18 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    total = per_part.agg(F.sum("_value")).collect()[0][0]
-    return (
-        per_part.where(F.col("_value") > 0.001 * F.lit(total))
-        .select("l_partkey", F.round("_value", 2).alias("value"))
-        .orderBy(F.desc("value"), "l_partkey")
-    )
+    try:
+        total = per_part.agg(F.sum("_value")).collect()[0][0]
+        out = (
+            per_part.where(F.col("_value") > 0.001 * F.lit(total))
+            .select("l_partkey", F.round("_value", 2).alias("value"))
+            .orderBy(F.desc("value"), "l_partkey")
+        )
+        # materialize off the cache so unpersist can't force a rescan
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        per_part.unpersist()
+    return out
 
 
 Q11_SQL = """

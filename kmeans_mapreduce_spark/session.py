@@ -30,6 +30,13 @@ def get_spark(app_name: str = "kmeans-mapreduce-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
+        # Event-time contract (see plans.relational._events): UTC session
+        # TZ makes NTZ->TIMESTAMP an identity on stored micros, agreeing
+        # with DuckDB's naive timestamps on any box TZ; nanosAsLong lets
+        # the TIMESTAMP(NANOS) events layout read at all.  Set HERE, at
+        # session build, so no query mutates shared conf mid-session.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Runtime bloom-filter pushdown: a selective dimension-side filter
         # becomes a bloom filter applied to the fact-side scan before the
         # shuffle — big shuffle-volume win on selective joins at scale.

@@ -78,6 +78,15 @@ def write_sorted(
     part.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
 
 
+def _fs_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` via the Hadoop API — correct on
+    file://, hdfs:// and s3a:// alike (glob/os.path are local-only and
+    silently report 'absent' for remote URIs)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def upsert_parquet(
     spark: SparkSession,
     target_dir: str,
@@ -90,22 +99,31 @@ def upsert_parquet(
 
     Without a table format's MERGE, the honest parquet strategy is
     rewrite-the-affected-scope: anti-join the target against the update
-    keys, union the updates, overwrite.  With `partition_col` set (the
+    keys, union the updates, rewrite.  With `partition_col` set (the
     table laid out hive-partitioned on it), ONLY the partitions that
     appear in `updates` are rewritten — at 100 TB an upsert batch
     touching 3 days of a date-partitioned table rewrites 3 partitions,
     not the table.  `dedup_latest_event`/keep-latest compaction is the
     read-side counterpart for when updates must land without rewrites.
-    """
-    import glob as _glob
 
-    has_target = bool(_glob.glob(f"{target_dir.removeprefix('file:')}/*"))
-    if not has_target:
+    Durability: the merged scope is WRITTEN TO A STAGING DIRECTORY
+    first (the job still reads the untouched target files), then swapped
+    in with filesystem renames.  An overwrite-in-place of the directory
+    being read — even behind an eager localCheckpoint — leaves the table
+    partially destroyed if an executor holding non-replicated checkpoint
+    blocks dies mid-write; after the staged write, the worst crash
+    window is between two renames, which is recoverable (both dirs still
+    exist in full).
+    """
+    fs, jtarget = _fs_path(spark, target_dir)
+    if not fs.exists(jtarget):
         w = updates.write.mode("overwrite")
         if partition_col:
             w = w.partitionBy(partition_col)
         w.parquet(target_dir)
         return
+    staging_dir = target_dir.rstrip("/") + "__staging"
+    _, jstaging = _fs_path(spark, staging_dir)
     target = spark.read.parquet(target_dir)
     if partition_col:
         parts = [
@@ -116,20 +134,31 @@ def upsert_parquet(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         )
         merged = keep.unionByName(updates.select(*scope.columns))
-        # materialize BEFORE writing — the plan reads the same files the
-        # write replaces; then dynamic partition overwrite rewrites only
-        # the listed partitions
-        staged = merged.localCheckpoint(eager=True)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        staged.write.mode("overwrite").partitionBy(partition_col).parquet(
-            target_dir
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            staging_dir
         )
+        # swap in ONLY the staged partition dirs; untouched partitions'
+        # files are never opened, moved, or rewritten
+        prefix = f"{partition_col}="
+        for st in fs.listStatus(jstaging):
+            name = st.getPath().getName()
+            if not name.startswith(prefix):
+                continue
+            _, jdst = _fs_path(spark, f"{target_dir.rstrip('/')}/{name}")
+            if fs.exists(jdst):
+                fs.delete(jdst, True)
+            fs.rename(st.getPath(), jdst)
+        fs.delete(jstaging, True)
     else:
         keep = target.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         )
         merged = keep.unionByName(updates.select(*target.columns))
-        # full rewrite path: stage then swap (overwrite-in-place would
-        # read and clobber the same files)
-        staged = merged.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").parquet(target_dir)
+        merged.write.mode("overwrite").parquet(staging_dir)
+        old_dir = target_dir.rstrip("/") + "__old"
+        _, jold = _fs_path(spark, old_dir)
+        if fs.exists(jold):
+            fs.delete(jold, True)
+        fs.rename(jtarget, jold)
+        fs.rename(jstaging, jtarget)
+        fs.delete(jold, True)

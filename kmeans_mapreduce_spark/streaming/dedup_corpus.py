@@ -137,16 +137,22 @@ def stream_dedup_corpus(
             )
             survivors = survivors.join(near_ids, "id", "left_anti")
         survivors = survivors.cache()
-        # 4. append accepted rows (original schema) + index entries
-        batch_df.join(
-            survivors.select(F.col("id").alias(id_col)), id_col
-        ).write.mode("append").parquet(accepted_dir)
-        survivors.select("id", "fp", "sig").write.mode("append").parquet(
-            index_dir
-        )
-        staged.unpersist()
-        if idx is not None:
-            idx.unpersist()
+        try:
+            # 4. append accepted rows (original schema) + index entries
+            batch_df.join(
+                survivors.select(F.col("id").alias(id_col)), id_col
+            ).write.mode("append").parquet(accepted_dir)
+            survivors.select("id", "fp", "sig").write.mode("append").parquet(
+                index_dir
+            )
+        finally:
+            # every per-batch cache released — a long-lived stream must
+            # not accumulate executor storage across batches
+            survivors.unpersist()
+            uniq.unpersist()
+            staged.unpersist()
+            if idx is not None:
+                idx.unpersist()
 
     q = (
         spark.readStream.schema(schema)

@@ -31,9 +31,12 @@ def events_stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
     so stream and batch event-times agree bit-for-bit.
     """
     # Same contract as _events: UTC session TZ makes NTZ->TIMESTAMP an
-    # identity on the stored micros value.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # identity on the stored micros value.  get_spark sets both confs at
+    # session build; the guards only fire for externally-built sessions.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(events_dir)
     src = spark.readStream.schema(batch.schema).parquet(events_dir)
     if dict(batch.dtypes)["ts"] == "bigint":  # nanos layout
@@ -282,10 +285,16 @@ def stream_ohlc_rollup(
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
-            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            # same (ts, event_id) tiebreak as the batch rollup — a bare
+            # min_by(value, ts) is partition-order-dependent on ts ties
+            F.round(F.min_by("value", F.struct("ts", "event_id")), 4).alias(
+                "open"
+            ),
             F.round(F.max("value"), 4).alias("high"),
             F.round(F.min("value"), 4).alias("low"),
-            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.round(F.max_by("value", F.struct("ts", "event_id")), 4).alias(
+                "close"
+            ),
             F.round(F.avg("value"), 4).alias("avg_value"),
             F.count("*").alias("n_events"),
         )
