@@ -14,8 +14,9 @@ Scale design notes (100 TB posture):
     path, capped for sanity; at scale it's what LSH approximates.
   * simhash: 64-bit signature, near-dup = small Hamming distance;
     banded into 4x16-bit blocks for candidate generation.
-  * embedding near-dup: all-pairs cosine baseline (the LSH-bucketed ANN
-    path lives in operators/similarity.py).
+  * embedding near-dup: hyperplane-LSH bucketed candidates + exact
+    cosine verify (embedding_cosine_pairs_lsh) — every join an equi-join;
+    the all-pairs form is kept only as the recall ground truth.
 
 All hash material derives from md5 hex (engine-portable); no Python UDFs
 anywhere — signatures are built from Catalyst array/lambda expressions.
@@ -348,9 +349,10 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """All-pairs embedding near-dup: [id_a, id_b, cosine(rounded 6)].
 
-    Baseline/oracle path (O(N^2)); the bucketed/ANN variant for scale is
-    operators/similarity.lsh_topk.  Cosine fold order matches the DuckDB
-    oracle so values hash identically.
+    GROUND-TRUTH BASELINE ONLY (O(N^2) nested-loop join): kept as the
+    recall yardstick for embedding_cosine_pairs_lsh (the catalog/scale
+    path) and as the shape the DuckDB oracle mirrors.  Cosine fold order
+    matches the DuckDB oracle so values hash identically.
     """
     from kmeans_mapreduce_spark.session import ensure_parallelism
 
@@ -362,6 +364,78 @@ def embedding_cosine_pairs(
     cos = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 24,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup at scale: multi-table random-hyperplane LSH
+    candidate generation + exact-cosine verification on candidates only.
+    Output: [id_a, id_b, cosine(rounded 6)] — identical to
+    embedding_cosine_pairs when every qualifying pair shares >=1 bucket
+    (recall pinned against the all-pairs ground truth in
+    tests/test_dedup_similarity.py for the fixed seed).
+
+    Plan shape (the point of this operator): every join is an EQUI-join
+    — (table, bucket) for candidates, id for the verify lookups — so
+    Catalyst hash-partitions each; no BroadcastNestedLoopJoin / cartesian
+    anywhere (asserted in tests).  Shuffle volume is n_tables rows per
+    vector for bucketing plus the candidate-pair ids; the O(N^2)
+    comparison of the baseline never happens.
+
+    Parameter note: sign-LSH collision prob per table is
+    (1 - theta/pi)^n_planes; the benchmark threshold 0.45 (theta~63deg)
+    is unusually permissive, so recall 1.0 needs many OR-ed tables
+    (24x3 bits here -> per-pair miss ~5e-4 at the threshold boundary).
+    At production near-dup thresholds (>=0.8, theta<=37deg) the same
+    machinery reaches the same recall with far fewer tables while
+    pruning much harder — the table count is the knob, not the shape."""
+    from kmeans_mapreduce_spark.operators.similarity import (
+        _bucket_sql,
+        _hyperplanes,
+    )
+    from kmeans_mapreduce_spark.session import ensure_parallelism
+
+    v = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # one expression string for all tables (py4j round-trips avoided);
+    # explode -> n_tables (tbl, bucket) rows per vector
+    structs = ",".join(
+        f"struct({t} as tbl, "
+        f"{_bucket_sql('v', _hyperplanes(dim, n_planes, seed + 1000 * t))} as bucket)"
+        for t in range(n_tables)
+    )
+    bucketed = v.select(
+        "id", F.explode(F.expr(f"array({structs})")).alias("tb")
+    ).select("id", "tb.tbl", "tb.bucket")
+    # candidate ids only — vectors do not ride the bucket join
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            ["tbl", "bucket"],
+        )
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # same pair collides in multiple tables
+    )
+    # verify: fetch both vectors by id (equi-joins), exact cosine, filter
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

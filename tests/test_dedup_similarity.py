@@ -68,6 +68,35 @@ def test_embedding_cosine_pairs_symmetric_threshold(embs):
     assert all(r["cosine"] >= 0.45 for r in rows)
 
 
+def test_embedding_lsh_equals_all_pairs(embs):
+    """The LSH-bucketed path (the catalog entry) must EQUAL the all-pairs
+    ground truth at the benchmark threshold — recall 1.0, not approx —
+    for the pinned seed/table parameters (the dedup_minhash convention)."""
+    gt = {
+        tuple(r)
+        for r in DD.embedding_cosine_pairs(
+            embs, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    lsh = DD.embedding_cosine_pairs_lsh(embs, "vec_id", "embedding", threshold=0.45)
+    got = {tuple(r) for r in lsh.collect()}
+    assert got == gt, f"missed={len(gt - got)} extra={len(got - gt)}"
+
+
+def test_embedding_lsh_plan_has_no_nested_loop(embs):
+    """Scale contract: candidate generation + verify are equi-joins only.
+    A BroadcastNestedLoopJoin/Cartesian anywhere means the operator
+    degenerated to all-pairs."""
+    plan = (
+        DD.embedding_cosine_pairs_lsh(embs, "vec_id", "embedding", threshold=0.45)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
 def test_ann_lsh_recall_vs_brute(embs):
     """Multi-table hyperplane LSH: >=40% of true top-5 recovered on
     average (4 tables x 4 planes on 64-dim data — approximate by design,
