@@ -36,13 +36,19 @@ def cosine_sim_pd(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def brute_force_topk_pandas(
-    corpus, queries, k: int = 5, id_col: str = "id", vec_col: str = "v"
+    corpus, queries, k: int = 5, id_col: str = "id", vec_col: str = "v",
+    round_dp: int = 6,
 ):
     """ann brute-force top-k with the scoring inside cosine_sim_pd —
     identical plan shape to similarity.brute_force_topk except the score
     expression crosses the Arrow boundary.  Exists to benchmark the
     UDF-vs-codegen gap honestly and as the template for real Python
-    scoring (e.g. a learned reranker)."""
+    scoring (e.g. a learned reranker).
+
+    round_dp: numpy's pairwise summation and a sequential SQL fold can
+    differ in the last ulp; at 4 decimals the gap is unobservable, which
+    is what lets the catalog entry share an exact SQL oracle (ranks
+    tie-break on neighbor_id, deterministic in both engines)."""
     from pyspark.sql import Window
 
     c = corpus.select(
@@ -58,7 +64,7 @@ def brute_force_topk_pandas(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim_pd(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(cosine_sim_pd(F.col("qv"), F.col("cv")), round_dp).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

@@ -316,10 +316,13 @@ ORACLES: dict[str, str] = {
     "dedup_components": PQ.DEDUP_COMPONENTS_SQL,
     "dedup_embedding_cosine": PQ.DEDUP_COSINE_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,
+    "ann_lsh_topk": PQ.ANN_LSH_SQL,
+    "ann_brute_topk_pandas": PQ.ANN_BRUTE4_SQL,
     "ann_ivf_topk": PQ.ANN_IVF_SQL,
     "mm_metadata": PQ.MM_METADATA_SQL,
+    "mm_decode": PQ.MM_DECODE_SQL,
     "mm_frame_sample": PQ.MM_FRAME_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
-    # kmeans_fit_lineitem, dedup_simhash, ann_lsh_topk, mm_decode,
-    # ann_brute_topk_pandas — see docstrings.
+    # kmeans_fit_lineitem, dedup_simhash (xxhash64 absent in DuckDB),
+    # ann_pq_topk (codebooks from iterative K-Means) — see docstrings.
 }

@@ -220,11 +220,58 @@ WHERE rank <= 5
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table random-hyperplane LSH — the
-    scale path (equi-join on buckets, no N^2).  No SQL oracle (hash
-    family not expressible); recall vs brute force asserted in tests."""
+    scale path (equi-join on buckets, no N^2).  The hyperplanes are
+    driver-side literals (fixed seed), so the bucket function is plain
+    arithmetic and the WHOLE query is SQL-expressible — ANN_LSH_SQL
+    spells the same planes as literals, the way ANN_IVF_SQL spells its
+    fixed centroids."""
     e = _embs(spark, sf_dir)
     queries = e.where(F.col("vec_id") < 5)
     return SIM.lsh_topk(e, queries, k=5, id_col="vec_id", vec_col="embedding", dim=64)
+
+
+def _lsh_bucket_sql_duck(v: str, planes: list[list[float]]) -> str:
+    """DuckDB bucket id for sign-LSH: bit i = (v . plane_i >= 0).
+
+    Term order matches the Spark fold (v[1]*p1 + v[2]*p2 + ...) so both
+    engines evaluate the identical IEEE addition sequence — the sign
+    comparison then agrees bit-for-bit."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = " + ".join(f"{v}[{j + 1}]*{float(x)!r}" for j, x in enumerate(p))
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_buckets_union() -> str:
+    from kmeans_mapreduce_spark.operators.similarity import _hyperplanes
+
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_lsh_bucket_sql_duck('v', _hyperplanes(64, 4, 42 + 1000 * t))} AS bucket FROM e"
+        for t in range(4)
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS ({_lsh_buckets_union()}),
+qb AS (SELECT * FROM b WHERE vec_id < 5),
+pairs AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN b cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id <> cb.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(({_dot_sql('a.v', 'c.v')})
+               / (SQRT({_dot_sql('a.v', 'a.v')}) * SQRT({_dot_sql('c.v', 'c.v')})), 6) AS score
+  FROM pairs JOIN e a ON a.vec_id = query_id JOIN e c ON c.vec_id = neighbor_id)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
 
 
 # --- multimodal -----------------------------------------------------------
@@ -245,11 +292,33 @@ FROM documents
 
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing (deterministic fake codec): returns
-    media_id, dims and an 8-d byte-statistic feature.  The Python stage
-    is Arrow-batched; no SQL oracle (pandas fold) — invariants tested."""
+    media_id, dims and the first byte-statistic feature.  The Python
+    stage is Arrow-batched.  The fake codec's outputs are pure integer
+    arithmetic over the payload bytes (length-derived dims, first-chunk
+    byte sum mod 1000), so the whole thing IS SQL-expressible —
+    MM_DECODE_SQL recomputes them over hex(encode(text)) in DuckDB."""
     media = MM.attach_payload(_docs(spark, sf_dir), "doc_id", "text")
     dec = MM.decode_media(media)
     return dec.select("media_id", "n_bytes", "width", "height", F.round(F.col("feature")[0], 2).alias("f0"))
+
+
+MM_DECODE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+), c AS (
+  SELECT media_id, n, greatest(1, n // 8) AS chunk, h FROM m
+)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(64 + n % 64 AS INT) AS width,
+       CAST(64 + (n // 64) % 64 AS INT) AS height,
+       ROUND(CAST(COALESCE(list_sum(list_transform(range(1, chunk + 1),
+             i -> TRY_CAST('0x' || substr(h, CAST(2*i-1 AS INT), 2) AS INT))),
+             0) % 1000 AS DOUBLE), 2) AS f0
+FROM c
+"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,13 +394,33 @@ FROM documents
 def ann_brute_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_brute_topk with the cosine computed in an Arrow-batched pandas
     UDF (functions/udfs.py) — the template for Python-side scoring.
-    Rows-only: numpy pairwise summation differs from the SQL fold in the
-    last ulp; equality to the expr path at 1e-9 is asserted in tests."""
+    Scores rounded to 4 decimals: numpy's pairwise summation differs
+    from a sequential SQL fold only in the last ulp, invisible at 4dp,
+    so the catalog entry carries an exact SQL oracle (ranks tie-break on
+    neighbor_id identically in both engines)."""
     from kmeans_mapreduce_spark.functions.udfs import brute_force_topk_pandas
 
     e = _embs(spark, sf_dir)
     queries = e.where(F.col("vec_id") < 5)
-    return brute_force_topk_pandas(e, queries, k=5, id_col="vec_id", vec_col="embedding")
+    return brute_force_topk_pandas(
+        e, queries, k=5, id_col="vec_id", vec_col="embedding", round_dp=4
+    )
+
+
+ANN_BRUTE4_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(({_dot_sql('q.v', 'e.v')})
+               / (SQRT({_dot_sql('q.v', 'q.v')}) * SQRT({_dot_sql('e.v', 'e.v')})), 4) AS score
+  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
 
 
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,9 +18,6 @@ def test_catalog_shapes():
         "kmeans_fit_mllib",
         "kmeans_fit_lineitem",
         "dedup_simhash",
-        "ann_lsh_topk",
-        "mm_decode",
-        "ann_brute_topk_pandas",
         "ann_pq_topk",
     }
     # the driver's correctness gate only checks the first 50 dict
