@@ -13,7 +13,7 @@ hash-matched DuckDB oracle.  Scale posture in each docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -602,4 +602,52 @@ WITH r AS (
          (SELECT COUNT(*) FROM lineitem)
 )
 SELECT rule, violations, total, violations = 0 AS passed FROM r ORDER BY rule
+"""
+
+
+# --- window distribution functions (percent_rank / cume_dist) ---------------
+
+def window_percentile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over customers: percent_rank and
+    cume_dist of account balance within each market segment, keeping
+    each segment's top-3 percentile customers (SURVEY §2.9 coverage:
+    rank/ntile/lag were pinned earlier; these are the remaining two
+    ANSI window distribution functions).
+
+    Scale shape: one hash shuffle on mktsegment + per-partition sort —
+    the same single-exchange layout as every other window query here;
+    the rank filter prunes to 3 rows per segment before the final sort.
+    Ties: (c_acctbal desc, c_custkey asc) is a total order, so both
+    engines compute identical distribution values."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("c_mktsegment", F.desc("acctbal"), "c_custkey")
+    )
+
+
+WINDOW_PERCENTILE_SQL = """
+SELECT c_mktsegment, c_custkey, acctbal, pct_rank, cume FROM (
+  SELECT c_mktsegment, c_custkey,
+         ROUND(c_acctbal, 2) AS acctbal,
+         ROUND(percent_rank() OVER w, 6) AS pct_rank,
+         ROUND(cume_dist() OVER w, 6) AS cume,
+         ROW_NUMBER() OVER w AS rn
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+)
+WHERE rn <= 3
+ORDER BY c_mktsegment, acctbal DESC, c_custkey
 """

@@ -21,22 +21,34 @@ def test_catalog_shapes():
         "ann_pq_topk",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — the north-star pipeline + newest queries must be inside
+    # entries — round 4: never-recorded rotations + changed + new
+    # queries must be inside
     first50 = list(qs)[:50]
     for name in (
-        "dedup_minhash",
-        "dedup_components",
-        "ann_ivf_topk",
-        "text_bm25_rank",
+        # (a) rotated in — never driver-recorded before round 4
+        "events_funnel",
+        "events_retention_cohorts",
+        "pipeline_corpus_curation",
+        "sketch_rollup_weekly_users",
+        "dq_validation_report",
+        "ann_pq_topk",
+        "set_multiset_priorities",
+        "case_coalesce_buckets",
+        "array_top_tokens",
+        "scd2_user_value_history",
+        # (b) changed in round 4
+        "agg_collect_sets",
+        "dedup_embedding_cosine",
+        "ann_lsh_topk",
         "mm_decode",
-        "events_sessionize",
-        "agg_approx_stats",
-        "q22_dormant_customers",
-        "dedup_latest_event",
-        "q11_important_parts",
-        "q16_supplier_part_counts",
+        "ann_brute_topk_pandas",
         "events_ohlc_rollup",
-        "sample_train_split",
+        # (c) new in round 4
+        "pipeline_contamination_check",
+        "pipeline_seq_packing",
+        "pipeline_domain_mix",
+        "text_repetition_score",
+        "window_percentile_customers",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 
