@@ -12,8 +12,8 @@ Scale design notes (100 TB posture):
     Jaccard on candidates only.
   * ngram_jaccard_pairs: exact all-pairs O(N^2) — the *oracle*/baseline
     path, capped for sanity; at scale it's what LSH approximates.
-  * simhash: 64-bit signature, near-dup = small Hamming distance;
-    banded into 4x16-bit blocks for candidate generation.
+  * simhash: 60-bit md5-derived signature, near-dup = small Hamming
+    distance; banded into 4x15-bit blocks for candidate generation.
   * embedding near-dup: hyperplane-LSH bucketed candidates + exact
     cosine verify (embedding_cosine_pairs_lsh) — every join an equi-join;
     the all-pairs form is kept only as the recall ground truth.
@@ -255,9 +255,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_signature_from_hashes(hashes: Column | str, bits: int = 64) -> Column:
-    """64-bit SimHash as bigint from an ALREADY-MATERIALIZED array of
-    per-shingle xxhash64 values.
+SIMHASH_BITS = 60  # 15 md5 hex digits — fits a signed 64-bit in BOTH engines
+SIMHASH_BLOCKS = 4  # 4 x 15-bit bands for candidate generation
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """60-bit hash as bigint from the first 15 md5 hex digits.
+
+    The engine-portable replacement for xxhash64 (absent in DuckDB):
+    DuckDB computes the identical value as
+    ('0x' || substr(md5(s), 1, 15))::BIGINT, which is what lets SimHash
+    carry an exact SQL oracle.  15 digits (not 16) so the value stays
+    below 2^60 — no sign-bit trouble in either engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signature_from_hashes(
+    hashes: Column | str, bits: int = SIMHASH_BITS
+) -> Column:
+    """SimHash as bigint from an ALREADY-MATERIALIZED array of
+    per-shingle portable_hash60 values (each < 2^bits).
 
     Classic Charikar construction: each bit of each hash votes +1/-1,
     signature bit = sign of the vote sum.  Implemented as a fold over bit
@@ -276,20 +294,20 @@ def simhash_signature_from_hashes(hashes: Column | str, bits: int = 64) -> Colum
         )
         return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
     return F.aggregate(
-        F.array(*[bit_vote(i) * F.lit(2**i).cast("long") for i in range(bits - 1)]),
+        F.array(*[bit_vote(i) * F.lit(2**i).cast("long") for i in range(bits)]),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
 
-def simhash_signature(text: Column | str, bits: int = 64) -> Column:
+def simhash_signature(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash straight from a text column — null for empty shingle sets.
 
     Convenience/test surface: re-evaluates the shingle expression per
     bit.  Pipelines stage shingles + hashes first (simhash_dedup_pairs).
     """
     sh = word_shingles(text, n=2)
-    sig = simhash_signature_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)), bits)
+    sig = simhash_signature_from_hashes(F.transform(sh, portable_hash60), bits)
     return F.when(F.size(sh) == 0, F.lit(None)).otherwise(sig)
 
 
@@ -298,21 +316,27 @@ def simhash_dedup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Candidate generation bands the 63-bit signature into 4 blocks
-    (pigeonhole: distance<=6 pairs share >=1 exact block with high
-    probability at these lengths); exact popcount verifies.
+    Candidate generation bands the 60-bit signature into 4 x 15-bit
+    blocks (pigeonhole: distance<=6 pairs share >=1 exact block with
+    high probability at these lengths); exact popcount verifies.
     Returns [id_a, id_b, hamming].
+
+    Hashes are md5-derived (portable_hash60), so the ENTIRE pipeline —
+    shingles, votes, signature, banding, popcount — is reproducible in
+    DuckDB; SIMHASH_SQL (plans/pipeline_queries2.py) is the exact oracle.
     """
     # Same staging as minhash: shingles -> per-shingle hashes -> signature,
-    # each materialized so no stage's expression is re-inlined into the 63
+    # each materialized so no stage's expression is re-inlined into the 60
     # bit-vote references, the block keys, or the self-join sides.
     sh = _shingle_frame(df, id_col, text_col, n=2)
     hashes = sh.select(
-        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hashes")
+        "id", F.transform("sh", portable_hash60).alias("hashes")
     ).cache()
     sig = hashes.select(
         "id", simhash_signature_from_hashes("hashes").alias("sig")
     ).cache()
+    band_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << band_bits) - 1
     blocks = sig.select(
         "id",
         "sig",
@@ -321,9 +345,11 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("block"),
-                        F.shiftright(F.col("sig"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BLOCKS)
                 ]
             )
         ).alias("bk"),

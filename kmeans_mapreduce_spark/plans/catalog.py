@@ -319,6 +319,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": PQ.DEDUP_JACCARD_SQL,  # LSH must equal ground truth here
     "dedup_components": PQ.DEDUP_COMPONENTS_SQL,
     "dedup_embedding_cosine": PQ.DEDUP_COSINE_SQL,
+    "dedup_simhash": PQ2.SIMHASH_SQL,
     "pipeline_contamination_check": PQ2.CONTAMINATION_SQL,
     "pipeline_seq_packing": PQ2.SEQ_PACKING_SQL,
     "pipeline_domain_mix": PQ2.DOMAIN_MIX_SQL,
@@ -332,6 +333,6 @@ ORACLES: dict[str, str] = {
     "mm_decode": PQ.MM_DECODE_SQL,
     "mm_frame_sample": PQ.MM_FRAME_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
-    # kmeans_fit_lineitem, dedup_simhash (xxhash64 absent in DuckDB),
-    # ann_pq_topk (codebooks from iterative K-Means) — see docstrings.
+    # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
+    # (codebooks from iterative K-Means) — see docstrings.
 }

@@ -322,9 +322,11 @@ FROM c
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 6 over 64-bit signatures).
-    Deterministic but not SQL-expressible (xxhash64 family absent in
-    DuckDB) -> rows-only check; recall-vs-Jaccard invariants in tests."""
+    """SimHash near-dup pairs (Hamming <= 6 over 60-bit signatures).
+    The md5-derived hash family (operators/dedup.portable_hash60) is
+    computable in DuckDB, so the full pipeline — votes, signature,
+    banding, popcount — has an exact oracle (pipeline_queries2
+    SIMHASH_SQL); recall-vs-Jaccard invariants stay in tests."""
     return DD.simhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=6)
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from kmeans_mapreduce_spark.functions import text as TXT
 from kmeans_mapreduce_spark.plans.pipeline_queries import (
     _BLANK,
+    _SHINGLES,
     _TOKS_ALL,
     _docs,
 )
@@ -292,3 +293,52 @@ SELECT a.doc_id, a.n_bigrams, a.top_count,
         WHERE b.doc_id = a.doc_id AND b.cnt = a.top_count) AS top_bigram
 FROM agg a ORDER BY a.doc_id
 """
+
+
+# --- SimHash oracle ---------------------------------------------------------
+# The md5-derived 60-bit hash family (operators/dedup.portable_hash60)
+# makes the WHOLE SimHash pipeline — shingles, bit votes, signature,
+# 4x15-bit banding, popcount — reproducible in DuckDB, so the
+# previously rows-only dedup_simhash carries an exact oracle.
+
+def _simhash_bit_terms(hv: str, bits: int, per_bit_width: int = 1) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"(CASE WHEN SUM(CASE WHEN (({hv} >> {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _simhash_sql() -> str:
+    from kmeans_mapreduce_spark.operators.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_BLOCKS,
+    )
+
+    band_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << band_bits) - 1
+    bands = ",".join(str(b) for b in range(SIMHASH_BLOCKS))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_ALL} AS toks FROM documents WHERE NOT ({_BLANK})),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s
+  FROM t WHERE len(toks) >= 2),
+h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM sh),
+sig AS (SELECT doc_id, {_simhash_bit_terms('hv', SIMHASH_BITS)} AS sig
+        FROM h GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, sig, b, (sig >> (b * {band_bits})) & {mask} AS key
+  FROM sig CROSS JOIN (SELECT unnest([{bands}]) AS b)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         CAST(bit_count(xor(a.sig, c.sig)) AS INT) AS hamming
+  FROM blocks a JOIN blocks c
+    ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+
+SIMHASH_SQL = _simhash_sql()

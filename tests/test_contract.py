@@ -17,7 +17,6 @@ def test_catalog_shapes():
         "kmeans_fit_native",
         "kmeans_fit_mllib",
         "kmeans_fit_lineitem",
-        "dedup_simhash",
         "ann_pq_topk",
     }
     # the driver's correctness gate only checks the first 50 dict
