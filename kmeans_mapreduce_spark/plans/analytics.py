@@ -16,7 +16,7 @@ Scale posture (both queries):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.plans.relational import _events
@@ -253,4 +253,65 @@ SELECT user_id, event_id, ROUND(value, 4) AS value,
 FROM events
 WHERE user_id < 10
 ORDER BY user_id, valid_from, event_id
+"""
+
+
+# --- time-series gap filling (LOCF) -----------------------------------------
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per user with last-observation-carried-
+    forward: generate each user's full hour spine between their first
+    and last event, left-join the observed hourly averages, and fill
+    gaps with the most recent prior observation (TimescaleDB
+    time_bucket_gapfill + locf(), Spark-native).
+
+    The time-series primitive dashboards and feature pipelines need the
+    moment data is sparse (91% of user-hours here are gaps).
+
+    Scale shape: the hourly pre-agg is partial+final on (user, hour);
+    the spine is sequence()+explode off the per-user bounds — O(users)
+    input rows generating O(users x span) output with NO shuffle of the
+    raw events; the left join and the one LOCF window pass both key on
+    user_id, so they co-partition with the pre-agg.  Raw events are
+    touched exactly once."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 30)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),
+    )
+    j = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    ).orderBy("user_id", "bucket")
+
+
+GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, ROUND(AVG(value), 4) AS avg_value
+  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+b AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+          FROM b),
+j AS (SELECT s.user_id, s.h, hr.avg_value
+      FROM spine s LEFT JOIN hourly hr USING (user_id, h))
+SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, avg_value,
+       last_value(avg_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       avg_value IS NULL AS is_gap
+FROM j ORDER BY user_id, bucket
 """

@@ -120,7 +120,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_domain_mix": PQ2.pipeline_domain_mix,
     "text_repetition_score": PQ2.text_repetition_score,
     "window_percentile_customers": RX3.window_percentile_customers,
-    # (d) stable driver-green fill — entries 22-50
+    "events_gapfill_locf": AN.events_gapfill_locf,
+    # (d) stable driver-green fill — entries 23-50
     "dedup_minhash": PQ.dedup_minhash,
     "dedup_components": PQ.dedup_components,
     "ann_ivf_topk": PQ.ann_ivf_topk,
@@ -319,6 +320,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": PQ.DEDUP_JACCARD_SQL,  # LSH must equal ground truth here
     "dedup_components": PQ.DEDUP_COMPONENTS_SQL,
     "dedup_embedding_cosine": PQ.DEDUP_COSINE_SQL,
+    "events_gapfill_locf": AN.GAPFILL_SQL,
     "dedup_simhash": PQ2.SIMHASH_SQL,
     "pipeline_contamination_check": PQ2.CONTAMINATION_SQL,
     "pipeline_seq_packing": PQ2.SEQ_PACKING_SQL,

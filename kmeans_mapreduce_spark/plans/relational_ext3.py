@@ -395,7 +395,7 @@ GROUP BY c_mktsegment
 
 # --- TPC-H Q11 (partsupp-free): important parts by supplied value -----------
 
-def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q11_frames(spark: SparkSession, sf_dir: str):
     """Q11's shape without the partsupp table the testdata lacks
     (reference has no relational surface at all): per-part supplied
     value from lineitem restricted to NATION_1's suppliers, keeping
@@ -408,7 +408,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension join; one partial+final agg on l_partkey; the HAVING
     scalar is a second full agg over the SAME grouped result, which
     Spark computes off the grouped frame (reused, not a rescan of the
-    fact), then folds into a literal filter."""
+    fact), then folds into a literal filter.
+
+    Returns (per_part_cached, filtered_lazy); the CALLER must unpersist
+    per_part after consuming filtered."""
     n = _t(spark, sf_dir, "nation")
     supp = (
         _t(spark, sf_dir, "supplier")
@@ -430,15 +433,24 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    total = per_part.agg(F.sum("_value")).collect()[0][0]
+    filtered = (
+        per_part.where(F.col("_value") > 0.001 * F.lit(total))
+        .select("l_partkey", F.round("_value", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+    return per_part, filtered
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry for the Q11 shape: materializes the filtered result
+    off the cache, then releases it — repeated catalog runs in one
+    long-lived session must not accumulate executor storage.  The plan
+    property (single fact scan + InMemoryTableScan reuse) is pinned in
+    tests/test_scale_smoke.py against _q11_frames' lazy output."""
+    per_part, filtered = _q11_frames(spark, sf_dir)
     try:
-        total = per_part.agg(F.sum("_value")).collect()[0][0]
-        out = (
-            per_part.where(F.col("_value") > 0.001 * F.lit(total))
-            .select("l_partkey", F.round("_value", 2).alias("value"))
-            .orderBy(F.desc("value"), "l_partkey")
-        )
-        # materialize off the cache so unpersist can't force a rescan
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = spark.createDataFrame(filtered.collect(), filtered.schema)
     finally:
         per_part.unpersist()
     return out

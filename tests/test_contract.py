@@ -48,6 +48,7 @@ def test_catalog_shapes():
         "pipeline_domain_mix",
         "text_repetition_score",
         "window_percentile_customers",
+        "events_gapfill_locf",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

@@ -94,18 +94,23 @@ def test_q16_dim_joins_broadcast(wide_shuffle):
 def test_q11_single_fact_scan(wide_shuffle):
     """Q11 shape: the per-part aggregate is cached and reused by both
     the scalar total and the final filter — the filter branch must read
-    the InMemoryRelation, not rescan lineitem."""
-    from kmeans_mapreduce_spark.plans.relational_ext3 import q11_important_parts
+    the InMemoryRelation, not rescan lineitem.  (The catalog entry
+    materializes this lazy frame then unpersists — leak-free — so the
+    plan is pinned on the internal frames.)"""
+    from kmeans_mapreduce_spark.plans.relational_ext3 import _q11_frames
 
-    df = q11_important_parts(wide_shuffle, SF_SCALE)
-    # row count is scale-sensitive by design (TPC-H Q11's HAVING
-    # fraction scales with SF); here only the plan shape matters
-    assert df.count() >= 0
-    plan = _physical_plan(df)
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
-    # lineitem may appear exactly once: inside the cached relation's
-    # definition.  A second mention = the filter branch rescanning it.
-    assert plan.count("lineitem") <= 1, "filter branch rescans the fact table"
+    per_part, filtered = _q11_frames(wide_shuffle, SF_SCALE)
+    try:
+        # row count is scale-sensitive by design (TPC-H Q11's HAVING
+        # fraction scales with SF); here only the plan shape matters
+        assert filtered.count() >= 0
+        plan = _physical_plan(filtered)
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        # lineitem may appear exactly once: inside the cached relation's
+        # definition.  A second mention = the filter branch rescanning it.
+        assert plan.count("lineitem") <= 1, "filter branch rescans the fact table"
+    finally:
+        per_part.unpersist()
 
 
 def test_ivf_index_scale_prunes_partitions(wide_shuffle, tmp_path):
