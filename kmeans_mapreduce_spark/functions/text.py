@@ -164,3 +164,36 @@ def bpe_token_count(text: Column | str) -> Column:
     """# of BPE-ish pieces in lowercased text (see BPE_PATTERN)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_count(F.lower(c), F.lit(BPE_PATTERN))
+
+
+# PII patterns: Java-regex ∩ RE2 common subset (no backrefs, no
+# lookaround) so Spark and the DuckDB oracles compile the identical
+# automaton.  Replace order is pinned (email -> ipv4 -> phone): emails
+# contain dots/digits and IPv4s contain digit-dash-adjacent runs, so a
+# different order could corrupt later matches.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_ORDERED = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(n_email, n_ip, n_phone): per-kind PII match counts."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        F.regexp_count(c, F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count(c, F.lit(PII_IPV4)).alias("n_ip"),
+        F.regexp_count(c, F.lit(PII_PHONE)).alias("n_phone"),
+    )
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Text with every PII match replaced by its typed placeholder."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, rep in _PII_ORDERED:
+        c = F.regexp_replace(c, pat, rep)
+    return c

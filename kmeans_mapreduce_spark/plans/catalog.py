@@ -18,6 +18,7 @@ from kmeans_mapreduce_spark.plans import analytics as AN
 from kmeans_mapreduce_spark.plans import kmeans_queries as KQ
 from kmeans_mapreduce_spark.plans import pipeline_queries as PQ
 from kmeans_mapreduce_spark.plans import pipeline_queries2 as PQ2
+from kmeans_mapreduce_spark.plans import pipeline_queries3 as PQ3
 from kmeans_mapreduce_spark.plans import relational as R
 from kmeans_mapreduce_spark.plans import relational_ext as RX
 from kmeans_mapreduce_spark.plans import relational_ext2 as RX2
@@ -121,7 +122,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition_score": PQ2.text_repetition_score,
     "window_percentile_customers": RX3.window_percentile_customers,
     "events_gapfill_locf": AN.events_gapfill_locf,
-    # (d) stable driver-green fill — entries 23-50
+    "dedup_semantic_clusters": PQ3.dedup_semantic_clusters,
+    "knn_graph_cells": PQ3.knn_graph_cells,
+    "pipeline_lang_rebalance": PQ3.pipeline_lang_rebalance,
+    "text_pii_scrub": PQ3.text_pii_scrub,
+    "embedding_dim_stats": PQ3.embedding_dim_stats,
+    # (d) stable driver-green fill — entries 28-50
     "dedup_minhash": PQ.dedup_minhash,
     "dedup_components": PQ.dedup_components,
     "ann_ivf_topk": PQ.ann_ivf_topk,
@@ -327,6 +333,11 @@ ORACLES: dict[str, str] = {
     "pipeline_domain_mix": PQ2.DOMAIN_MIX_SQL,
     "text_repetition_score": PQ2.REPETITION_SQL,
     "window_percentile_customers": RX3.WINDOW_PERCENTILE_SQL,
+    "dedup_semantic_clusters": PQ3.SEMANTIC_DEDUP_SQL,
+    "knn_graph_cells": PQ3.KNN_GRAPH_SQL,
+    "pipeline_lang_rebalance": PQ3.LANG_REBALANCE_SQL,
+    "text_pii_scrub": PQ3.PII_SCRUB_SQL,
+    "embedding_dim_stats": PQ3.EMB_STATS_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,
     "ann_lsh_topk": PQ.ANN_LSH_SQL,
     "ann_brute_topk_pandas": PQ.ANN_BRUTE4_SQL,

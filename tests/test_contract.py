@@ -49,6 +49,11 @@ def test_catalog_shapes():
         "text_repetition_score",
         "window_percentile_customers",
         "events_gapfill_locf",
+        "dedup_semantic_clusters",
+        "knn_graph_cells",
+        "pipeline_lang_rebalance",
+        "text_pii_scrub",
+        "embedding_dim_stats",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

@@ -154,3 +154,21 @@ def test_ppjoin_and_bm25_no_cartesian_at_scale(wide_shuffle):
         assert df.count() >= 0
         plan = _physical_plan(df)
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_semantic_dedup_and_knn_graph_no_cartesian_at_scale(wide_shuffle):
+    """Round-4 cluster-bounded operators keep their equi-join promise at
+    sf0.1 with cluster-width shuffles: candidates come from the cluster/
+    cell equi self-join, never an all-pairs nested loop."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import (
+        dedup_semantic_clusters,
+        knn_graph_cells,
+    )
+
+    for q in (dedup_semantic_clusters, knn_graph_cells):
+        df = q(wide_shuffle, SF_SCALE)
+        n = df.count()  # executes end-to-end at sf0.1
+        plan = _physical_plan(df)
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert n > 0
