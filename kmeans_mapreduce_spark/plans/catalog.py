@@ -127,7 +127,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_lang_rebalance": PQ3.pipeline_lang_rebalance,
     "text_pii_scrub": PQ3.text_pii_scrub,
     "embedding_dim_stats": PQ3.embedding_dim_stats,
-    # (d) stable driver-green fill — entries 28-50
+    "text_quality_zscore": PQ3.text_quality_zscore,
+    # (d) stable driver-green fill — entries 29-50
     "dedup_minhash": PQ.dedup_minhash,
     "dedup_components": PQ.dedup_components,
     "ann_ivf_topk": PQ.ann_ivf_topk,
@@ -338,6 +339,7 @@ ORACLES: dict[str, str] = {
     "pipeline_lang_rebalance": PQ3.LANG_REBALANCE_SQL,
     "text_pii_scrub": PQ3.PII_SCRUB_SQL,
     "embedding_dim_stats": PQ3.EMB_STATS_SQL,
+    "text_quality_zscore": PQ3.QUALITY_ZSCORE_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,
     "ann_lsh_topk": PQ.ANN_LSH_SQL,
     "ann_brute_topk_pandas": PQ.ANN_BRUTE4_SQL,

@@ -413,3 +413,80 @@ SELECT dim, n,
        ROUND(mx, 4) AS vmax
 FROM agg ORDER BY dim
 """
+
+
+# --- grouped-map pandas: per-language quality normalization ----------------
+
+def text_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score normalization of the quality score via
+    groupBy().applyInPandas — the batch grouped-map escape hatch
+    (§2.11), for when a per-group transform genuinely needs
+    whole-group vectorized math.
+
+    Each language group arrives as ONE Arrow-backed pandas frame; the
+    UDF normalizes within the group (z = (q - mean) / std, ddof=1).
+    Inputs are pre-rounded to 6dp so both engines normalize identical
+    values; outputs rounded to 4dp absorb pandas-vs-SQL summation-order
+    ulps.  Scale: one shuffle on lang (low-card key — salting applies
+    if a language dominates; see operators/skew.py), group size bounded
+    by per-lang corpus share.  This exact computation IS SQL-expressible
+    (the oracle uses AVG/STDDEV_SAMP windows) — the operator exists to
+    pin the grouped-map plumbing against an exact oracle, the same
+    contract mm_decode pins for mapInPandas."""
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.functions import text as TXT
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", "lang", F.round(TXT.quality_score("text"), 6).alias("q")
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["q"].mean()
+        sd = pdf["q"].std(ddof=1)
+        z = (pdf["q"] - mu) / sd if sd and sd > 0 else pdf["q"] * 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "quality": pdf["q"],
+                "z": z.round(4),
+            }
+        )
+
+    return (
+        base.groupBy("lang")
+        .applyInPandas(
+            normalize, "doc_id bigint, lang string, quality double, z double"
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_EXPR = (
+    "ROUND(0.4 * (LEAST(CAST(" "{ntok}" " AS DOUBLE), 100.0) / 100.0)"
+    " + 0.3 * (1.0 - {pr}) + 0.3 * LEAST({swr} * 4.0, 1.0), 6)"
+)
+
+
+def _zscore_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries import (
+        _NTOK,
+        _PUNCT_RATIO,
+        _SW_RATIO,
+    )
+
+    q = _QUALITY_EXPR.format(ntok=_NTOK, pr=_PUNCT_RATIO, swr=_SW_RATIO)
+    return f"""
+WITH base AS (SELECT doc_id, lang, {q} AS q FROM documents)
+SELECT doc_id, lang, q AS quality,
+       ROUND(CASE WHEN STDDEV_SAMP(q) OVER (PARTITION BY lang) > 0
+                  THEN (q - AVG(q) OVER (PARTITION BY lang))
+                       / STDDEV_SAMP(q) OVER (PARTITION BY lang)
+                  ELSE 0.0 END, 4) AS z
+FROM base ORDER BY doc_id
+"""
+
+
+QUALITY_ZSCORE_SQL = _zscore_sql()

@@ -27,7 +27,12 @@ Scale properties that make it a real source rather than a test helper:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _RangePartition(InputPartition):
@@ -102,6 +107,52 @@ class SyntheticPointsDataSource(DataSource):
     def reader(self, schema):
         return SyntheticPointsReader(self.options)
 
+    def streamReader(self, schema):
+        return SyntheticPointsStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticPointsDataSource)
+
+
+class SyntheticPointsStreamReader(DataSourceStreamReader):
+    """Streaming face of the same source: replays the batch partition
+    layout as a bounded stream (`parts_per_batch` partitions per
+    micro-batch, default: everything at once).
+
+    Offsets are {"pid": <next partition index>} — partition-granular, so
+    every micro-batch reads whole batch-layout partitions with the SAME
+    per-partition generator as the batch reader.  The union of all
+    micro-batches is therefore bit-identical to the batch read with the
+    same options (pinned in tests/test_synthetic_source.py), the
+    streaming analog of file-source replay over a static directory.
+    read() runs on executors partition-parallel; only offset bookkeeping
+    lives on the driver."""
+
+    def __init__(self, options):
+        self._batch = SyntheticPointsReader(options)
+        per = -(-self._batch.n // self._batch.num_partitions)
+        self._per = per
+        self._nparts = -(-self._batch.n // per) if self._batch.n else 0
+        self._ppb = int(options.get("parts_per_batch", self._nparts or 1))
+        self._cur = 0
+
+    def initialOffset(self):
+        return {"pid": 0}
+
+    def latestOffset(self):
+        self._cur = min(self._cur + self._ppb, self._nparts)
+        return {"pid": self._cur}
+
+    def partitions(self, start, end):
+        out = []
+        for pid in range(int(start["pid"]), int(end["pid"])):
+            s = pid * self._per
+            out.append(_RangePartition(pid, s, min(s + self._per, self._batch.n)))
+        return out
+
+    def read(self, partition):
+        yield from self._batch.read(partition)
+
+    def commit(self, end):
+        pass

@@ -309,3 +309,53 @@ def stream_ohlc_rollup(
             "n_events",
         )
     )
+
+
+def user_tier_dim(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Static per-user dimension: lifetime value tier (above/below the
+    global mean).  Computed ONCE from the batch table — exactly the
+    information a stream cannot reconstruct from watermarked windows."""
+    ev = spark.read.parquet(events_dir)
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.drop("ts")  # tier needs no event time; skip nanos decode
+    ltv = ev.groupBy("user_id").agg(F.sum("value").alias("ltv"))
+    mean_ltv = ltv.agg(F.avg("ltv")).collect()[0][0]
+    return ltv.select(
+        "user_id",
+        F.when(F.col("ltv") >= mean_ltv, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+    )
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static join: enrich each streamed event with its user's
+    lifetime-value tier from a BATCH dimension, then windowed per-tier
+    revenue.
+
+    The dimension side is a plain DataFrame — Spark re-evaluates it per
+    micro-batch (so a dim refresh is picked up live) and, broadcast,
+    the join adds no shuffle and no stream state: only the windowed agg
+    keeps state, bounded by the watermark.  This is the canonical
+    enrichment topology at 100 TB: facts stream; dims stay broadcastable
+    tables."""
+    dim = user_tier_dim(spark, events_dir)
+    src = events_stream_source(spark, events_dir).withWatermark("ts", "2 hours")
+    return (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "tier",
+            "n_events",
+            "sum_value",
+        )
+    )

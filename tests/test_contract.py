@@ -54,6 +54,7 @@ def test_catalog_shapes():
         "pipeline_lang_rebalance",
         "text_pii_scrub",
         "embedding_dim_stats",
+        "text_quality_zscore",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

@@ -153,3 +153,23 @@ def test_embedding_dim_stats(spark, sf_dir):
         assert r["n"] == 500
         assert r["vmin"] <= r["mean"] <= r["vmax"]
         assert r["stddev"] > 0
+
+
+def test_quality_zscore_grouped_map(spark, sf_dir):
+    """The z-score op must actually run through the grouped-map Arrow
+    path, and per-language z-scores must be centered/scaled."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import (
+        text_quality_zscore,
+    )
+
+    df = text_quality_zscore(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["z"])
+    for lang, zs in by_lang.items():
+        assert abs(sum(zs)) / len(zs) < 1e-3, lang  # centered
+        assert max(zs) > 0 > min(zs), lang

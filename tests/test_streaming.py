@@ -264,3 +264,42 @@ def test_stream_ohlc_matches_batch(spark, sf_dir, tmp_path):
     missing = sorted(set(want) - set(got))
     assert all(m[0] >= "2024-01-30" for m in missing), missing[:5]
     assert len(got) >= len(want) - 12
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment == the same join+agg in batch
+    (modulo the append-mode watermark horizon, as elsewhere)."""
+    from kmeans_mapreduce_spark.streaming.windows import (
+        stream_static_enrich,
+        user_tier_dim,
+    )
+
+    d = _stage_events_dir(sf_dir, tmp_path)
+    stream = stream_static_enrich(spark, d)
+    out, ckpt = str(tmp_path / "out_enrich"), str(tmp_path / "ckpt_enrich")
+    run_available_now(stream, out, ckpt)
+    got = spark.read.parquet(out)
+
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    dim = user_tier_dim(spark, d)
+    want = (
+        ev.join(dim, "user_id")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "tier",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert set(g) <= set(w)
+    missing = sorted(set(w) - set(g))
+    assert all(m[0] >= "2024-01-30" for m in missing), missing
+    assert len(g) >= len(w) - 24
