@@ -133,3 +133,54 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     # dynamic overwrite must not have touched the 2024-01-02 partition
     for f, mtime in untouched_files.items():
         assert os.path.exists(f) and os.path.getmtime(f) == mtime
+
+
+def test_write_zorder_bounds_both_columns(spark, sf_dir, tmp_path):
+    """Z-order clustering must bound the per-file range of EVERY
+    clustered column (lexicographic sort only bounds the first).
+    Check footer min/max: the mean per-file coverage fraction of both
+    o_custkey and o_totalprice must be well under the whole range,
+    while a plain write_sorted on (o_custkey, o_totalprice) leaves
+    o_totalprice unclustered (~full range in most files)."""
+    from kmeans_mapreduce_spark.sources.maintenance import write_zorder
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_custkey", "o_totalprice"]
+
+    def mean_coverage(path: str) -> dict[str, float]:
+        spans: dict[str, list[float]] = {c: [] for c in cols}
+        glo: dict[str, list[float]] = {c: [float("inf"), float("-inf")] for c in cols}
+        for f in _files(path):
+            md = pq.ParquetFile(f).metadata
+            for c in cols:
+                idx = next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == c
+                )
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(float(st.min))
+                    maxs.append(float(st.max))
+                spans[c].append(max(maxs) - min(mins))
+                glo[c][0] = min(glo[c][0], min(mins))
+                glo[c][1] = max(glo[c][1], max(maxs))
+        return {
+            c: (sum(s) / len(s)) / ((glo[c][1] - glo[c][0]) or 1.0)
+            for c, s in spans.items()
+        }
+
+    zpath = str(tmp_path / "zorders")
+    write_zorder(orders, zpath, cols, num_files=16)
+    zc = mean_coverage(zpath)
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+    spath = str(tmp_path / "lexorders")
+    write_sorted(orders, spath, cols, num_files=16)
+    sc = mean_coverage(spath)
+
+    # both dims bounded under z-order…
+    assert zc["o_custkey"] < 0.6, zc
+    assert zc["o_totalprice"] < 0.6, zc
+    # …while lexicographic leaves the secondary column near-global
+    assert sc["o_totalprice"] > zc["o_totalprice"] * 1.5, (sc, zc)
