@@ -1,0 +1,112 @@
+"""Iterative graph operators: PageRank and fixed-depth BFS.
+
+The reference has no graph surface (its only iteration is the K-Means
+Lloyd loop, master.go:123-236); these reuse the exact same driver-loop
+shape as operators/kmeans.py: a SMALL per-node state frame re-joined
+against a static edge frame each round, with the loop count fixed and
+data-independent so results are deterministic and SQL-expressible.
+
+Scale notes (100 TB posture):
+- State is O(nodes): (node, value) — the joins are hash-partitioned on
+  the node key both sides; pre-partitioning state and edges on the same
+  key makes every round a co-located join (bucket the edge table by
+  src at write time, as operators/bucketing.py does for facts).
+- Each round is ONE shuffle (the contribution aggregation); the edge
+  frame is scanned once per round, never mutated.
+- localCheckpoint every round truncates the lineage so the plan stays
+  O(1) per round instead of O(rounds) (same pattern as
+  operators/components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank with uniform init, uniform dangling-mass redistribution.
+
+    ``nodes``: one column ``node`` (every vertex, including dangling).
+    ``edges``: columns ``src``, ``dst`` (directed; parallel edges count
+    double, matching the SQL oracle's semantics).
+
+    Per round:  pr'(v) = (1-d)/N + d * (sum_{u->v} pr(u)/outdeg(u)
+                                        + dangling_mass / N)
+    with dangling_mass = sum of pr over nodes with outdeg 0 — the
+    standard power-iteration step, deterministic for a fixed round
+    count.  Returns (node, pr) UNROUNDED; callers round for reporting.
+
+    The dangling scalar is computed per round with a tiny agg and
+    re-broadcast as a literal-free cross join of one row — the same
+    "k×(d+1) rows to the driver" budget argument as the Lloyd loop."""
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    state = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    base = (1.0 - damping) / n_nodes
+
+    for _ in range(iterations):
+        with_deg = state.join(outdeg, "node", "left")
+        dangling = (
+            with_deg.where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contribs = (
+            with_deg.where(F.col("outdeg").isNotNull())
+            .join(edges, with_deg["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        state = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+    return state
+
+
+def bfs_hops(
+    sources: DataFrame,
+    edges: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Fixed-depth directed BFS: minimum hop count (<= max_hops) from
+    any source vertex, sources themselves at hop 0.
+
+    ``sources``: one column ``node``; ``edges``: ``src``, ``dst``.
+    Frontier expansion with a min-merge each round — the iterative
+    equivalent of the oracle's recursive CTE, but each round is one
+    equi-join + one min-agg instead of a transitive-closure blowup.
+    Rounds are fixed at max_hops, so reached set and hop values are
+    deterministic regardless of partitioning."""
+    dist = sources.select("node", F.lit(0).alias("hop"))
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), F.lit(h).alias("hop"))
+            .distinct()
+        )
+        # keep only genuinely new nodes (min-hop semantics)
+        frontier = nxt.join(dist, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier).localCheckpoint(eager=True)
+    return dist

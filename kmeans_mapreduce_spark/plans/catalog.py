@@ -19,6 +19,8 @@ from kmeans_mapreduce_spark.plans import kmeans_queries as KQ
 from kmeans_mapreduce_spark.plans import pipeline_queries as PQ
 from kmeans_mapreduce_spark.plans import pipeline_queries2 as PQ2
 from kmeans_mapreduce_spark.plans import pipeline_queries3 as PQ3
+from kmeans_mapreduce_spark.plans import pipeline_queries4 as PQ4
+from kmeans_mapreduce_spark.plans import graph_queries as GQ
 from kmeans_mapreduce_spark.plans import relational as R
 from kmeans_mapreduce_spark.plans import relational_ext as RX
 from kmeans_mapreduce_spark.plans import relational_ext2 as RX2
@@ -128,7 +130,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": PQ3.text_pii_scrub,
     "embedding_dim_stats": PQ3.embedding_dim_stats,
     "text_quality_zscore": PQ3.text_quality_zscore,
-    # (d) stable driver-green fill — entries 29-50
+    # (c continued) new this round, third batch — sharding, stratified
+    # sampling, dataset cards, BPE induction, cluster reps, entropy,
+    # sweep-line concurrency
+    "pipeline_shuffle_shards": PQ4.pipeline_shuffle_shards,
+    "pipeline_stratified_sample": PQ4.pipeline_stratified_sample,
+    "pipeline_dataset_card": PQ4.pipeline_dataset_card,
+    "pipeline_bpe_pair_counts": PQ4.pipeline_bpe_pair_counts,
+    "dedup_cluster_representatives": PQ4.dedup_cluster_representatives,
+    "text_char_entropy": PQ4.text_char_entropy,
+    "events_concurrency_sweep": PQ4.events_concurrency_sweep,
+    # (c continued) iterative graph analytics over the k-NN graph
+    "graph_pagerank_vectors": GQ.graph_pagerank_vectors,
+    "graph_bfs_reach": GQ.graph_bfs_reach,
+    # (d) stable driver-green fill — remaining window slots
     "dedup_minhash": PQ.dedup_minhash,
     "dedup_components": PQ.dedup_components,
     "ann_ivf_topk": PQ.ann_ivf_topk,
@@ -340,6 +355,15 @@ ORACLES: dict[str, str] = {
     "text_pii_scrub": PQ3.PII_SCRUB_SQL,
     "embedding_dim_stats": PQ3.EMB_STATS_SQL,
     "text_quality_zscore": PQ3.QUALITY_ZSCORE_SQL,
+    "pipeline_shuffle_shards": PQ4.SHUFFLE_SHARDS_SQL,
+    "pipeline_stratified_sample": PQ4.STRATIFIED_SAMPLE_SQL,
+    "pipeline_dataset_card": PQ4.DATASET_CARD_SQL,
+    "pipeline_bpe_pair_counts": PQ4.BPE_PAIRS_SQL,
+    "dedup_cluster_representatives": PQ4.CLUSTER_REPS_SQL,
+    "text_char_entropy": PQ4.CHAR_ENTROPY_SQL,
+    "events_concurrency_sweep": PQ4.CONCURRENCY_SQL,
+    "graph_pagerank_vectors": GQ.PAGERANK_SQL,
+    "graph_bfs_reach": GQ.BFS_REACH_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,
     "ann_lsh_topk": PQ.ANN_LSH_SQL,
     "ann_brute_topk_pandas": PQ.ANN_BRUTE4_SQL,

@@ -55,6 +55,16 @@ def test_catalog_shapes():
         "text_pii_scrub",
         "embedding_dim_stats",
         "text_quality_zscore",
+        # (c) new in round 4, third batch
+        "pipeline_shuffle_shards",
+        "pipeline_stratified_sample",
+        "pipeline_dataset_card",
+        "pipeline_bpe_pair_counts",
+        "dedup_cluster_representatives",
+        "text_char_entropy",
+        "events_concurrency_sweep",
+        "graph_pagerank_vectors",
+        "graph_bfs_reach",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

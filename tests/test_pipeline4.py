@@ -1,0 +1,234 @@
+"""Round-4 pipeline operators, third batch: shard export, stratified
+sampling, dataset cards, BPE pair induction, cluster representatives,
+char entropy, sweep-line concurrency."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _no_nested_loop(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def _n_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def test_shuffle_shards_partition(spark, sf_dir):
+    """Shards partition the corpus: disjoint by construction (hash mod),
+    counts sum to the corpus, every shard id in range."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        _N_SHARDS,
+        pipeline_shuffle_shards,
+    )
+
+    df = pipeline_shuffle_shards(spark, sf_dir)
+    _no_nested_loop(df)
+    rows = df.collect()
+    assert sum(r["n_docs"] for r in rows) == _n_docs(spark, sf_dir)
+    for r in rows:
+        assert 0 <= r["shard"] < _N_SHARDS
+        assert r["total_chars"] > 0
+        assert r["order_checksum"] > 0
+
+
+def test_shuffle_shards_deterministic(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        pipeline_shuffle_shards,
+    )
+
+    a = pipeline_shuffle_shards(spark, sf_dir).collect()
+    b = (
+        pipeline_shuffle_shards(spark, sf_dir)
+        .repartition(7)  # order must not depend on partitioning
+        .orderBy("shard")
+        .collect()
+    )
+    assert a == sorted(b, key=lambda r: r["shard"])
+
+
+def test_stratified_sample_exact_quota(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        _STRAT_FRAC,
+        pipeline_stratified_sample,
+    )
+
+    rows = pipeline_stratified_sample(spark, sf_dir).collect()
+    by_lang = {
+        r["lang"]: r["cnt"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert {r["lang"] for r in rows} == set(by_lang)
+    for r in rows:
+        assert r["n_total"] == by_lang[r["lang"]]
+        assert r["n_sampled"] == math.ceil(_STRAT_FRAC * r["n_total"])
+        assert r["id_checksum"] > 0
+
+
+def test_dataset_card_totals(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        pipeline_dataset_card,
+    )
+
+    df = pipeline_dataset_card(spark, sf_dir)
+    rows = df.collect()
+    assert sum(r["n_docs"] for r in rows) == _n_docs(spark, sf_dir)
+    for r in rows:
+        assert r["total_tokens"] > 0
+        assert 0 <= r["n_dup_docs"] < r["n_docs"]
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert 1 <= r["n_langs"] <= 5
+
+
+def test_bpe_pair_counts_ranked(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        _TOP_PAIRS,
+        pipeline_bpe_pair_counts,
+    )
+
+    rows = pipeline_bpe_pair_counts(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _TOP_PAIRS
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        # whitespace tokens cannot contain whitespace -> exactly 2 halves
+        assert len(r["pair"].split(" ")) == 2
+
+
+def test_bpe_pair_counts_hand_check(spark):
+    """Pair frequencies on a 2-doc corpus, checked by hand."""
+    from kmeans_mapreduce_spark.functions import text as TXT
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, ""), (4, "solo")],
+        "doc_id long, text string",
+    )
+    toks = TXT.tokens("text")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    got = {
+        r["pair"]: r["n"]
+        for r in d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {"a b": 3, "b a": 1}
+
+
+def test_cluster_representatives_vs_components(spark, sf_dir):
+    """Audit rows must agree with the components + quality stages they
+    compose: member counts, checksums, and the max-quality winner."""
+    from kmeans_mapreduce_spark.functions import text as TXT
+    from kmeans_mapreduce_spark.operators import dedup as DD
+    from kmeans_mapreduce_spark.operators.components import (
+        connected_components,
+    )
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        dedup_cluster_representatives,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = DD.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    comp = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    quality = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", F.round(TXT.quality_score("text"), 6).alias("q")
+        ).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for doc, c in comp.items():
+        members.setdefault(c, []).append(doc)
+
+    rows = dedup_cluster_representatives(spark, sf_dir).collect()
+    assert {r["component"] for r in rows} == set(members)
+    for r in rows:
+        ms = members[r["component"]]
+        assert r["n_members"] == len(ms)
+        assert r["member_checksum"] == sum(ms)
+        best_q = max(quality[m] for m in ms)
+        winners = [m for m in ms if quality[m] == best_q]
+        assert r["representative"] == min(winners)
+        assert r["rep_quality"] == best_q
+
+
+def test_char_entropy_hand_check(spark):
+    """floor-bucketed entropy on a corpus with known distributions:
+    'aaaa' -> 0 bits, 'abab' -> 1 bit, 'abcd' -> 2 bits, '' -> 0."""
+    from pyspark.sql import Window
+
+    d = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.length("ch") > 0)
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per_doc = (
+        cnt.withColumn("tot", F.sum("c").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("tot")) * F.log2(F.col("c") / F.col("tot"))
+                ),
+                4,
+            ).alias("entropy")
+        )
+    )
+    got = {r["doc_id"]: r["entropy"] for r in per_doc.collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0}  # doc 4 has no chars -> absent
+
+
+def test_char_entropy_buckets(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        text_char_entropy,
+    )
+
+    rows = text_char_entropy(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == _n_docs(spark, sf_dir)
+    for r in rows:
+        assert 0 <= r["entropy_bits"] <= 7  # <= 128 distinct byte symbols
+        assert r["mean_chars"] >= 0
+
+
+def test_concurrency_sweep_vs_bruteforce(spark, sf_dir):
+    """Sweep-line peak equals the brute-force 'count overlapping
+    intervals at every start instant' answer (half-open [ts, ts+300))."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        _SESSION_S,
+        events_concurrency_sweep,
+    )
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir).select("event_type", "ts").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["ts"].timestamp())
+    expected = {}
+    for et, starts in by_type.items():
+        peak = 0
+        for t in starts:
+            peak = max(peak, sum(1 for s in starts if s <= t < s + _SESSION_S))
+        expected[et] = peak
+
+    got = {
+        r["event_type"]: r["peak_concurrency"]
+        for r in events_concurrency_sweep(spark, sf_dir).collect()
+    }
+    assert got == expected
