@@ -154,7 +154,9 @@ def test_cluster_representatives_vs_components(spark, sf_dir):
     for doc, c in comp.items():
         members.setdefault(c, []).append(doc)
 
-    rows = dedup_cluster_representatives(spark, sf_dir).collect()
+    audit = dedup_cluster_representatives(spark, sf_dir)
+    _no_nested_loop(audit)
+    rows = audit.collect()
     assert {r["component"] for r in rows} == set(members)
     for r in rows:
         ms = members[r["component"]]
