@@ -140,6 +140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_representatives": PQ4.dedup_cluster_representatives,
     "text_char_entropy": PQ4.text_char_entropy,
     "events_concurrency_sweep": PQ4.events_concurrency_sweep,
+    "dedup_substring_pairs": PQ4.dedup_substring_pairs,
     # (c continued) iterative graph analytics over the k-NN graph
     "graph_pagerank_vectors": GQ.graph_pagerank_vectors,
     "graph_bfs_reach": GQ.graph_bfs_reach,
@@ -362,6 +363,7 @@ ORACLES: dict[str, str] = {
     "dedup_cluster_representatives": PQ4.CLUSTER_REPS_SQL,
     "text_char_entropy": PQ4.CHAR_ENTROPY_SQL,
     "events_concurrency_sweep": PQ4.CONCURRENCY_SQL,
+    "dedup_substring_pairs": PQ4.SUBSTRING_PAIRS_SQL,
     "graph_pagerank_vectors": GQ.PAGERANK_SQL,
     "graph_bfs_reach": GQ.BFS_REACH_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,

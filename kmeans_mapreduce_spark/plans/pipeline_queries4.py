@@ -480,3 +480,40 @@ SELECT event_type, CAST(MAX(load) AS BIGINT) AS peak_concurrency FROM (
   FROM sweep)
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_pairs — content-defined substring-level dedup
+# ---------------------------------------------------------------------------
+
+_SUB_W = 32       # window chars
+_SUB_P = 16       # MOD-p selection: keep ~1/16 of windows
+_SUB_MIN = 2      # pairs must share >= 2 selected shingles
+
+
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dup pairs over the corpus: docs sharing >= 2
+    content-selected 32-char windows (operators/dedup.py
+    substring_shingle_pairs — MOD-p fingerprinting; catches verbatim
+    span reuse whole-doc MinHash dilutes away)."""
+    from kmeans_mapreduce_spark.operators.dedup import substring_shingle_pairs
+
+    return substring_shingle_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        window=_SUB_W, mod_p=_SUB_P, min_shared=_SUB_MIN,
+    ).orderBy("doc_a", "doc_b")
+
+
+SUBSTRING_PAIRS_SQL = f"""
+WITH sel AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, md5(substr(text, s, {_SUB_W})) AS h FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {_SUB_W - 1}, 1)) AS s
+      FROM documents WHERE length(text) >= {_SUB_W}))
+  WHERE ('0x' || substr(h, 1, 4))::BIGINT % {_SUB_P} = 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {_SUB_MIN}
+ORDER BY doc_a, doc_b
+"""

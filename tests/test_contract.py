@@ -65,6 +65,7 @@ def test_catalog_shapes():
         "events_concurrency_sweep",
         "graph_pagerank_vectors",
         "graph_bfs_reach",
+        "dedup_substring_pairs",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

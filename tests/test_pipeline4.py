@@ -234,3 +234,64 @@ def test_concurrency_sweep_vs_bruteforce(spark, sf_dir):
         for r in events_concurrency_sweep(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_substring_pairs_misaligned_copy(spark):
+    """Content-defined selection catches a verbatim span pasted at a
+    DIFFERENT offset (a strided grid would only catch aligned copies),
+    and unrelated docs stay unflagged."""
+    from kmeans_mapreduce_spark.operators.dedup import substring_shingle_pairs
+
+    span = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from a sunny windowsill and the birds sing loudly in "
+        "the old oak tree beside the quiet river bank all afternoon"
+    )
+    d = spark.createDataFrame(
+        [
+            (1, "AAA " + span + " tail one"),
+            (2, "completely different prefix here: " + span),
+            (3, "x" * 200),  # unrelated, long enough to have windows
+            (4, "short"),    # below window size -> never flagged
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in substring_shingle_pairs(d, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_substring_pairs_no_short_doc_windows(spark):
+    from kmeans_mapreduce_spark.operators.dedup import substring_shingle_pairs
+
+    d = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
+    )
+    assert substring_shingle_pairs(d, "doc_id", "text").count() == 0
+
+
+def test_write_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
+    import glob
+    import hashlib
+    import json
+
+    from kmeans_mapreduce_spark.sources.sinks import write_jsonl_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "shards")
+    manifest = write_jsonl_shards(docs, out, n_shards=4).collect()
+
+    total = docs.count()
+    assert sum(r["n_docs"] for r in manifest) == total
+    back = spark.read.json(out)
+    assert back.count() == total
+    assert set(r["shard"] for r in manifest) == set(range(4))
+
+    # within every shard file, rows ride in md5(doc_id) order
+    for f in glob.glob(f"{out}/shard=*/part-*.json"):
+        ids = [json.loads(line)["doc_id"] for line in open(f)]
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        assert keys == sorted(keys), f
