@@ -315,3 +315,129 @@ SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, avg_value,
        avg_value IS NULL AS is_gap
 FROM j ORDER BY user_id, bucket
 """
+
+
+# --- robust anomaly detection (median / MAD) ------------------------------
+
+_MAD_K = 5.0
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per event_type: events whose value sits
+    more than 5 MADs from the type median (median absolute deviation —
+    the robust spread measure that, unlike stddev, is not dragged by
+    the outliers it is hunting).
+
+    Two grouped exact-median passes (median(value), then
+    median(|value - med|)) joined back to the events; output one audit
+    row per type with the anomaly count and id checksum so the oracle
+    verifies WHICH events are flagged.
+
+    Scale shape: exact grouped median sorts within each event_type
+    partition (spillable); two passes over the same shuffle key, then
+    a broadcast of the 5-row (type, med, mad) frame back onto events —
+    the flagging pass is map-only.  At 100 TB swap the exact medians
+    for approx_percentile(0.5) (documented fast path; the exact form
+    is the oracle-checkable one)."""
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    flagged = (
+        ev.join(med, "event_type")
+        .join(mad, "event_type")
+        .withColumn(
+            "is_anomaly",
+            F.abs(F.col("value") - F.col("med")) > _MAD_K * F.col("mad"),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+            F.sum(
+                F.when(F.col("is_anomaly"), F.col("event_id")).otherwise(0)
+            ).alias("anomaly_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANOMALY_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med ON e.event_type = med.event_type
+  GROUP BY e.event_type),
+flagged AS (
+  SELECT e.event_type, e.event_id, med.med, mad.mad,
+         abs(e.value - med.med) > {_MAD_K} * mad.mad AS is_anomaly
+  FROM events e
+  JOIN med ON e.event_type = med.event_type
+  JOIN mad ON e.event_type = mad.event_type)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(MAX(med), 4) AS median_value,
+       ROUND(MAX(mad), 4) AS mad,
+       CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       CAST(SUM(CASE WHEN is_anomaly THEN event_id ELSE 0 END) AS BIGINT) AS anomaly_checksum
+FROM flagged GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- ANALYZE-style column statistics --------------------------------------
+
+_STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style per-column statistics for lineitem's measure
+    columns: count / nulls / exact NDV / min / max / mean — the numbers
+    a cost-based optimizer (or a data-quality monitor) keeps per column.
+
+    ONE aggregation pass computes every column's stats side by side
+    (partial-agg friendly: 6 scalar states per column), then a stack()
+    unpivots the single result row into one row per column — the
+    explode happens AFTER the agg, so the shuffle carries one partial
+    state per partition, never N×columns rows (embedding_dim_stats'
+    argument).  Exact NDV here because the oracle must hash-match;
+    approx_count_distinct is the documented 100-TB swap."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__ndv, {c}__min, {c}__max, {c}__mean"
+        for c in _STATS_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+        "(column, n, n_nulls, ndv, min, max, mean)"
+    ).orderBy("column")
+
+
+COLUMN_STATS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", COUNT({c}) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+       ROUND(MIN({c}), 4) AS min, ROUND(MAX({c}), 4) AS max,
+       ROUND(AVG({c}), 4) AS mean
+FROM lineitem"""
+    for c in _STATS_COLS
+) + "\nORDER BY \"column\""

@@ -141,6 +141,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_char_entropy": PQ4.text_char_entropy,
     "events_concurrency_sweep": PQ4.events_concurrency_sweep,
     "dedup_substring_pairs": PQ4.dedup_substring_pairs,
+    "events_anomaly_mad": AN.events_anomaly_mad,
+    "table_column_stats": AN.table_column_stats,
     # (c continued) iterative graph analytics over the k-NN graph
     "graph_pagerank_vectors": GQ.graph_pagerank_vectors,
     "graph_bfs_reach": GQ.graph_bfs_reach,
@@ -364,6 +366,8 @@ ORACLES: dict[str, str] = {
     "text_char_entropy": PQ4.CHAR_ENTROPY_SQL,
     "events_concurrency_sweep": PQ4.CONCURRENCY_SQL,
     "dedup_substring_pairs": PQ4.SUBSTRING_PAIRS_SQL,
+    "events_anomaly_mad": AN.ANOMALY_MAD_SQL,
+    "table_column_stats": AN.COLUMN_STATS_SQL,
     "graph_pagerank_vectors": GQ.PAGERANK_SQL,
     "graph_bfs_reach": GQ.BFS_REACH_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,

@@ -66,6 +66,8 @@ def test_catalog_shapes():
         "graph_pagerank_vectors",
         "graph_bfs_reach",
         "dedup_substring_pairs",
+        "events_anomaly_mad",
+        "table_column_stats",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

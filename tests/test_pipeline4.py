@@ -295,3 +295,58 @@ def test_write_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
         ids = [json.loads(line)["doc_id"] for line in open(f)]
         keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
         assert keys == sorted(keys), f
+
+
+def test_anomaly_mad_vs_python(spark, sf_dir):
+    """Per-type MAD flags recomputed in plain Python (statistics.median
+    uses the same even-count interpolation)."""
+    import statistics
+
+    from kmeans_mapreduce_spark.plans.analytics import (
+        _MAD_K,
+        events_anomaly_mad,
+    )
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+    expected = {}
+    for et, rows in by_type.items():
+        med = statistics.median(r["value"] for r in rows)
+        mad = statistics.median(abs(r["value"] - med) for r in rows)
+        anom = [r for r in rows if abs(r["value"] - med) > _MAD_K * mad]
+        expected[et] = (len(rows), len(anom), sum(r["event_id"] for r in anom))
+
+    got = {
+        r["event_type"]: (r["n_events"], r["n_anomalies"], r["anomaly_checksum"])
+        for r in events_anomaly_mad(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_column_stats_vs_direct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.plans.analytics import (
+        _STATS_COLS,
+        table_column_stats,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {r["column"]: r for r in table_column_stats(spark, sf_dir).collect()}
+    assert set(got) == set(_STATS_COLS)
+    for c in _STATS_COLS:
+        direct = li.agg(
+            F.count(c).alias("n"),
+            F.countDistinct(c).alias("ndv"),
+            F.round(F.min(c), 4).alias("mn"),
+            F.round(F.max(c), 4).alias("mx"),
+        ).collect()[0]
+        r = got[c]
+        assert (r["n"], r["ndv"], r["min"], r["max"]) == (
+            direct["n"], direct["ndv"], direct["mn"], direct["mx"],
+        )
+        assert r["n_nulls"] == 0
+        assert r["min"] <= r["mean"] <= r["max"]
