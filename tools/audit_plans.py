@@ -1,0 +1,77 @@
+"""Generate PLAN_INVENTORY.md: per-catalog-query physical-plan audit.
+
+For every ``queries()`` entry, build the DataFrame at the given sf dir
+and count the plan features that matter at 100 TB:
+
+  shuffles   Exchange hashpartitioning / rangepartitioning (data moves)
+  bcast      BroadcastExchange (small side shipped to every executor)
+  sorts      Sort nodes (in-partition or range sort)
+  gen        Generate nodes (explode fan-out)
+  bnlj       BroadcastNestedLoopJoin (allowed only on the documented
+             bounded-broadcast allowlist — see tests/test_plan_hygiene.py)
+  pushed     scans whose parquet PushedFilters is non-empty
+
+The numbers are the INITIAL AQE plan (what Catalyst committed to before
+runtime re-planning; AQE can only improve them).  Iterative queries
+(K-Means fits, PageRank) execute driver loops while building — their
+row reports the FINAL returned frame's plan, with loop economics
+documented in PLANS.md instead.
+
+Usage: python tools/audit_plans.py [sf_dir] > PLAN_INVENTORY.md
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from kmeans_mapreduce_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark("audit-plans")
+    rows = []
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rows.append(
+                (
+                    name,
+                    len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
+                    plan.count("BroadcastExchange"),
+                    plan.count("Sort ["),
+                    plan.count("Generate "),
+                    plan.count("BroadcastNestedLoopJoin"),
+                    len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)),
+                    f"{time.time() - t0:.1f}",
+                )
+            )
+        except Exception as ex:  # pragma: no cover - inventory must finish
+            rows.append((name, "-", "-", "-", "-", "-", "-", f"ERR {ex}"))
+        print(f"{name} done", file=sys.stderr, flush=True)
+
+    print("# Physical-plan inventory (auto-generated)")
+    print()
+    print(f"`python tools/audit_plans.py {sf_dir}` — one row per catalog")
+    print("query; column meanings in the script docstring.  Regenerate")
+    print("whenever the catalog changes.")
+    print()
+    print("| query | shuffles | bcast | sorts | gen | bnlj | pushed | build s |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print("| " + " | ".join(str(x) for x in r) + " |")
+
+
+if __name__ == "__main__":
+    main()
