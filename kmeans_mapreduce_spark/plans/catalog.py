@@ -143,6 +143,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring_pairs": PQ4.dedup_substring_pairs,
     "events_anomaly_mad": AN.events_anomaly_mad,
     "table_column_stats": AN.table_column_stats,
+    "hybrid_search_rrf": PQ4.hybrid_search_rrf,
+    "corpus_drift_psi": PQ4.corpus_drift_psi,
     # (c continued) iterative graph analytics over the k-NN graph
     "graph_pagerank_vectors": GQ.graph_pagerank_vectors,
     "graph_bfs_reach": GQ.graph_bfs_reach,
@@ -368,6 +370,8 @@ ORACLES: dict[str, str] = {
     "dedup_substring_pairs": PQ4.SUBSTRING_PAIRS_SQL,
     "events_anomaly_mad": AN.ANOMALY_MAD_SQL,
     "table_column_stats": AN.COLUMN_STATS_SQL,
+    "hybrid_search_rrf": PQ4.HYBRID_RRF_SQL,
+    "corpus_drift_psi": PQ4.CORPUS_PSI_SQL,
     "graph_pagerank_vectors": GQ.PAGERANK_SQL,
     "graph_bfs_reach": GQ.BFS_REACH_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,

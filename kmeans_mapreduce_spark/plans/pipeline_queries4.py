@@ -517,3 +517,209 @@ FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= {_SUB_MIN}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search_rrf — lexical BM25 + vector cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # standard RRF damping constant
+_RRF_DEPTH = 15      # per-leg candidate depth
+_RRF_TOP = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical leg + cosine vector leg, fused by
+    reciprocal-rank fusion  rrf = Σ 1/(60 + rank_leg)  over the union
+    of both top-15 lists (docs missing from a leg contribute nothing
+    for it) — the standard fusion rule behind production RAG stacks.
+
+    The lexical leg IS text_bm25_rank (fixed 3-term query); the vector
+    leg is exact cosine against doc 0's embedding (doc_id == vec_id in
+    the harness corpus), self excluded.  Rank ties broken by doc_id in
+    both legs so fusion input is engine-stable.
+
+    Scale shape: each leg is its own already-audited plan (BM25: two
+    token aggs + TakeOrdered; cosine: broadcast one query vector,
+    TakeOrdered); fusion joins two 15-row frames — driver-negligible.
+    Swap the brute vector leg for ann_ivf/pq at corpus scale; fusion
+    is depth-bounded either way."""
+    from kmeans_mapreduce_spark.functions.distance import cosine_similarity
+    from kmeans_mapreduce_spark.plans.pipeline_queries import (
+        _embs,
+        text_bm25_rank,
+    )
+
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        text_bm25_rank(spark, sf_dir)
+        .withColumn("rank_lex", F.row_number().over(w_lex))
+        .select("doc_id", "rank_lex")
+    )
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    w_vec = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    vec = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rank_vec", F.row_number().over(w_vec))
+        .where(F.col("rank_vec") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "rank_vec")
+    )
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_lex", F.lit(0)).alias("rank_lex"),
+        F.coalesce("rank_vec", F.lit(0)).alias("rank_vec"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+from kmeans_mapreduce_spark.plans.pipeline_queries import (  # noqa: E402
+    BM25_SQL,
+    _dot_sql,
+)
+
+HYBRID_RRF_SQL = f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+  FROM ({BM25_SQL})),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+vec AS (
+  SELECT doc_id, rank_vec FROM (
+    SELECT e.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(({_dot_sql('e.v', 'qv.q')})
+               / (SQRT({_dot_sql('e.v', 'e.v')}) * SQRT({_dot_sql('qv.q', 'qv.q')})), 6) DESC,
+             e.vec_id ASC) AS rank_vec
+    FROM e CROSS JOIN qv WHERE e.vec_id != 0)
+  WHERE rank_vec <= {_RRF_DEPTH})
+SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       COALESCE(rank_lex, 0) AS rank_lex,
+       COALESCE(rank_vec, 0) AS rank_vec,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + rank_lex), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + rank_vec), 0.0), 6) AS rrf
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT {_RRF_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_drift_psi — population stability index vs a reference source
+# ---------------------------------------------------------------------------
+
+_PSI_REF = "src0"
+_PSI_BUCKETS = 5
+_PSI_SMOOTH = 0.5
+
+
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: population stability index of every
+    source's quality-score distribution against the reference source —
+    the check a continuously-ingesting corpus runs to catch a crawler
+    or filter change shifting the data.
+
+        psi = Σ_buckets (p_i - q_i) · ln(p_i / q_i)
+
+    over 5 fixed quality buckets with +0.5 Laplace smoothing (so empty
+    buckets stay finite and the expression is engine-exact).
+
+    Scale shape: one pass scores + buckets every doc (map-only exprs),
+    one (source, bucket) count agg, then the tiny grid math: buckets ×
+    sources rows.  The dense grid is built by cross-joining the
+    source list with a literal bucket range so missing buckets
+    contribute their smoothed mass — no data-dependent shape."""
+    d = _docs(spark, sf_dir)
+    bucket = F.least(
+        F.floor(TXT.quality_score("text") * _PSI_BUCKETS).cast("int"),
+        F.lit(_PSI_BUCKETS - 1),
+    )
+    counts = (
+        d.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    sources = d.select("source").distinct()
+    grid = sources.crossJoin(
+        spark.range(_PSI_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    )
+    dense = (
+        grid.join(counts, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce("n", F.lit(0)).alias("n"))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy("source")))
+        .withColumn(
+            "p",
+            (F.col("n") + _PSI_SMOOTH)
+            / (F.col("tot") + _PSI_SMOOTH * _PSI_BUCKETS),
+        )
+    )
+    ref = dense.where(F.col("source") == _PSI_REF).select(
+        "bucket", F.col("p").alias("q")
+    )
+    return (
+        dense.where(F.col("source") != _PSI_REF)
+        .join(ref, "bucket")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                6,
+            ).alias("psi")
+        )
+        .select(
+            "source",
+            "psi",
+            F.when(F.col("psi") < 0.1, "stable")
+            .when(F.col("psi") < 0.25, "moderate")
+            .otherwise("shifted")
+            .alias("drift"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_PSI_SQL = f"""
+WITH bucketed AS (
+  SELECT source,
+         LEAST(CAST(FLOOR({_QUALITY} * {_PSI_BUCKETS}) AS INT), {_PSI_BUCKETS - 1}) AS bucket
+  FROM documents),
+counts AS (SELECT source, bucket, COUNT(*) AS n FROM bucketed GROUP BY 1, 2),
+grid AS (
+  SELECT s.source, b.bucket
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(range({_PSI_BUCKETS}))::INT AS bucket) b),
+dense AS (
+  SELECT grid.source, grid.bucket, COALESCE(counts.n, 0) AS n
+  FROM grid LEFT JOIN counts USING (source, bucket)),
+probs AS (
+  SELECT source, bucket,
+         (n + {_PSI_SMOOTH})
+           / (SUM(n) OVER (PARTITION BY source) + {_PSI_SMOOTH} * {_PSI_BUCKETS}) AS p
+  FROM dense),
+ref AS (SELECT bucket, p AS q FROM probs WHERE source = '{_PSI_REF}')
+SELECT source, psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS drift
+FROM (
+  SELECT probs.source,
+         ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+  FROM probs JOIN ref USING (bucket)
+  WHERE probs.source != '{_PSI_REF}'
+  GROUP BY probs.source)
+ORDER BY source
+"""

@@ -68,6 +68,8 @@ def test_catalog_shapes():
         "dedup_substring_pairs",
         "events_anomaly_mad",
         "table_column_stats",
+        "hybrid_search_rrf",
+        "corpus_drift_psi",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

@@ -350,3 +350,49 @@ def test_column_stats_vs_direct(spark, sf_dir):
         )
         assert r["n_nulls"] == 0
         assert r["min"] <= r["mean"] <= r["max"]
+
+
+def test_hybrid_rrf_consistency(spark, sf_dir):
+    """Fused score must equal the RRF formula applied to the reported
+    ranks, every doc carries at least one leg, and ordering is by rrf."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        _RRF_DEPTH,
+        _RRF_K,
+        _RRF_TOP,
+        hybrid_search_rrf,
+    )
+
+    rows = hybrid_search_rrf(spark, sf_dir).collect()
+    assert len(rows) == _RRF_TOP
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0 <= r["rank_lex"] <= _RRF_DEPTH
+        assert 0 <= r["rank_vec"] <= _RRF_DEPTH
+        assert r["rank_lex"] > 0 or r["rank_vec"] > 0
+        want = 0.0
+        if r["rank_lex"] > 0:
+            want += 1.0 / (_RRF_K + r["rank_lex"])
+        if r["rank_vec"] > 0:
+            want += 1.0 / (_RRF_K + r["rank_vec"])
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9
+
+
+def test_corpus_psi_nonnegative_and_labeled(spark, sf_dir):
+    """PSI is a nonnegative divergence; labels follow the thresholds;
+    the reference source never reports against itself."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        _PSI_REF,
+        corpus_drift_psi,
+    )
+
+    rows = corpus_drift_psi(spark, sf_dir).collect()
+    assert rows and all(r["source"] != _PSI_REF for r in rows)
+    for r in rows:
+        assert r["psi"] >= 0.0
+        want = (
+            "stable" if r["psi"] < 0.1
+            else "moderate" if r["psi"] < 0.25
+            else "shifted"
+        )
+        assert r["drift"] == want
