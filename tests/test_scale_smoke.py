@@ -172,3 +172,50 @@ def test_semantic_dedup_and_knn_graph_no_cartesian_at_scale(wide_shuffle):
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert n > 0
+
+
+def test_substring_dedup_no_cartesian_at_scale(wide_shuffle):
+    """Substring dedup must stay a digest equi-join at sf0.1/256-way:
+    the window explode collapses through the MOD-p filter before any
+    join, and no plan node goes all-pairs."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        dedup_substring_pairs,
+    )
+
+    df = dedup_substring_pairs(wide_shuffle, SF_SCALE)
+    n = df.count()
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n >= 0
+
+
+def test_pagerank_rounds_stay_flat_at_scale(wide_shuffle):
+    """PageRank at sf0.1: per-round plans are O(1)-deep thanks to
+    localCheckpoint (no lineage blowup), edges join by equi keys only,
+    and total mass stays conserved."""
+    from kmeans_mapreduce_spark.plans.graph_queries import (
+        graph_pagerank_vectors,
+    )
+
+    df = graph_pagerank_vectors(wide_shuffle, SF_SCALE)
+    rows = df.collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-2  # n x round(6) slack
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_concurrency_sweep_single_sort_at_scale(wide_shuffle):
+    """Sweep-line concurrency at sf0.1: the plan is union -> ONE
+    window sort per event_type -> agg; no join at all."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        events_concurrency_sweep,
+    )
+
+    df = events_concurrency_sweep(wide_shuffle, SF_SCALE)
+    n = df.count()
+    plan = _physical_plan(df)
+    assert "Join" not in plan
+    assert n >= 1
