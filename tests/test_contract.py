@@ -70,6 +70,11 @@ def test_catalog_shapes():
         "table_column_stats",
         "hybrid_search_rrf",
         "corpus_drift_psi",
+        # (c) new in round 4, fourth batch — last TPC-H shapes
+        "q2_min_cost_supplier",
+        "q9_nation_profit",
+        "q12_priority_shipping",
+        "q20_dominant_suppliers",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

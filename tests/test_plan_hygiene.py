@@ -20,6 +20,8 @@ import pytest
 #   km_avg_pairwise          k=4 centroids × k=4 centroids (reference F3)
 #   km_avg_point_dist        k-row centroid set against points (reference F2)
 #   join_range_quantity_bands  3-row band dimension (theta join)
+#   hybrid_search_rrf        1-row query vector onto the vector leg
+#   corpus_drift_psi         |sources|×|buckets| dense grid (≤ dozens)
 ALLOWED_NESTED_LOOP = {
     "events_funnel",
     "dq_validation_report",
@@ -28,6 +30,8 @@ ALLOWED_NESTED_LOOP = {
     "km_avg_pairwise",
     "km_avg_point_dist",
     "join_range_quantity_bands",
+    "hybrid_search_rrf",
+    "corpus_drift_psi",
 }
 
 

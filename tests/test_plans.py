@@ -212,3 +212,42 @@ def test_q22_not_exists_is_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
     # the scalar AVG subquery stays a subquery, not a join
     assert "Subquery" in plan
+
+
+def test_q2_correlated_min_is_window_not_self_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    # the correlated per-part MIN must be the window form over the
+    # aggregated frame — one lineitem scan, no fact self-join
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    # region→nation→supplier prune broadcasts; final top-100 is a
+    # TakeOrderedAndProject, never a global sort of the full frame
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q9_part_filter_prunes_fact_before_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q9_nation_profit")
+    # the 'red' name filter must reach the part parquet scan
+    assert "StringContains(p_name,red)" in plan
+    # all dimension sides broadcast: part, supplier, nation
+    assert plan.count("BroadcastExchange") >= 3
+    # (nation, year) agg partial-aggregates map-side
+    assert "partial_sum" in plan
+
+
+def test_q12_shipdate_range_pushes_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q12_priority_shipping")
+    # the year filter is stated as a range so it reaches the scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "partial_sum" in plan
+
+
+def test_q20_semi_join_and_pushed_range(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q20_dominant_suppliers")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # one lineitem scan: per-part total comes from a window over the
+    # aggregated frame, not a second scan
+    assert plan.count("lineitem.parquet") == 1
