@@ -25,6 +25,7 @@ from kmeans_mapreduce_spark.plans import relational as R
 from kmeans_mapreduce_spark.plans import relational_ext as RX
 from kmeans_mapreduce_spark.plans import relational_ext2 as RX2
 from kmeans_mapreduce_spark.plans import relational_ext3 as RX3
+from kmeans_mapreduce_spark.plans import pipeline_queries5 as PQ5
 from kmeans_mapreduce_spark.plans import relational_ext4 as RX4
 
 
@@ -157,6 +158,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_nation_profit": RX4.q9_nation_profit,
     "q12_priority_shipping": RX4.q12_priority_shipping,
     "q20_dominant_suppliers": RX4.q20_dominant_suppliers,
+    # (c continued) RAG chunking, fuzzy linkage, snapshot diff
+    "pipeline_doc_chunks": PQ5.pipeline_doc_chunks,
+    "linkage_fuzzy_parts": PQ5.linkage_fuzzy_parts,
+    "snapshot_diff_orders": PQ5.snapshot_diff_orders,
     # (d) stable driver-green fill — remaining window slots
     "dedup_minhash": PQ.dedup_minhash,
     "dedup_components": PQ.dedup_components,
@@ -387,6 +392,9 @@ ORACLES: dict[str, str] = {
     "q9_nation_profit": RX4.Q9_SQL,
     "q12_priority_shipping": RX4.Q12_SQL,
     "q20_dominant_suppliers": RX4.Q20_SQL,
+    "pipeline_doc_chunks": PQ5.DOC_CHUNKS_SQL,
+    "linkage_fuzzy_parts": PQ5.LINKAGE_SQL,
+    "snapshot_diff_orders": PQ5.SNAPSHOT_DIFF_SQL,
     "ann_brute_topk": PQ.ANN_BRUTE_SQL,
     "ann_lsh_topk": PQ.ANN_LSH_SQL,
     "ann_brute_topk_pandas": PQ.ANN_BRUTE4_SQL,

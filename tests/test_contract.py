@@ -75,6 +75,10 @@ def test_catalog_shapes():
         "q9_nation_profit",
         "q12_priority_shipping",
         "q20_dominant_suppliers",
+        # (c) new in round 4, fifth batch — chunking/linkage/diff
+        "pipeline_doc_chunks",
+        "linkage_fuzzy_parts",
+        "snapshot_diff_orders",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 
