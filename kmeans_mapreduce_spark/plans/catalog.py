@@ -26,7 +26,9 @@ from kmeans_mapreduce_spark.plans import relational_ext as RX
 from kmeans_mapreduce_spark.plans import relational_ext2 as RX2
 from kmeans_mapreduce_spark.plans import relational_ext3 as RX3
 from kmeans_mapreduce_spark.plans import pipeline_queries5 as PQ5
+from kmeans_mapreduce_spark.plans import pipeline_queries6 as PQ6
 from kmeans_mapreduce_spark.plans import relational_ext4 as RX4
+from kmeans_mapreduce_spark.plans import analytics2 as AN2
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,6 +264,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subq_scalar_threshold": RX.subq_scalar_threshold,
     "window_value_funcs": RX.window_value_funcs,
     "window_range_frame": RX.window_range_frame,
+    # Round-4 batch 6 (added after the round-4 window snapshot; these
+    # rotate into round 5's first-50): bigram-LM scoring, count-min,
+    # weighted sampling, PMI, PCA, EWMA, z-test, attribution,
+    # chi-square, triangles
+    "lm_bigram_logprob": PQ6.lm_bigram_logprob,
+    "sketch_countmin_tokens": PQ6.sketch_countmin_tokens,
+    "sample_weighted_bychars": PQ6.sample_weighted_bychars,
+    "docs_pmi_pairs": PQ6.docs_pmi_pairs,
+    "embedding_pca_power": PQ6.embedding_pca_power,
+    "events_ewma": AN2.events_ewma,
+    "ab_test_ztest": AN2.ab_test_ztest,
+    "attribution_last_touch": AN2.attribution_last_touch,
+    "stats_chi2_independence": AN2.stats_chi2_independence,
+    "graph_triangle_count": GQ.graph_triangle_count,
 }
 
 ORACLES: dict[str, str] = {
@@ -402,6 +418,16 @@ ORACLES: dict[str, str] = {
     "mm_metadata": PQ.MM_METADATA_SQL,
     "mm_decode": PQ.MM_DECODE_SQL,
     "mm_frame_sample": PQ.MM_FRAME_SQL,
+    "lm_bigram_logprob": PQ6.LM_BIGRAM_SQL,
+    "sketch_countmin_tokens": PQ6.CMS_SQL,
+    "sample_weighted_bychars": PQ6.WEIGHTED_SAMPLE_SQL,
+    "docs_pmi_pairs": PQ6.PMI_SQL,
+    "embedding_pca_power": PQ6.PCA_SQL,
+    "events_ewma": AN2.EWMA_SQL,
+    "ab_test_ztest": AN2.ZTEST_SQL,
+    "attribution_last_touch": AN2.ATTRIBUTION_SQL,
+    "stats_chi2_independence": AN2.CHI2_SQL,
+    "graph_triangle_count": GQ.TRIANGLE_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

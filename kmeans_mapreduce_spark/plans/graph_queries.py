@@ -128,6 +128,67 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected k-NN graph (top 20
+    by count) plus the global triangle total — the local-density signal
+    behind clustering-coefficient curation and community seeding.
+
+    Plan: canonicalize edges to a<b once (symmetrize + distinct, one
+    shuffle), then the standard two-join triangle enumeration
+    (a<b<c) — because every join keys on a node id and k-NN degree is
+    bounded by k, intermediate wedge counts are O(N·k²), not O(N²).
+    At 100 TB the edge frame would be bucketed by src so both joins
+    co-locate; node-degree skew is capped by construction (k<=3 here).
+    """
+    e = _knn_edges(spark, sf_dir)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    total = tris.agg(F.count("*").alias("total_triangles"))
+    return (
+        per_node.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("triangles"), "vec_id")
+        .limit(20)
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH knn AS ({KNN_GRAPH_SQL}),
+und AS (
+  SELECT DISTINCT LEAST(node_id, neighbor_id) AS a,
+                  GREATEST(node_id, neighbor_id) AS b
+  FROM knn WHERE node_id != neighbor_id),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+total AS (SELECT COUNT(*) AS total_triangles FROM tris),
+nodes AS (
+  SELECT vec_id, COUNT(*) AS triangles FROM (
+    SELECT x AS vec_id FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris)
+  GROUP BY vec_id)
+SELECT vec_id, triangles, total_triangles
+FROM nodes CROSS JOIN total
+ORDER BY triangles DESC, vec_id LIMIT 20
+"""
+
+
 BFS_REACH_SQL = f"""
 WITH RECURSIVE knn AS ({KNN_GRAPH_SQL}),
 edges AS (SELECT node_id AS src, neighbor_id AS dst FROM knn),

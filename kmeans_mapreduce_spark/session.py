@@ -84,3 +84,38 @@ TABLES = (
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
     """Read the harness parquet tables; returns {name: DataFrame}."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+# --- named session registry (reference O1 parity) ---------------------------
+#
+# The reference master keeps per-client session state in two maps keyed
+# by client IP (master.go:20-21 Requests/Clients).  The Spark analog is
+# SparkSession.newSession(): one shared SparkContext (the cluster
+# resources), independent SQL conf / temp views / UDF registries per
+# logical client.  The registry below gives those child sessions stable
+# names the way the master keys its map.
+
+_SESSION_REGISTRY: dict[str, SparkSession] = {}
+
+
+def get_named_session(name: str, base: SparkSession | None = None) -> SparkSession:
+    """Return (creating on first use) an isolated child session for
+    `name`.  Same JVM/SparkContext, separate session state — temp views
+    registered by one named session are invisible to the others, which
+    is exactly the isolation the reference's per-client registry
+    provides for concurrent requests."""
+    s = _SESSION_REGISTRY.get(name)
+    if s is not None:
+        return s
+    root = base or get_spark()
+    child = root.newSession()
+    _SESSION_REGISTRY[name] = child
+    return child
+
+
+def close_named_session(name: str) -> bool:
+    """Drop a named session from the registry (the reference deletes the
+    map entry when a request completes, master.go:213-227).  The shared
+    SparkContext stays up; only the session state becomes collectable.
+    Returns whether the name existed."""
+    return _SESSION_REGISTRY.pop(name, None) is not None

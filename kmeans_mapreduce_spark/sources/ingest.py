@@ -97,3 +97,47 @@ def points_from_embeddings(
         F.col("label"),
     )
     return _enforce_dim(df, dim)
+
+
+def list_datasets(spark: SparkSession, dirpath: str, suffix: str = "") -> DataFrame:
+    """Dataset catalog listing (reference S1, client.go:151-170) —
+    non-interactive: instead of printing a numbered menu and blocking on
+    stdin, return the same (choice, name) inventory as a DataFrame with
+    file sizes, so callers (or a UI) select programmatically via
+    ``pick_dataset``.
+
+    Uses the Hadoop FileSystem API (the maintenance._tree_bytes
+    convention), so the listing works identically on file://, hdfs://
+    and s3a:// — a local os.listdir would not.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dirpath)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    entries = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if suffix and not name.endswith(suffix):
+            continue
+        entries.append((name, int(st.getLen()), bool(st.isDirectory())))
+    entries.sort()  # deterministic menu order (HDFS listing order is not)
+    return spark.createDataFrame(
+        [(i + 1, n, sz, d) for i, (n, sz, d) in enumerate(entries)],
+        T.StructType(
+            [
+                T.StructField("choice", T.IntegerType(), False),
+                T.StructField("name", T.StringType(), False),
+                T.StructField("size_bytes", T.LongType(), False),
+                T.StructField("is_dir", T.BooleanType(), False),
+            ]
+        ),
+    )
+
+
+def pick_dataset(listing: DataFrame, choice: int) -> str:
+    """Resolve a menu choice to a dataset name (client.go:165-169 without
+    the Scanf): raises KeyError on an out-of-range pick instead of
+    silently returning the empty string like the reference's map lookup."""
+    rows = listing.where(F.col("choice") == choice).collect()
+    if not rows:
+        raise KeyError(f"no dataset with choice number {choice}")
+    return rows[0]["name"]

@@ -22,6 +22,9 @@ import pytest
 #   join_range_quantity_bands  3-row band dimension (theta join)
 #   hybrid_search_rrf        1-row query vector onto the vector leg
 #   corpus_drift_psi         |sources|×|buckets| dense grid (≤ dozens)
+#   lm_bigram_logprob        1-row vocabulary-size scalar onto bigrams
+#   embedding_pca_power      1-row norm/eigenvalue scalars onto d=64 rows
+#   graph_triangle_count     1-row triangle-total scalar onto ≤N nodes
 ALLOWED_NESTED_LOOP = {
     "events_funnel",
     "dq_validation_report",
@@ -32,6 +35,9 @@ ALLOWED_NESTED_LOOP = {
     "join_range_quantity_bands",
     "hybrid_search_rrf",
     "corpus_drift_psi",
+    "lm_bigram_logprob",
+    "embedding_pca_power",
+    "graph_triangle_count",
 }
 
 
