@@ -29,6 +29,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries5 as PQ5
 from kmeans_mapreduce_spark.plans import pipeline_queries6 as PQ6
 from kmeans_mapreduce_spark.plans import relational_ext4 as RX4
 from kmeans_mapreduce_spark.plans import analytics2 as AN2
+from kmeans_mapreduce_spark.plans import analytics3 as AN3
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,8 +165,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_doc_chunks": PQ5.pipeline_doc_chunks,
     "linkage_fuzzy_parts": PQ5.linkage_fuzzy_parts,
     "snapshot_diff_orders": PQ5.snapshot_diff_orders,
-    # (d) stable driver-green fill — remaining window slots
+    # (d) stable driver-green fill — entry 50, the last window slot
     "dedup_minhash": PQ.dedup_minhash,
+    # ---- 50-entry window boundary (driver checks entries 1-50) ----
     "dedup_components": PQ.dedup_components,
     "ann_ivf_topk": PQ.ann_ivf_topk,
     "text_bm25_rank": PQ.text_bm25_rank,
@@ -194,7 +196,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume": RX3.q18_large_volume,
     "q21_sole_late_supplier": RX3.q21_sole_late_supplier,
     "sort_global_daily": RX2.sort_global_daily,
-    # ---- 50-entry window boundary ----
     # (kmeans_fit_native has standing driver signal via entry();
     #  km_two_iterations is oracle-pinned by compare.py + plan tests)
     "km_two_iterations": KQ.km_two_iterations,
@@ -278,6 +279,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_last_touch": AN2.attribution_last_touch,
     "stats_chi2_independence": AN2.stats_chi2_independence,
     "graph_triangle_count": GQ.graph_triangle_count,
+    # Round-4 batch 7 (rotate into round 5's first-50): skyline,
+    # Markov transitions, ACF, rolling corr, equi-depth histogram,
+    # vocab coverage, weekday seasonality, MoM growth
+    "orders_pareto_frontier": AN3.orders_pareto_frontier,
+    "events_markov_transitions": AN3.events_markov_transitions,
+    "events_autocorr_daily": AN3.events_autocorr_daily,
+    "events_rolling_corr": AN3.events_rolling_corr,
+    "hist_equidepth_prices": AN3.hist_equidepth_prices,
+    "docs_vocab_coverage": AN3.docs_vocab_coverage,
+    "events_dow_seasonality": AN3.events_dow_seasonality,
+    "orders_mom_growth": AN3.orders_mom_growth,
 }
 
 ORACLES: dict[str, str] = {
@@ -428,6 +440,14 @@ ORACLES: dict[str, str] = {
     "attribution_last_touch": AN2.ATTRIBUTION_SQL,
     "stats_chi2_independence": AN2.CHI2_SQL,
     "graph_triangle_count": GQ.TRIANGLE_SQL,
+    "orders_pareto_frontier": AN3.PARETO_SQL,
+    "events_markov_transitions": AN3.MARKOV_SQL,
+    "events_autocorr_daily": AN3.AUTOCORR_SQL,
+    "events_rolling_corr": AN3.ROLLCORR_SQL,
+    "hist_equidepth_prices": AN3.HIST_EQUIDEPTH_SQL,
+    "docs_vocab_coverage": AN3.VOCAB_COVERAGE_SQL,
+    "events_dow_seasonality": AN3.DOW_SEASONALITY_SQL,
+    "orders_mom_growth": AN3.MOM_GROWTH_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.
