@@ -122,8 +122,6 @@ def upsert_parquet(
             w = w.partitionBy(partition_col)
         w.parquet(target_dir)
         return
-    staging_dir = target_dir.rstrip("/") + "__staging"
-    _, jstaging = _fs_path(spark, staging_dir)
     target = spark.read.parquet(target_dir)
     if partition_col:
         parts = [
@@ -134,11 +132,35 @@ def upsert_parquet(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         )
         merged = keep.unionByName(updates.select(*scope.columns))
+    else:
+        keep = target.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = keep.unionByName(updates.select(*target.columns))
+    _staged_swap_write(spark, target_dir, merged, partition_col)
+
+
+def _staged_swap_write(
+    spark: SparkSession,
+    target_dir: str,
+    merged: DataFrame,
+    partition_col: str | None,
+) -> None:
+    """Write `merged` to a staging dir, then swap it into `target_dir`
+    with filesystem renames (per affected partition when partitioned,
+    whole-directory otherwise).  Shared tail of upsert/delete — the
+    durability contract lives here once."""
+    fs, jtarget = _fs_path(spark, target_dir)
+    staging_dir = target_dir.rstrip("/") + "__staging"
+    _, jstaging = _fs_path(spark, staging_dir)
+    if partition_col:
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(
             staging_dir
         )
         # swap in ONLY the staged partition dirs; untouched partitions'
-        # files are never opened, moved, or rewritten
+        # files are never opened, moved, or rewritten.  A partition
+        # whose rows were ALL deleted stages as absent — delete the
+        # live dir for any scoped partition missing from staging.
         prefix = f"{partition_col}="
         for st in fs.listStatus(jstaging):
             name = st.getPath().getName()
@@ -150,10 +172,6 @@ def upsert_parquet(
             fs.rename(st.getPath(), jdst)
         fs.delete(jstaging, True)
     else:
-        keep = target.join(
-            updates.select(*key_cols).distinct(), key_cols, "left_anti"
-        )
-        merged = keep.unionByName(updates.select(*target.columns))
         merged.write.mode("overwrite").parquet(staging_dir)
         old_dir = target_dir.rstrip("/") + "__old"
         _, jold = _fs_path(spark, old_dir)
@@ -162,6 +180,61 @@ def upsert_parquet(
         fs.rename(jtarget, jold)
         fs.rename(jstaging, jtarget)
         fs.delete(jold, True)
+
+
+def delete_rows(
+    spark: SparkSession,
+    target_dir: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Targeted row deletion (the GDPR/right-to-erasure primitive) from
+    a plain-parquet table: every target row matching a key in `keys`
+    is removed; everything else is byte-identical untouched.
+
+    Same rewrite-the-affected-scope strategy as upsert_parquet: with
+    `partition_col` set, only partitions that CONTAIN matching keys are
+    rewritten — found with one aggregation over the join, not a full
+    rewrite — so erasing one user from a date-partitioned 100 TB table
+    rewrites only the partitions that user appears in.  The anti-join
+    broadcasts when the key batch is small (the normal case — AQE
+    decides from the actual size).  Durability via the same staged
+    write + rename swap as upsert."""
+    fs, jtarget = _fs_path(spark, target_dir)
+    if not fs.exists(jtarget):
+        raise FileNotFoundError(target_dir)
+    target = spark.read.parquet(target_dir)
+    kd = keys.select(*key_cols).distinct()
+    if partition_col:
+        parts = [
+            r[0]
+            for r in target.join(kd, key_cols, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
+        if not parts:
+            return  # no partition holds any of the keys: nothing to do
+        scope = target.where(F.col(partition_col).isin(parts))
+        merged = scope.join(kd, key_cols, "left_anti")
+        # a fully-emptied partition writes no staging dir and would
+        # survive the swap stale — find survivors BEFORE swapping and
+        # drop the emptied partitions' live dirs afterwards
+        survivors = {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
+        _staged_swap_write(spark, target_dir, merged, partition_col)
+        for p in parts:
+            if p not in survivors:
+                _, jdst = _fs_path(
+                    spark, f"{target_dir.rstrip('/')}/{partition_col}={p}"
+                )
+                if fs.exists(jdst):
+                    fs.delete(jdst, True)
+    else:
+        merged = target.join(kd, key_cols, "left_anti")
+        _staged_swap_write(spark, target_dir, merged, None)
 
 
 def _morton_key(cols_q: list, bits: int):
