@@ -479,3 +479,92 @@ SELECT strftime(month, '%Y-%m-%d') AS month, revenue, prev_revenue,
        ROUND((revenue - prev_revenue) / prev_revenue * 100, 4) AS growth_pct
 FROM lagged ORDER BY month
 """
+
+_SESSION_GAP_US = 1800 * 1_000_000  # the events_sessionize 30-min rule
+_OVERLAP_BUCKET_S = 3600
+_OVERLAP_PAD_S = 300  # ±5 min co-presence halo around each session
+
+
+def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session pairs: per event type, how many cross-user
+    session pairs overlap in time — the interval-join workload behind
+    co-presence / simultaneous-usage analysis.
+
+    Plan: sessionize per (user, type) with the same 30-min-gap rule as
+    events_sessionize (two windows, one shuffle), aggregate to session
+    [start, end] intervals, then operators/interval.overlap_join —
+    bucket-blocked equi-join, exact verify, first-shared-bucket dedup —
+    instead of the O(N²) theta self-join the oracle states.  Candidate
+    volume is O(sessions × buckets-per-session), never sessions²."""
+    from kmeans_mapreduce_spark.operators.interval import overlap_join
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        us.alias("us"),
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1)
+        .otherwise(0)
+        .alias("ns"),
+    )
+    wc = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ivals = (
+        seq.withColumn("sid", F.sum("ns").over(wc))
+        .groupBy("user_id", "event_type", "sid")
+        .agg(
+            (F.floor(F.min("us") / 1_000_000) - _OVERLAP_PAD_S).alias("s"),
+            (F.floor(F.max("us") / 1_000_000) + _OVERLAP_PAD_S).alias("e"),
+        )
+    )
+    pairs = overlap_join(
+        ivals,
+        ivals,
+        start="s",
+        end="e",
+        bucket_seconds=_OVERLAP_BUCKET_S,
+        keys=["event_type"],
+    )
+    return (
+        pairs.where(F.col("user_id_l") < F.col("user_id_r"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("event_type")
+    )
+
+
+SESSIONS_OVERLAP_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+ivals AS (
+  SELECT user_id, event_type, sid,
+         FLOOR(MIN(us) / 1000000) - 300 AS s,
+         FLOOR(MAX(us) / 1000000) + 300 AS e
+  FROM (
+    SELECT user_id, event_type, us,
+           SUM(ns) OVER (PARTITION BY user_id, event_type
+                         ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+    FROM seq)
+  GROUP BY 1, 2, 3)
+SELECT a.event_type, COUNT(*) AS n_pairs
+FROM ivals a
+JOIN ivals b
+  ON a.event_type = b.event_type
+ AND a.user_id < b.user_id
+ AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1 ORDER BY 1
+"""

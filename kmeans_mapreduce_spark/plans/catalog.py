@@ -290,6 +290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_vocab_coverage": AN3.docs_vocab_coverage,
     "events_dow_seasonality": AN3.events_dow_seasonality,
     "orders_mom_growth": AN3.orders_mom_growth,
+    "sessions_overlap_pairs": AN3.sessions_overlap_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -448,6 +449,7 @@ ORACLES: dict[str, str] = {
     "docs_vocab_coverage": AN3.VOCAB_COVERAGE_SQL,
     "events_dow_seasonality": AN3.DOW_SEASONALITY_SQL,
     "orders_mom_growth": AN3.MOM_GROWTH_SQL,
+    "sessions_overlap_pairs": AN3.SESSIONS_OVERLAP_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.
