@@ -219,3 +219,31 @@ def test_concurrency_sweep_single_sort_at_scale(wide_shuffle):
     plan = _physical_plan(df)
     assert "Join" not in plan
     assert n >= 1
+
+
+def test_interval_overlap_join_no_cartesian_at_scale(wide_shuffle):
+    """sessions_overlap_pairs at sf0.1 with 256-way shuffles: the
+    bucket-blocked interval join must execute as a shuffled equi-join
+    (SortMergeJoin/ShuffledHashJoin on the bucket key), never the
+    nested-loop plan the naive theta formulation produces."""
+    from kmeans_mapreduce_spark.plans.analytics3 import sessions_overlap_pairs
+
+    df = sessions_overlap_pairs(wide_shuffle, SF_SCALE)
+    n = df.count()
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n >= 1
+
+
+def test_pareto_local_pass_partitioned_at_scale(wide_shuffle):
+    """orders_pareto_frontier at sf0.1: the first (bucketed) window is
+    hash-partitioned on bkt — only the candidate-sized second pass may
+    be a single-partition window."""
+    from kmeans_mapreduce_spark.plans.analytics3 import orders_pareto_frontier
+
+    df = orders_pareto_frontier(wide_shuffle, SF_SCALE)
+    n = df.count()
+    plan = _physical_plan(df)
+    assert "hashpartitioning(bkt" in plan, "local skyline pass lost its bucketing"
+    assert n >= 1
