@@ -30,6 +30,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries6 as PQ6
 from kmeans_mapreduce_spark.plans import relational_ext4 as RX4
 from kmeans_mapreduce_spark.plans import analytics2 as AN2
 from kmeans_mapreduce_spark.plans import analytics3 as AN3
+from kmeans_mapreduce_spark.plans import analytics4 as AN4
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,6 +292,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dow_seasonality": AN3.events_dow_seasonality,
     "orders_mom_growth": AN3.orders_mom_growth,
     "sessions_overlap_pairs": AN3.sessions_overlap_pairs,
+    # Round-4 batch 8 (rotate into round 5's first-50): growth
+    # accounting, concentration, CRM segmentation, stickiness, bounce
+    "events_user_lifecycle": AN4.events_user_lifecycle,
+    "events_engagement_gini": AN4.events_engagement_gini,
+    "customers_rfm_segments": AN4.customers_rfm_segments,
+    "events_stickiness_dau_mau": AN4.events_stickiness_dau_mau,
+    "sessions_bounce_rate": AN4.sessions_bounce_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -450,6 +458,11 @@ ORACLES: dict[str, str] = {
     "events_dow_seasonality": AN3.DOW_SEASONALITY_SQL,
     "orders_mom_growth": AN3.MOM_GROWTH_SQL,
     "sessions_overlap_pairs": AN3.SESSIONS_OVERLAP_SQL,
+    "events_user_lifecycle": AN4.LIFECYCLE_SQL,
+    "events_engagement_gini": AN4.GINI_SQL,
+    "customers_rfm_segments": AN4.RFM_SQL,
+    "events_stickiness_dau_mau": AN4.STICKINESS_SQL,
+    "sessions_bounce_rate": AN4.BOUNCE_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.
