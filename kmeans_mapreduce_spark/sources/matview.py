@@ -55,11 +55,14 @@ def _list_data_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
-def _read_manifest(spark: SparkSession, mv_dir: str) -> list[str]:
+def _read_manifest(spark: SparkSession, mv_dir: str) -> dict:
+    """Manifest dict ({} when the view doesn't exist yet): `files` =
+    fact files already folded (batch refresh), `batch_id` = last
+    streaming micro-batch folded (stream refresh)."""
     fs, _ = _fs_path(spark, mv_dir)
     _, jman = _fs_path(spark, f"{mv_dir.rstrip('/')}/{_MANIFEST}")
     if not fs.exists(jman):
-        return []
+        return {}
     stream = fs.open(jman)
     try:
         # py4j can't mutate a passed byte[] in place; commons-io (on
@@ -69,15 +72,15 @@ def _read_manifest(spark: SparkSession, mv_dir: str) -> list[str]:
         )
     finally:
         stream.close()
-    return json.loads(text)["files"]
+    return json.loads(text)
 
 
-def _write_manifest(spark: SparkSession, dir_: str, files: list[str]) -> None:
+def _write_manifest(spark: SparkSession, dir_: str, manifest: dict) -> None:
     fs, _ = _fs_path(spark, dir_)
     _, jman = _fs_path(spark, f"{dir_.rstrip('/')}/{_MANIFEST}")
     stream = fs.create(jman, True)
     try:
-        stream.write(json.dumps({"files": files}).encode("utf-8"))
+        stream.write(json.dumps(manifest).encode("utf-8"))
     finally:
         stream.close()
 
@@ -97,14 +100,32 @@ def refresh_matview(
     partials merge by SUM (F.sum(...), F.count(...)).  The view's
     stored schema is exactly (group_cols..., measures...)."""
     fact_files = _list_data_files(spark, fact_dir)
-    done = set(_read_manifest(spark, mv_dir))
+    manifest = _read_manifest(spark, mv_dir)
+    done = set(manifest.get("files", []))
     new_files = [f for f in fact_files if f not in done]
     if not new_files:
         return 0
-    delta = (
-        spark.read.parquet(*new_files)
-        .groupBy(*group_cols)
-        .agg(*[c.alias(n) for n, c in sum_measures.items()])
+    delta = spark.read.parquet(*new_files)
+    manifest["files"] = fact_files
+    merge_delta(spark, mv_dir, delta, group_cols, sum_measures, manifest)
+    return len(new_files)
+
+
+def merge_delta(
+    spark: SparkSession,
+    mv_dir: str,
+    delta_rows: DataFrame,
+    group_cols: list[str],
+    sum_measures: dict[str, Column],
+    manifest: dict,
+) -> None:
+    """Aggregate `delta_rows`, merge into the view by summing partials
+    per group, and publish atomically with `manifest` (staged write +
+    directory rename; the manifest rides inside the staged directory
+    so data and provenance swap together).  Shared by the file-diff
+    batch refresh and the streaming foreachBatch fold."""
+    delta = delta_rows.groupBy(*group_cols).agg(
+        *[c.alias(n) for n, c in sum_measures.items()]
     )
     fs, jmv = _fs_path(spark, mv_dir)
     if fs.exists(jmv):
@@ -125,7 +146,7 @@ def refresh_matview(
     if fs.exists(jstaging):
         fs.delete(jstaging, True)
     merged.write.mode("overwrite").parquet(staging)
-    _write_manifest(spark, staging, fact_files)
+    _write_manifest(spark, staging, manifest)
     old = mv_dir.rstrip("/") + "__old"
     _, jold = _fs_path(spark, old)
     if fs.exists(jold):
@@ -134,7 +155,6 @@ def refresh_matview(
         fs.rename(jmv, jold)
     fs.rename(jstaging, jmv)
     fs.delete(jold, True)
-    return len(new_files)
 
 
 def read_matview(spark: SparkSession, mv_dir: str) -> DataFrame:
