@@ -31,6 +31,7 @@ from kmeans_mapreduce_spark.plans import relational_ext4 as RX4
 from kmeans_mapreduce_spark.plans import analytics2 as AN2
 from kmeans_mapreduce_spark.plans import analytics3 as AN3
 from kmeans_mapreduce_spark.plans import analytics4 as AN4
+from kmeans_mapreduce_spark.plans import analytics5 as AN5
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,6 +300,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_rfm_segments": AN4.customers_rfm_segments,
     "events_stickiness_dau_mau": AN4.events_stickiness_dau_mau,
     "sessions_bounce_rate": AN4.sessions_bounce_rate,
+    # Round-4 batch 9 (rotate into round 5's first-50): market
+    # structure over the TPC-H star
+    "suppliers_nation_hhi": AN5.suppliers_nation_hhi,
+    "orders_priority_mix_shift": AN5.orders_priority_mix_shift,
+    "nations_trade_balance": AN5.nations_trade_balance,
 }
 
 ORACLES: dict[str, str] = {
@@ -463,6 +469,9 @@ ORACLES: dict[str, str] = {
     "customers_rfm_segments": AN4.RFM_SQL,
     "events_stickiness_dau_mau": AN4.STICKINESS_SQL,
     "sessions_bounce_rate": AN4.BOUNCE_SQL,
+    "suppliers_nation_hhi": AN5.HHI_SQL,
+    "orders_priority_mix_shift": AN5.PRIORITY_MIX_SQL,
+    "nations_trade_balance": AN5.TRADE_BALANCE_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

@@ -65,6 +65,35 @@ def test_overlap_join_single_emission_across_many_shared_buckets(spark):
     assert len(got) == 1
 
 
+def test_overlap_join_random_property(spark):
+    """Randomized cross-check vs brute force: interval endpoints drawn
+    to produce heavy overlap, nesting, touching, and bucket-boundary
+    cases (seeded — deterministic across runs)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        lrows = []
+        rrows = []
+        for i in range(40):
+            s = rng.randint(0, 200)
+            lrows.append((f"l{i}", "k", s, s + rng.randint(0, 60)))
+            s = rng.randint(0, 200)
+            rrows.append((f"r{i}", "k", s, s + rng.randint(0, 60)))
+        schema = "id string, grp string, s long, e long"
+        got = overlap_join(
+            spark.createDataFrame(lrows, schema),
+            spark.createDataFrame(rrows, schema),
+            start="s",
+            end="e",
+            bucket_seconds=rng.choice([7, 10, 50]),
+            keys=["grp"],
+        ).collect()
+        pairs = [(r["id_l"], r["id_r"]) for r in got]
+        assert len(pairs) == len(set(pairs)), f"trial {trial}: duplicate pair"
+        assert set(pairs) == _brute(lrows, rrows), f"trial {trial}"
+
+
 def test_overlap_join_plan_is_equi_join(spark):
     schema = "id string, s long, e long"
     left = spark.createDataFrame([("l1", 0, 10)], schema)
