@@ -183,6 +183,106 @@ def nations_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSK_WIDTH = 20.0
+_QSK_BUCKETS = 25  # fixed edges over [0, 500); >=500 clamps into the last
+
+
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile architecture: DAILY fixed-bucket histogram
+    sketches of event value, merged into WEEKLY quantile estimates —
+    the companion to sketch_rollup_weekly_users (HLL) for the quantile
+    case.  percentile_approx partials can't be re-merged across
+    pre-aggregated days; fixed-edge histograms merge by adding counts,
+    so the weekly rollup never rescans raw events.
+
+    Plan: agg 1 to (type, day, bucket) counts — O(days × types ×
+    buckets) rows, this is the persisted daily sketch; agg 2 sums
+    counts to week grain; the p50/p90 estimates are cumulative-window
+    interpolation over the 25-bucket frames.  Estimation error is
+    bounded by the bucket width (pinned in tests vs the exact
+    quantile)."""
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("value") / _QSK_WIDTH).cast("long"),
+        F.lit(_QSK_BUCKETS - 1),
+    ).alias("bucket")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day"), bucket
+    ).agg(F.count("*").alias("cnt"))
+    weekly = daily.groupBy(
+        "event_type",
+        (F.datediff("day", F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("week_i"),
+        "bucket",
+    ).agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("event_type", "week_i").orderBy("bucket")
+    cum = weekly.select(
+        "event_type",
+        "week_i",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("cnt").over(
+            Window.partitionBy("event_type", "week_i")
+        ).alias("total"),
+    )
+
+    def est(q: float):
+        target = F.col("total") * q
+        hit = (F.col("cum") >= target) & (
+            (F.col("cum") - F.col("cnt")) < target
+        )
+        frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        val = (F.col("bucket") + frac) * _QSK_WIDTH
+        return F.min(F.when(hit, F.round(val, 4)))
+
+    return (
+        cum.groupBy("event_type", "week_i")
+        .agg(
+            F.max("total").alias("n_events"),
+            est(0.5).alias("p50_est"),
+            est(0.9).alias("p90_est"),
+        )
+        .orderBy("event_type", "week_i")
+    )
+
+
+QUANTILE_ROLLUP_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         LEAST(CAST(FLOOR(value / {_QSK_WIDTH}) AS BIGINT),
+               {_QSK_BUCKETS - 1}) AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2, 3),
+weekly AS (
+  SELECT event_type,
+         CAST(FLOOR(DATEDIFF('day', DATE '1970-01-01', day) / 7) AS BIGINT)
+           AS week_i,
+         bucket, SUM(cnt) AS cnt
+  FROM daily GROUP BY 1, 2, 3),
+cum AS (
+  SELECT event_type, week_i, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type, week_i ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type, week_i) AS total
+  FROM weekly)
+SELECT event_type, week_i,
+       CAST(MAX(total) AS BIGINT) AS n_events,
+       MIN(CASE WHEN cum >= total * 0.5 AND cum - cnt < total * 0.5
+                THEN ROUND((bucket + (total * 0.5 - (cum - cnt)) / cnt)
+                           * {_QSK_WIDTH}, 4) END) AS p50_est,
+       MIN(CASE WHEN cum >= total * 0.9 AND cum - cnt < total * 0.9
+                THEN ROUND((bucket + (total * 0.9 - (cum - cnt)) / cnt)
+                           * {_QSK_WIDTH}, 4) END) AS p90_est
+FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 TRADE_BALANCE_SQL = """
 WITH supplied AS (
   SELECT n.n_name, SUM(l.l_extendedprice * (1 - l.l_discount)) AS supplied

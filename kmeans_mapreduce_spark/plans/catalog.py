@@ -305,6 +305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suppliers_nation_hhi": AN5.suppliers_nation_hhi,
     "orders_priority_mix_shift": AN5.orders_priority_mix_shift,
     "nations_trade_balance": AN5.nations_trade_balance,
+    "sketch_quantile_rollup": AN5.sketch_quantile_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -472,6 +473,7 @@ ORACLES: dict[str, str] = {
     "suppliers_nation_hhi": AN5.HHI_SQL,
     "orders_priority_mix_shift": AN5.PRIORITY_MIX_SQL,
     "nations_trade_balance": AN5.TRADE_BALANCE_SQL,
+    "sketch_quantile_rollup": AN5.QUANTILE_ROLLUP_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

@@ -47,6 +47,43 @@ def test_priority_mix_shares_sum_to_one(spark, sf_dir):
                 )
 
 
+def test_quantile_sketch_error_bounded_by_bucket_width(spark, sf_dir):
+    """The merged-histogram estimates must land within two bucket
+    widths of the EXACT weekly quantiles recomputed from raw events
+    (one width of intra-bucket interpolation error, plus up to one
+    more when the sketch's n*q rank convention and percentile()'s
+    (n-1)*q+1 convention straddle a bucket boundary)."""
+    import pyspark.sql.functions as F
+
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    est = {
+        (r["event_type"], r["week_i"]): r
+        for r in AN5.sketch_quantile_rollup(spark, sf_dir).collect()
+    }
+    ev = _events(spark, sf_dir)
+    exact = (
+        ev.groupBy(
+            "event_type",
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7)
+            .cast("long")
+            .alias("week_i"),
+        )
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert est
+    for r in exact:
+        e = est[(r["event_type"], r["week_i"])]
+        assert e["n_events"] == r["n"]
+        assert abs(e["p50_est"] - r["p50"]) <= 2 * AN5._QSK_WIDTH
+        assert abs(e["p90_est"] - r["p90"]) <= 2 * AN5._QSK_WIDTH
+
+
 def test_trade_balance_nets_to_zero(spark, sf_dir):
     """Every revenue unit is supplied by some nation and bought by
     some nation, so the nets sum to ~0 across nations."""
