@@ -162,6 +162,55 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     )
 
 
+def audio_pcm_windows(
+    df: DataFrame,
+    sample_rate: int = 16000,
+    bytes_per_sample: int = 2,
+    window_samples: int = 32,
+    hop_samples: int = 25,
+) -> DataFrame:
+    """Audio window segmentation WITHOUT decoding: treat each payload
+    as a PCM16-style stream and emit one row per (overlapping) analysis
+    window — the framing stage every ASR/audio-feature pipeline runs
+    before the codec-dependent part.  All arithmetic is on byte
+    lengths, so this stays pure Catalyst (no Python, no codec): the
+    decode boundary (_decode_real) begins strictly AFTER framing, which
+    is exactly how a 100 TB audio pipeline pre-filters and shards work
+    before spinning up expensive decoders.
+
+    Output per window: index, start sample/byte, and start time in ms
+    (rounded to 4 dp — exact at any integer hop/rate ratio).  Payloads
+    shorter than one window emit nothing (n_windows = 0)."""
+    n_samples = F.floor(
+        F.octet_length("payload") / F.lit(bytes_per_sample)
+    ).cast("long")
+    n_windows = F.when(
+        n_samples >= window_samples,
+        F.floor((n_samples - window_samples) / F.lit(hop_samples)).cast("long")
+        + 1,
+    ).otherwise(F.lit(0))
+    start = F.col("window_idx") * hop_samples
+    return (
+        df.select("media_id", n_windows.alias("n_w"))
+        # sequence(0, -1) DESCENDS in Spark — zero-window payloads must
+        # be filtered before the explode, not after
+        .where(F.col("n_w") > 0)
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_w") - 1)).alias(
+                "window_idx"
+            ),
+        )
+        .select(
+            "media_id",
+            "window_idx",
+            start.alias("start_sample"),
+            (start * bytes_per_sample).alias("start_byte"),
+            F.round(start * 1000.0 / sample_rate, 4).alias("t_start_ms"),
+        )
+    )
+
+
 def media_metadata(df: DataFrame) -> DataFrame:
     """Typed metadata without decoding: [media_id, mime, n_bytes].
     Catalyst-only (octet_length) — the cheap pre-filter stage that runs

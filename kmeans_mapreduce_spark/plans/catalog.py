@@ -306,6 +306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_priority_mix_shift": AN5.orders_priority_mix_shift,
     "nations_trade_balance": AN5.nations_trade_balance,
     "sketch_quantile_rollup": AN5.sketch_quantile_rollup,
+    "mm_audio_windows": PQ.mm_audio_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -474,6 +475,7 @@ ORACLES: dict[str, str] = {
     "orders_priority_mix_shift": AN5.PRIORITY_MIX_SQL,
     "nations_trade_balance": AN5.TRADE_BALANCE_SQL,
     "sketch_quantile_rollup": AN5.QUANTILE_ROLLUP_SQL,
+    "mm_audio_windows": PQ.MM_AUDIO_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

@@ -393,6 +393,36 @@ FROM documents
 """
 
 
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing plumbing: each payload as a PCM16 stream, one row
+    per overlapping 32-sample analysis window (hop 25) with start
+    sample/byte/time — operators/multimodal.audio_pcm_windows.  Pure
+    Catalyst byte arithmetic; the decode boundary starts after this."""
+    media = MM.attach_payload(_docs(spark, sf_dir), "doc_id", "text", mime="audio/pcm16")
+    return MM.audio_pcm_windows(
+        media, sample_rate=16000, bytes_per_sample=2,
+        window_samples=32, hop_samples=25,
+    )
+
+
+MM_AUDIO_SQL = """
+WITH s AS (
+  SELECT doc_id, CAST(FLOOR(octet_length(encode(text)) / 2) AS BIGINT)
+           AS n_samples
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         CAST(FLOOR((n_samples - 32) / 25) + 1 AS BIGINT) AS n_w
+  FROM s WHERE n_samples >= 32)
+SELECT doc_id AS media_id,
+       g.widx AS window_idx,
+       g.widx * 25 AS start_sample,
+       g.widx * 25 * 2 AS start_byte,
+       ROUND(g.widx * 25 * 1000.0 / 16000, 4) AS t_start_ms
+FROM w, UNNEST(range(0, n_w)) AS g(widx)
+"""
+
+
 def ann_brute_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_brute_topk with the cosine computed in an Arrow-batched pandas
     UDF (functions/udfs.py) — the template for Python-side scoring.

@@ -102,3 +102,32 @@ def test_frame_sample_offsets(spark):
     df = spark.createDataFrame([(1, b"x" * 3000, "video/fake")], MM.MEDIA_SCHEMA)
     out = MM.frame_sample(df, every_n_bytes=1024).collect()
     assert [r["offset"] for r in out] == [0, 1024, 2048]
+
+
+def test_audio_pcm_windows_framing(spark):
+    """Window arithmetic: last window fits inside the payload, hop
+    spacing is exact, sub-window payloads emit nothing."""
+    rows = [
+        (1, b"x" * 200),  # 100 samples -> floor((100-32)/25)+1 = 3 windows
+        (2, b"x" * 64),   # 32 samples  -> exactly 1 window
+        (3, b"x" * 63),   # 31 samples  -> 0 windows (sub-window)
+        (4, b""),         # empty       -> 0 windows
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).withColumn("mime", F.lit("audio/pcm16"))
+    got = MM.audio_pcm_windows(
+        media, sample_rate=16000, bytes_per_sample=2,
+        window_samples=32, hop_samples=25,
+    ).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1, 2}
+    assert [r["start_sample"] for r in sorted(by_id[1], key=lambda r: r["window_idx"])] == [0, 25, 50]
+    # every window's last sample stays inside the payload
+    for r in by_id[1]:
+        assert r["start_sample"] + 32 <= 100
+        assert r["start_byte"] == r["start_sample"] * 2
+        assert r["t_start_ms"] == pytest.approx(r["start_sample"] * 1000 / 16000, abs=1e-4)
+    assert [r["start_sample"] for r in by_id[2]] == [0]
