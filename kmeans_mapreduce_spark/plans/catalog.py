@@ -32,6 +32,7 @@ from kmeans_mapreduce_spark.plans import analytics2 as AN2
 from kmeans_mapreduce_spark.plans import analytics3 as AN3
 from kmeans_mapreduce_spark.plans import analytics4 as AN4
 from kmeans_mapreduce_spark.plans import analytics5 as AN5
+from kmeans_mapreduce_spark.plans import analytics6 as AN6
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,6 +308,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nations_trade_balance": AN5.nations_trade_balance,
     "sketch_quantile_rollup": AN5.sketch_quantile_rollup,
     "mm_audio_windows": PQ.mm_audio_windows,
+    # Round-4 batch 10 (rotate into round 5's first-50): exact
+    # distribution-comparison statistics
+    "events_ks_two_sample": AN6.events_ks_two_sample,
+    "orders_benford_digits": AN6.orders_benford_digits,
 }
 
 ORACLES: dict[str, str] = {
@@ -476,6 +481,8 @@ ORACLES: dict[str, str] = {
     "nations_trade_balance": AN5.TRADE_BALANCE_SQL,
     "sketch_quantile_rollup": AN5.QUANTILE_ROLLUP_SQL,
     "mm_audio_windows": PQ.MM_AUDIO_SQL,
+    "events_ks_two_sample": AN6.KS_SQL,
+    "orders_benford_digits": AN6.BENFORD_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.
