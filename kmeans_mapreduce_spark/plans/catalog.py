@@ -312,6 +312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # distribution-comparison statistics
     "events_ks_two_sample": AN6.events_ks_two_sample,
     "orders_benford_digits": AN6.orders_benford_digits,
+    "docs_oov_rate": AN6.docs_oov_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -483,6 +484,7 @@ ORACLES: dict[str, str] = {
     "mm_audio_windows": PQ.MM_AUDIO_SQL,
     "events_ks_two_sample": AN6.KS_SQL,
     "orders_benford_digits": AN6.BENFORD_SQL,
+    "docs_oov_rate": AN6.OOV_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

@@ -86,3 +86,28 @@ def test_benford_shares_and_expectation(spark, sf_dir):
         assert r["abs_dev"] == pytest.approx(
             abs(r["obs_share"] - r["benford_share"]), abs=2e-6
         )
+
+
+def test_oov_rate_bounds_and_vocab_coverage_link(spark, sf_dir):
+    """OOV rates in [0,1]; corpus-wide OOV mass equals total minus
+    the top-K vocabulary's token mass (recomputed directly)."""
+    from pyspark.sql import functions as F
+
+    rows = AN6.docs_oov_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        assert r["n_oov"] <= r["n_tokens"]
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .collect()
+    )
+    total = sum(r["cnt"] for r in toks)
+    in_vocab = sum(r["cnt"] for r in toks[: AN6._OOV_VOCAB_K])
+    assert sum(r["n_tokens"] for r in rows) == total
+    assert sum(r["n_oov"] for r in rows) == total - in_vocab
