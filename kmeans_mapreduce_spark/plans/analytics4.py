@@ -31,9 +31,10 @@ _SESSION_GAP_US = 1800 * 1_000_000
 
 def _user_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (user_id, week_i) activity grid: week_i = epoch days
-    div 7 (fixed 7-day buckets from 1970-01-05? no — plain div keeps
-    both engines trivially identical; week boundaries are a reporting
-    choice, consistency is what matters)."""
+    div 7.  Fixed 7-day buckets anchored at 1970-01-01 (a Thursday) —
+    week BOUNDARIES are a reporting choice; what matters here is that
+    both engines bucket identically, and plain integer division is
+    trivially portable where ISO week-of-year is not."""
     ev = _events(spark, sf_dir)
     return (
         ev.select(

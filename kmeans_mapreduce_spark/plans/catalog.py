@@ -109,6 +109,23 @@ def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-recorded green except the round-4 (c) entries that no longer
 # fit the 50-slot window (see test_contract.py for the pinned list);
 # those rotate into round 5's window.
+#
+# ROUND-5 (a) SET — local-sweep green only, never driver-recorded; put
+# these in round 5's first 50: batch-6 (lm_bigram_logprob,
+# sketch_countmin_tokens, sample_weighted_bychars, docs_pmi_pairs,
+# embedding_pca_power, events_ewma, ab_test_ztest,
+# attribution_last_touch, stats_chi2_independence,
+# graph_triangle_count), batch-7 (orders_pareto_frontier,
+# events_markov_transitions, events_autocorr_daily,
+# events_rolling_corr, hist_equidepth_prices, docs_vocab_coverage,
+# events_dow_seasonality, orders_mom_growth, sessions_overlap_pairs),
+# batch-8 (events_user_lifecycle, events_engagement_gini,
+# customers_rfm_segments, events_stickiness_dau_mau,
+# sessions_bounce_rate), batch-9 (suppliers_nation_hhi,
+# orders_priority_mix_shift, nations_trade_balance,
+# sketch_quantile_rollup), batch-10 (mm_audio_windows,
+# events_ks_two_sample, orders_benford_digits, docs_oov_rate), plus
+# whatever of round-4's (c) tail the judge reports unrecorded.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) never driver-recorded — entries 1-10
     "events_funnel": AN.events_funnel,
