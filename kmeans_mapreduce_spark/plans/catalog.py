@@ -33,6 +33,7 @@ from kmeans_mapreduce_spark.plans import analytics3 as AN3
 from kmeans_mapreduce_spark.plans import analytics4 as AN4
 from kmeans_mapreduce_spark.plans import analytics5 as AN5
 from kmeans_mapreduce_spark.plans import analytics6 as AN6
+from kmeans_mapreduce_spark.plans import analytics7 as AN7
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +331,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ks_two_sample": AN6.events_ks_two_sample,
     "orders_benford_digits": AN6.orders_benford_digits,
     "docs_oov_rate": AN6.docs_oov_rate,
+    # Round-4 batch 11 (rotate into round 5's first-50): paths, LTV,
+    # peaks
+    "events_top_paths": AN7.events_top_paths,
+    "cohort_ltv_curves": AN7.cohort_ltv_curves,
+    "events_peak_detection": AN7.events_peak_detection,
 }
 
 ORACLES: dict[str, str] = {
@@ -502,6 +508,9 @@ ORACLES: dict[str, str] = {
     "events_ks_two_sample": AN6.KS_SQL,
     "orders_benford_digits": AN6.BENFORD_SQL,
     "docs_oov_rate": AN6.OOV_SQL,
+    "events_top_paths": AN7.TOP_PATHS_SQL,
+    "cohort_ltv_curves": AN7.COHORT_LTV_SQL,
+    "events_peak_detection": AN7.PEAKS_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.
