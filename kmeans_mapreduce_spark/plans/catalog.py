@@ -34,6 +34,7 @@ from kmeans_mapreduce_spark.plans import analytics4 as AN4
 from kmeans_mapreduce_spark.plans import analytics5 as AN5
 from kmeans_mapreduce_spark.plans import analytics6 as AN6
 from kmeans_mapreduce_spark.plans import analytics7 as AN7
+from kmeans_mapreduce_spark.plans import analytics8 as AN8
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,6 +337,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_top_paths": AN7.events_top_paths,
     "cohort_ltv_curves": AN7.cohort_ltv_curves,
     "events_peak_detection": AN7.events_peak_detection,
+    # Round-4 batch 12 (rotate into round 5's first-50): durations,
+    # lead times, top-N+other
+    "customers_repurchase_intervals": AN8.customers_repurchase_intervals,
+    "sessions_duration_stats": AN8.sessions_duration_stats,
+    "lineitem_shipping_lead_time": AN8.lineitem_shipping_lead_time,
+    "parts_brand_share_topn": AN8.parts_brand_share_topn,
 }
 
 ORACLES: dict[str, str] = {
@@ -511,6 +518,10 @@ ORACLES: dict[str, str] = {
     "events_top_paths": AN7.TOP_PATHS_SQL,
     "cohort_ltv_curves": AN7.COHORT_LTV_SQL,
     "events_peak_detection": AN7.PEAKS_SQL,
+    "customers_repurchase_intervals": AN8.REPURCHASE_SQL,
+    "sessions_duration_stats": AN8.SESSION_DURATION_SQL,
+    "lineitem_shipping_lead_time": AN8.LEAD_TIME_SQL,
+    "parts_brand_share_topn": AN8.BRAND_SHARE_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.
