@@ -34,6 +34,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """[id, component] for every vertex in `edges`; component = min id
     reachable.  Isolated vertices don't appear (no edges, no row) —
@@ -49,9 +50,13 @@ def connected_components(
       * convergence is detected from a `chg` flag computed inside the
         same aggregation (new label < the self-loop row's old label) —
         one action per round over the cached frame, no extra join;
-      * every _CHECKPOINT_EVERY rounds the labels are localCheckpoint-ed,
+      * every _CHECKPOINT_EVERY rounds the labels are checkpointed,
         truncating residual lineage so plan depth stays O(1) and a lost
-        executor never recomputes the whole chain.
+        executor never recomputes the whole chain.  Default is
+        localCheckpoint (executor-local blocks: fast, but a LOST
+        executor loses its blocks — fine for short interactive jobs);
+        pass `checkpoint_dir` (HDFS/S3) for a RELIABLE checkpoint on
+        long multi-hour runs where executor churn is expected.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -88,7 +93,12 @@ def connected_components(
                 )
             )
             if (i + 1) % _CHECKPOINT_EVERY == 0:
-                new_labels = new_labels.localCheckpoint(eager=True)
+                if checkpoint_dir is not None:
+                    spark = new_labels.sparkSession
+                    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+                    new_labels = new_labels.checkpoint(eager=True)
+                else:
+                    new_labels = new_labels.localCheckpoint(eager=True)
             else:
                 new_labels = new_labels.cache()
             changed = new_labels.where("chg").count()

@@ -82,3 +82,26 @@ def test_keep_canonical_drops_non_minimums(spark):
     )
     # clusters {1,2,5} -> keep 1; {6,7} -> keep 6; singletons pass through
     assert kept == [0, 1, 3, 4, 6]
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir engages the reliable checkpoint (files appear
+    under the dir) and the result is unchanged."""
+    import glob
+
+    from kmeans_mapreduce_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            edges, max_iter=50, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(13)}
+    assert glob.glob(f"{ckpt}/**/rdd-*", recursive=True), "no reliable checkpoint written"
