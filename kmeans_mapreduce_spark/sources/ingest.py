@@ -60,6 +60,47 @@ def read_points_csv(
     )
 
 
+def read_points_csv_permissive(
+    spark: SparkSession, path: str, dim: int
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantining CSV ingest: (good_points, bad_rows).
+
+    FAILFAST (read_points_csv strict) is right for curated inputs; for
+    the wild-data case a 100 TB job must not die on row
+    48,000,000,001.  PERMISSIVE mode with a `columnNameOfCorruptRecord`
+    column keeps the scan distributed and JVM-side: malformed rows land
+    with their RAW text in the corrupt column (nulls elsewhere), so the
+    caller gets clean points PLUS an auditable quarantine frame — count
+    it, sample it, alert on its rate — instead of a dead job or silent
+    row loss.  Rows parsed but with any null field are quarantined too
+    (a half-parsed point is still a bad point)."""
+    schema = T.StructType(
+        [T.StructField(f"c{i}", T.DoubleType(), True) for i in range(dim)]
+        + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path, header=False)
+        # PERMISSIVE requires the corrupt column to be materialized via
+        # a cache/shuffle boundary before filtering on it (SPARK-38523
+        # family); a plain filter straight off the scan can be pruned.
+        .cache()
+    )
+    is_bad = F.col("_corrupt").isNotNull() | F.greatest(
+        *[F.col(f"c{i}").isNull() for i in range(dim)]
+    )
+    bad = raw.where(is_bad)
+    # complementary filter, not exceptAll — a set-difference would add
+    # a full shuffle to compute what a predicate already knows
+    good = raw.where(~is_bad).select(
+        F.monotonically_increasing_id().alias("id"),
+        F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("features"),
+    )
+    return good, bad.select(F.col("_corrupt").alias("raw_record"), *[f"c{i}" for i in range(dim)])
+
+
 def points_from_columns(df: DataFrame, cols: list[str], id_col: str | None = None) -> DataFrame:
     """Project numeric columns of any table into [id, features].
 
