@@ -245,6 +245,50 @@ def parts_brand_share_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: ISO weekday × 4 six-hour day-parts event
+    counts, pivoted wide (one row per weekday, one column per part) —
+    the load-pattern matrix behind staffing/capacity views.
+
+    Plan: one aggregation to the 7×4 grid, then a pivot with an
+    EXPLICIT column list (no extra distinct-discovery job; output
+    schema is static).  weekday()+1 matches DuckDB isodow, same
+    portability note as events_dow_seasonality."""
+    ev = _events(spark, sf_dir)
+    grid = ev.groupBy(
+        (F.weekday(F.to_date("ts")) + 1).alias("isodow"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("daypart"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.groupBy("isodow")
+        .pivot("daypart", [0, 1, 2, 3])
+        .sum("n")
+        .select(
+            "isodow",
+            F.coalesce(F.col("0"), F.lit(0)).alias("h00_06"),
+            F.coalesce(F.col("1"), F.lit(0)).alias("h06_12"),
+            F.coalesce(F.col("2"), F.lit(0)).alias("h12_18"),
+            F.coalesce(F.col("3"), F.lit(0)).alias("h18_24"),
+        )
+        .orderBy("isodow")
+    )
+
+
+HOURLY_HEATMAP_SQL = """
+WITH grid AS (
+  SELECT isodow(CAST(ts AS DATE)) AS isodow,
+         CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS INT) AS daypart,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT isodow,
+       CAST(COALESCE(SUM(n) FILTER (WHERE daypart = 0), 0) AS BIGINT) AS h00_06,
+       CAST(COALESCE(SUM(n) FILTER (WHERE daypart = 1), 0) AS BIGINT) AS h06_12,
+       CAST(COALESCE(SUM(n) FILTER (WHERE daypart = 2), 0) AS BIGINT) AS h12_18,
+       CAST(COALESCE(SUM(n) FILTER (WHERE daypart = 3), 0) AS BIGINT) AS h18_24
+FROM grid GROUP BY 1 ORDER BY 1
+"""
+
+
 BRAND_SHARE_SQL = f"""
 WITH rev AS (
   SELECT p.p_brand, SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev

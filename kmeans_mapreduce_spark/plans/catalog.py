@@ -343,6 +343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessions_duration_stats": AN8.sessions_duration_stats,
     "lineitem_shipping_lead_time": AN8.lineitem_shipping_lead_time,
     "parts_brand_share_topn": AN8.parts_brand_share_topn,
+    "events_hourly_heatmap": AN8.events_hourly_heatmap,
 }
 
 ORACLES: dict[str, str] = {
@@ -522,6 +523,7 @@ ORACLES: dict[str, str] = {
     "sessions_duration_stats": AN8.SESSION_DURATION_SQL,
     "lineitem_shipping_lead_time": AN8.LEAD_TIME_SQL,
     "parts_brand_share_topn": AN8.BRAND_SHARE_SQL,
+    "events_hourly_heatmap": AN8.HOURLY_HEATMAP_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

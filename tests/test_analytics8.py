@@ -53,3 +53,15 @@ def test_brand_share_topn_folds_tail(spark, sf_dir):
         # OTHER's AVERAGE member revenue is a safe lower-bound check
         avg_other = other[0]["revenue"] / other[0]["n_brands"]
         assert all(r["revenue"] >= avg_other for r in named)
+
+
+def test_hourly_heatmap_mass_conservation(spark, sf_dir):
+    """All 7 weekdays appear and the matrix total equals the event
+    count."""
+    rows = AN8.events_hourly_heatmap(spark, sf_dir).collect()
+    assert [r["isodow"] for r in rows] == list(range(1, 8))
+    total = sum(
+        r["h00_06"] + r["h06_12"] + r["h12_18"] + r["h18_24"] for r in rows
+    )
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == n_events
