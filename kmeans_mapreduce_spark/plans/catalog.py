@@ -35,6 +35,7 @@ from kmeans_mapreduce_spark.plans import analytics5 as AN5
 from kmeans_mapreduce_spark.plans import analytics6 as AN6
 from kmeans_mapreduce_spark.plans import analytics7 as AN7
 from kmeans_mapreduce_spark.plans import analytics8 as AN8
+from kmeans_mapreduce_spark.plans import analytics9 as AN9
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +345,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_shipping_lead_time": AN8.lineitem_shipping_lead_time,
     "parts_brand_share_topn": AN8.parts_brand_share_topn,
     "events_hourly_heatmap": AN8.events_hourly_heatmap,
+    # Round-4 batch 13 (rotate into round 5's first-50): market
+    # basket, conversion latency
+    "parts_market_basket": AN9.parts_market_basket,
+    "events_conversion_latency": AN9.events_conversion_latency,
 }
 
 ORACLES: dict[str, str] = {
@@ -524,6 +529,8 @@ ORACLES: dict[str, str] = {
     "lineitem_shipping_lead_time": AN8.LEAD_TIME_SQL,
     "parts_brand_share_topn": AN8.BRAND_SHARE_SQL,
     "events_hourly_heatmap": AN8.HOURLY_HEATMAP_SQL,
+    "parts_market_basket": AN9.MARKET_BASKET_SQL,
+    "events_conversion_latency": AN9.CONVERSION_LATENCY_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.
