@@ -41,6 +41,42 @@ class ChunkText:
                 break
 
 
+@udtf
+class NGrams:
+    """Token n-grams with a DYNAMIC output schema: `analyze()` (the
+    Spark 4 polymorphic-UDTF hook) derives the result columns from the
+    constant `n` argument — gram_1..gram_n plus the joined form — so
+    callers get typed, named columns without a stringly schema.  This
+    is the API surface a generic table function library needs:
+    schema-from-arguments, resolved at plan time, not runtime.
+    """
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructType,
+        )
+
+        if not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("n must be a constant positive int")
+        schema = StructType().add("pos", IntegerType())
+        for i in range(n.value):
+            schema = schema.add(f"gram_{i + 1}", StringType())
+        schema = schema.add("ngram", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):
+        if text is None:
+            return
+        toks = [t for t in text.split(" ") if t]
+        for pos in range(len(toks) - n + 1):
+            window = toks[pos : pos + n]
+            yield (pos, *window, " ".join(window))
+
+
 def chunk_documents(df, text_col: str = "text", size: int = 32, overlap: int = 8):
     """documents -> one row per (doc, chunk): [doc_id, chunk_id,
     n_tokens, chunk].  lateralJoin keeps the doc id beside the UDTF

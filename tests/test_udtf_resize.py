@@ -64,3 +64,28 @@ def test_resize_media_derives_thumbnail(spark, sf_dir):
             assert r["thumb_feature"][i] == (
                 d["feature"][2 * i] + d["feature"][2 * i + 1]
             ) / 2.0
+
+
+def test_ngrams_udtf_dynamic_schema(spark):
+    """analyze() derives the output schema from the constant n: the
+    column list changes with the argument, values are correct, and a
+    bad n fails at ANALYSIS time (not mid-job)."""
+    import pytest
+    from pyspark.sql.functions import col, lit
+
+    from kmeans_mapreduce_spark.functions.udtfs import NGrams
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out2 = df.lateralJoin(NGrams(col("text").outer(), lit(2)))
+    assert out2.columns == ["doc_id", "text", "pos", "gram_1", "gram_2", "ngram"]
+    rows = sorted((r["pos"], r["ngram"]) for r in out2.collect())
+    assert rows == [(0, "a b"), (1, "b c"), (2, "c d")]
+
+    out3 = df.lateralJoin(NGrams(col("text").outer(), lit(3)))
+    assert "gram_3" in out3.columns
+    assert [r["ngram"] for r in out3.collect()] == ["a b c", "b c d"]
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        df.lateralJoin(NGrams(col("text").outer(), lit(0))).columns
