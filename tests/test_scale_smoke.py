@@ -236,6 +236,20 @@ def test_interval_overlap_join_no_cartesian_at_scale(wide_shuffle):
     assert n >= 1
 
 
+def test_market_basket_blocked_at_scale(wide_shuffle):
+    """parts_market_basket at sf0.1: pair generation must stay blocked
+    on the order key (equi-join), with the only broadcasts being the
+    part dimension and the tiny per-brand count frames."""
+    from kmeans_mapreduce_spark.plans.analytics9 import parts_market_basket
+
+    df = parts_market_basket(wide_shuffle, SF_SCALE)
+    n = df.count()
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n >= 1
+
+
 def test_pareto_local_pass_partitioned_at_scale(wide_shuffle):
     """orders_pareto_frontier at sf0.1: the first (bucketed) window is
     hash-partitioned on bkt — only the candidate-sized second pass may
