@@ -24,11 +24,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage truncation.  localCheckpoint (default) is
+    fast but lives in non-replicated executor storage; pass a
+    `checkpoint_dir` (HDFS/S3) for a reliable checkpoint on long runs
+    where losing an executor must not restart the whole iteration
+    chain — same tradeoff as operators/components.py."""
+    if checkpoint_dir is not None:
+        spark = df.sparkSession
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank with uniform init, uniform dangling-mass redistribution.
 
@@ -75,8 +89,8 @@ def pagerank(
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n_nodes))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)  # truncate per-round lineage
         )
+        state = _truncate(state, checkpoint_dir)  # per-round lineage cut
     return state
 
 
@@ -84,6 +98,7 @@ def bfs_hops(
     sources: DataFrame,
     edges: DataFrame,
     max_hops: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-depth directed BFS: minimum hop count (<= max_hops) from
     any source vertex, sources themselves at hop 0.
@@ -103,10 +118,10 @@ def bfs_hops(
             .distinct()
         )
         # keep only genuinely new nodes (min-hop semantics)
-        frontier = nxt.join(dist, "node", "left_anti").localCheckpoint(
-            eager=True
+        frontier = _truncate(
+            nxt.join(dist, "node", "left_anti"), checkpoint_dir
         )
         if frontier.isEmpty():
             break
-        dist = dist.unionByName(frontier).localCheckpoint(eager=True)
+        dist = _truncate(dist.unionByName(frontier), checkpoint_dir)
     return dist
