@@ -58,9 +58,12 @@ def connected_components(
         pass `checkpoint_dir` (HDFS/S3) for a RELIABLE checkpoint on
         long multi-hour runs where executor churn is expected.
     """
+    # cache the INPUT first: the symmetrization union references the
+    # edges plan twice, so an expensive upstream (MinHash candidate
+    # generation) would execute twice just to materialize `sym`
+    edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).cache()
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .cache()
     )
@@ -108,6 +111,7 @@ def connected_components(
                 break
         return labels.select("id", F.col("label").alias("component"))
     finally:
+        edges.unpersist()
         sym.unpersist()
         adj.unpersist()
 
