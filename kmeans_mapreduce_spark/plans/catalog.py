@@ -36,6 +36,7 @@ from kmeans_mapreduce_spark.plans import analytics6 as AN6
 from kmeans_mapreduce_spark.plans import analytics7 as AN7
 from kmeans_mapreduce_spark.plans import analytics8 as AN8
 from kmeans_mapreduce_spark.plans import analytics9 as AN9
+from kmeans_mapreduce_spark.plans import analytics10 as AN10
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +350,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # basket, conversion latency
     "parts_market_basket": AN9.parts_market_basket,
     "events_conversion_latency": AN9.events_conversion_latency,
+    # Round-4 batch 14 (rotate into round 5's first-50): streaks,
+    # forecast backtest, new-vs-returning, 2-D histogram
+    "users_longest_streaks": AN10.users_longest_streaks,
+    "events_forecast_backtest": AN10.events_forecast_backtest,
+    "orders_new_vs_returning": AN10.orders_new_vs_returning,
+    "orders_hist2d_price_quantity": AN10.orders_hist2d_price_quantity,
 }
 
 ORACLES: dict[str, str] = {
@@ -531,6 +538,10 @@ ORACLES: dict[str, str] = {
     "events_hourly_heatmap": AN8.HOURLY_HEATMAP_SQL,
     "parts_market_basket": AN9.MARKET_BASKET_SQL,
     "events_conversion_latency": AN9.CONVERSION_LATENCY_SQL,
+    "users_longest_streaks": AN10.STREAKS_SQL,
+    "events_forecast_backtest": AN10.FORECAST_BACKTEST_SQL,
+    "orders_new_vs_returning": AN10.NEW_VS_RETURNING_SQL,
+    "orders_hist2d_price_quantity": AN10.HIST2D_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.
