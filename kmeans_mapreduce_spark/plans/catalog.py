@@ -128,8 +128,18 @@ def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sessions_bounce_rate), batch-9 (suppliers_nation_hhi,
 # orders_priority_mix_shift, nations_trade_balance,
 # sketch_quantile_rollup), batch-10 (mm_audio_windows,
-# events_ks_two_sample, orders_benford_digits, docs_oov_rate), plus
+# events_ks_two_sample, orders_benford_digits, docs_oov_rate),
+# batch-11 (events_top_paths, cohort_ltv_curves,
+# events_peak_detection), batch-12 (customers_repurchase_intervals,
+# sessions_duration_stats, lineitem_shipping_lead_time,
+# parts_brand_share_topn, events_hourly_heatmap), batch-13
+# (parts_market_basket, events_conversion_latency), batch-14
+# (users_longest_streaks, events_forecast_backtest,
+# orders_new_vs_returning, orders_hist2d_price_quantity), plus
 # whatever of round-4's (c) tail the judge reports unrecorded.
+# That is ~44 candidates for 50 slots — prioritize (changed >
+# never-recorded batches in ascending batch order), and keep the
+# remainder for round 6.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) never driver-recorded — entries 1-10
     "events_funnel": AN.events_funnel,
