@@ -210,6 +210,48 @@ def orders_hist2d_price_quantity(
     )
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse each
+    event's JSON props ONCE into a variant, extract typed fields with
+    variant_get, aggregate per event type — the open-schema ingestion
+    pattern that replaces per-path get_json_object string re-parsing
+    (events_json_extract is the classic-API counterpart).
+
+    At scale variant wins because the binary encoding parses the JSON
+    a single time and every extraction is a cheap typed probe (and
+    parquet writers can shred hot paths into columns); N string fields
+    via get_json_object re-tokenize the text N times."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type", F.variant_get("v", "$.k", "int").alias("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("k").isNull()).alias("null_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_PROPS_SQL = """
+WITH parsed AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events)
+SELECT event_type, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE k IS NULL) AS null_k,
+       ROUND(AVG(k), 6) AS avg_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM parsed GROUP BY 1 ORDER BY 1
+"""
+
+
 HIST2D_SQL = f"""
 WITH per_order AS (
   SELECT l_orderkey, SUM(l_quantity) AS qty

@@ -366,6 +366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_forecast_backtest": AN10.events_forecast_backtest,
     "orders_new_vs_returning": AN10.orders_new_vs_returning,
     "orders_hist2d_price_quantity": AN10.orders_hist2d_price_quantity,
+    "events_variant_props": AN10.events_variant_props,
 }
 
 ORACLES: dict[str, str] = {
@@ -552,6 +553,7 @@ ORACLES: dict[str, str] = {
     "events_forecast_backtest": AN10.FORECAST_BACKTEST_SQL,
     "orders_new_vs_returning": AN10.NEW_VS_RETURNING_SQL,
     "orders_hist2d_price_quantity": AN10.HIST2D_SQL,
+    "events_variant_props": AN10.VARIANT_PROPS_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

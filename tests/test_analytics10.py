@@ -78,3 +78,28 @@ def test_hist2d_mass_and_bounds(spark, sf_dir):
     )
     assert sum(r["n"] for r in rows) == n_orders_with_lines
     assert all(r["price_cell"] >= 0 and r["qty_cell"] >= 0 for r in rows)
+
+
+def test_variant_schema_inference_and_typed_probe(spark, sf_dir):
+    """schema_of_variant sees the object shape; a typed probe on a
+    missing path is NULL (not an error); counts reconcile."""
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    rows = AN10.events_variant_props(spark, sf_dir).collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n"] for r in rows) == n_events
+    for r in rows:
+        if r["null_k"] < r["n"]:
+            assert r["min_k"] <= r["avg_k"] <= r["max_k"]
+
+    ev = _events(spark, sf_dir).limit(1)
+    probe = ev.select(
+        F.schema_of_variant(F.parse_json("props")).alias("schema"),
+        F.variant_get(F.parse_json("props"), "$.does_not_exist", "int").alias(
+            "missing"
+        ),
+    ).collect()[0]
+    assert "OBJECT<" in probe["schema"] and "k:" in probe["schema"]
+    assert probe["missing"] is None
