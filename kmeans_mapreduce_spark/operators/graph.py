@@ -72,18 +72,35 @@ def pagerank(
     state = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     base = (1.0 - damping) / n_nodes
 
+    # Both per-round SUMs run as DECIMAL(38,18): double summation
+    # follows shuffle-fetch order, which is timing-dependent under
+    # concurrent load — a 1-ulp jitter once flipped a pr value sitting
+    # on a 6-dp rounding boundary (observed as a bimodal oracle hash).
+    # Decimal addition is exact and commutative, so the round's result
+    # is bit-identical regardless of partition arrival order; each
+    # TERM is decimally rounded from the same double every run, so
+    # terms are deterministic too.
+    _dec = "decimal(38,18)"
     for _ in range(iterations):
         with_deg = state.join(outdeg, "node", "left")
         dangling = (
             with_deg.where(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("m"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("pr").cast(_dec)).cast("double"), F.lit(0.0)
+                ).alias("m")
+            )
             .collect()[0]["m"]
         )
         contribs = (
             with_deg.where(F.col("outdeg").isNotNull())
             .join(edges, with_deg["node"] == edges["src"])
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+            .agg(
+                F.sum((F.col("pr") / F.col("outdeg")).cast(_dec))
+                .cast("double")
+                .alias("c")
+            )
         )
         state = (
             nodes.join(contribs, "node", "left")

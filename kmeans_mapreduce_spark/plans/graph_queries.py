@@ -72,13 +72,23 @@ def _pagerank_sql() -> str:
         "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),",
         "pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),",
     ]
+    # Sums run as DECIMAL(38,18) in BOTH engines (see operators/
+    # graph.pagerank): double summation follows each engine's runtime
+    # aggregation order (Spark shuffle-fetch order, DuckDB thread
+    # interleaving), which once flipped a rank across a rounding
+    # boundary.  With exact commutative decimal sums over identical
+    # terms, both engines produce bit-identical doubles every round,
+    # so the final ROUND agrees no matter where boundaries fall.
     for i in range(_PR_ITERS):
         parts.append(
-            f"d{i} AS (SELECT COALESCE(SUM(pr), 0.0) AS m FROM pr{i} "
+            f"d{i} AS (SELECT COALESCE(CAST(SUM(CAST(pr AS DECIMAL(38,18)))"
+            f" AS DOUBLE), 0.0) AS m FROM pr{i} "
             f"LEFT JOIN deg ON pr{i}.node = deg.src WHERE deg.src IS NULL),"
         )
         parts.append(
-            f"c{i} AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS c "
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"CAST(SUM(CAST(p.pr / deg.outdeg AS DECIMAL(38,18))) AS DOUBLE)"
+            f" AS c "
             f"FROM pr{i} p JOIN deg ON p.node = deg.src "
             f"JOIN edges e ON e.src = p.node GROUP BY e.dst),"
         )
