@@ -210,6 +210,93 @@ def orders_hist2d_price_quantity(
     )
 
 
+def lineitem_returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate league table: per part brand, the share of line
+    items (and of revenue) flagged returned (l_returnflag = 'R') —
+    the quality/fit signal merchandising watches per assortment.
+
+    Plan: broadcast part dim into the fact scan, ONE conditional
+    aggregation to O(brands) rows; shares derive in the same agg (no
+    second pass, no join back)."""
+    from pyspark.sql.functions import broadcast
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count_if(ret).alias("n_returned"),
+            F.round(F.count_if(ret) / F.count("*"), 6).alias("return_rate"),
+            F.round(
+                F.sum(F.when(ret, rev).otherwise(0.0)) / F.sum(rev), 6
+            ).alias("returned_rev_share"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+RETURNS_BY_BRAND_SQL = """
+SELECT p.p_brand,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE l.l_returnflag = 'R') AS n_returned,
+       ROUND(COUNT(*) FILTER (WHERE l.l_returnflag = 'R') * 1.0
+             / COUNT(*), 6) AS return_rate,
+       ROUND(SUM(CASE WHEN l.l_returnflag = 'R'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+         AS returned_rev_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health scoreboard: per source, the share of documents
+    whose exact text hash appears elsewhere in the corpus (cross- or
+    intra-source) — the first number a crawl/source audit reports
+    before any fuzzy dedup runs.
+
+    Plan: one hash groupBy over the corpus (16-byte md5 keys, the
+    dedup_exact shuffle), group sizes broadcast back by hash via a
+    window-free join on the already-partitioned key, then an O(sources)
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", "source", F.md5("text").alias("h"))
+    sizes = hashed.groupBy("h").agg(F.count("*").alias("grp"))
+    return (
+        hashed.join(sizes, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("grp") > 1).alias("n_duped"),
+            F.round(F.count_if(F.col("grp") > 1) / F.count("*"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DUP_RATE_SQL = """
+WITH hashed AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents),
+sizes AS (
+  SELECT h, COUNT(*) AS grp FROM hashed GROUP BY 1)
+SELECT hd.source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE s.grp > 1) AS n_duped,
+       ROUND(COUNT(*) FILTER (WHERE s.grp > 1) * 1.0 / COUNT(*), 6)
+         AS dup_rate
+FROM hashed hd JOIN sizes s ON hd.h = s.h
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props via Spark 4's VARIANT type: parse each
     event's JSON props ONCE into a variant, extract typed fields with

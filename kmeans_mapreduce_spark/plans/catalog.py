@@ -367,6 +367,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_new_vs_returning": AN10.orders_new_vs_returning,
     "orders_hist2d_price_quantity": AN10.orders_hist2d_price_quantity,
     "events_variant_props": AN10.events_variant_props,
+    # Round-4 batch 15 (rotate into round 5/6): returns league table,
+    # per-source duplicate rate
+    "lineitem_returns_by_brand": AN10.lineitem_returns_by_brand,
+    "docs_dup_rate_by_source": AN10.docs_dup_rate_by_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -554,6 +558,8 @@ ORACLES: dict[str, str] = {
     "orders_new_vs_returning": AN10.NEW_VS_RETURNING_SQL,
     "orders_hist2d_price_quantity": AN10.HIST2D_SQL,
     "events_variant_props": AN10.VARIANT_PROPS_SQL,
+    "lineitem_returns_by_brand": AN10.RETURNS_BY_BRAND_SQL,
+    "docs_dup_rate_by_source": AN10.DUP_RATE_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

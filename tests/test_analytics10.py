@@ -103,3 +103,29 @@ def test_variant_schema_inference_and_typed_probe(spark, sf_dir):
     ).collect()[0]
     assert "OBJECT<" in probe["schema"] and "k:" in probe["schema"]
     assert probe["missing"] is None
+
+
+def test_returns_by_brand_bounds(spark, sf_dir):
+    rows = AN10.lineitem_returns_by_brand(spark, sf_dir).collect()
+    assert rows
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    for r in rows:
+        assert 0.0 <= r["return_rate"] <= 1.0
+        assert 0.0 <= r["returned_rev_share"] <= 1.0
+        assert r["n_returned"] <= r["n_lines"]
+
+
+def test_dup_rate_consistent_with_exact_dedup(spark, sf_dir):
+    """n_duped summed across sources equals (total docs) minus the
+    docs whose text hash is a singleton — the same partition of the
+    corpus dedup_exact uses."""
+    from pyspark.sql import functions as F
+
+    rows = AN10.docs_dup_rate_by_source(spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = d.groupBy(F.md5("text")).count()
+    singles = sizes.where("count = 1").count()
+    total = d.count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert sum(r["n_duped"] for r in rows) == total - singles
