@@ -37,6 +37,7 @@ from kmeans_mapreduce_spark.plans import analytics7 as AN7
 from kmeans_mapreduce_spark.plans import analytics8 as AN8
 from kmeans_mapreduce_spark.plans import analytics9 as AN9
 from kmeans_mapreduce_spark.plans import analytics10 as AN10
+from kmeans_mapreduce_spark.plans import analytics11 as AN11
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,6 +372,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per-source duplicate rate
     "lineitem_returns_by_brand": AN10.lineitem_returns_by_brand,
     "docs_dup_rate_by_source": AN10.docs_dup_rate_by_source,
+    # Round-4 batch 16 (rotate into round 5/6): Pareto classes,
+    # price positioning
+    "customers_abc_classes": AN11.customers_abc_classes,
+    "parts_price_positioning": AN11.parts_price_positioning,
 }
 
 ORACLES: dict[str, str] = {
@@ -560,6 +565,8 @@ ORACLES: dict[str, str] = {
     "events_variant_props": AN10.VARIANT_PROPS_SQL,
     "lineitem_returns_by_brand": AN10.RETURNS_BY_BRAND_SQL,
     "docs_dup_rate_by_source": AN10.DUP_RATE_SQL,
+    "customers_abc_classes": AN11.ABC_SQL,
+    "parts_price_positioning": AN11.PRICE_POSITIONING_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.
