@@ -42,9 +42,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only fire for EXTERNALLY-built sessions (the round driver passes
     # its own SparkSession), so no repeated shared-conf mutation happens
     # on the harness path.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # No fallback default here either: Spark 4 validates the default
+    # argument as a timezone string ("" throws INVALID_CONF_VALUE), and
+    # timeZone always resolves (JVM TZ) so no default is needed.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") != "true":
+    # NOTE: the fallback default must be a TYPE-VALID value for this
+    # boolean conf — Spark 4 validates the default too, and "" throws
+    # INVALID_CONF_VALUE.TYPE_MISMATCH on any session that didn't
+    # pre-set the key (i.e. exactly the externally-built-session path
+    # this guard exists for).
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":

@@ -20,6 +20,8 @@ Spark-first differences (deliberate):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -88,9 +90,12 @@ def read_points_csv_permissive(
         # family); a plain filter straight off the scan can be pruned.
         .cache()
     )
-    is_bad = F.col("_corrupt").isNotNull() | F.greatest(
-        *[F.col(f"c{i}").isNull() for i in range(dim)]
+    # reduce over | rather than F.greatest: greatest() asserts >= 2
+    # columns, which would crash the (valid) dim=1 case
+    null_field = functools.reduce(
+        lambda a, b: a | b, [F.col(f"c{i}").isNull() for i in range(dim)]
     )
+    is_bad = F.col("_corrupt").isNotNull() | null_field
     bad = raw.where(is_bad)
     # complementary filter, not exceptAll — a set-difference would add
     # a full shuffle to compute what a predicate already knows

@@ -124,20 +124,73 @@ def upsert_parquet(
         return
     target = spark.read.parquet(target_dir)
     if partition_col:
-        parts = [
+        kd = updates.select(*key_cols).distinct()
+        # Rewrite scope = partitions the updates LAND in ∪ partitions
+        # the updated keys CURRENTLY live in.  The second set matters
+        # when an update changes a row's partition value: without it
+        # the stale copy survives in its old partition and the table
+        # holds the same key twice.  Finding it costs one semi-join
+        # over the target (key-only column scan + broadcast of the
+        # update keys — same cost class delete_rows already pays);
+        # when the partition column is immutable per key the two sets
+        # coincide and the semi-join finds only partitions already in
+        # scope.
+        new_parts = {
             r[0] for r in updates.select(partition_col).distinct().collect()
-        ]
-        scope = target.where(F.col(partition_col).isin(parts))
-        keep = scope.join(
-            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        }
+        old_parts = {
+            r[0]
+            for r in target.join(kd, key_cols, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        }
+        parts = list(new_parts | old_parts)
+        scope = target.where(
+            F.col(partition_col).isin([p for p in parts if p is not None])
+            | (
+                F.col(partition_col).isNull()
+                if any(p is None for p in parts)
+                else F.lit(False)
+            )
         )
+        keep = scope.join(kd, key_cols, "left_anti")
         merged = keep.unionByName(updates.select(*scope.columns))
+        # a scoped partition can empty out entirely (its only rows
+        # moved to another partition) — scoped_parts lets the swap
+        # drop its live dir in the same pass
+        _staged_swap_write(spark, target_dir, merged, partition_col, parts)
     else:
         keep = target.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
         )
         merged = keep.unionByName(updates.select(*target.columns))
-    _staged_swap_write(spark, target_dir, merged, partition_col)
+        _staged_swap_write(spark, target_dir, merged, None)
+
+
+# Characters Hive/Spark percent-escape in partition directory names
+# (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils): these
+# plus ASCII control chars become %XX, so a value like "a/b" lands in
+# the dir "c=a%2Fb".  We must build the SAME names when deleting
+# emptied partitions, or special-charactered values silently survive.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^')
+
+
+def _hive_partition_dirname(partition_col: str, value) -> str:
+    """The directory name Spark's hive-style writer produces for one
+    partition value — `col=escaped(value)`, `__HIVE_DEFAULT_PARTITION__`
+    for NULL.  Values are formatted with str(), which matches the
+    writer for strings, ints and ISO dates (the supported key types)."""
+    if value is None:
+        return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    s = str(value)
+    out = []
+    for ch in s:
+        if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return f"{partition_col}={''.join(out)}"
 
 
 def _staged_swap_write(
@@ -145,11 +198,22 @@ def _staged_swap_write(
     target_dir: str,
     merged: DataFrame,
     partition_col: str | None,
+    scoped_parts: list | None = None,
 ) -> None:
     """Write `merged` to a staging dir, then swap it into `target_dir`
     with filesystem renames (per affected partition when partitioned,
     whole-directory otherwise).  Shared tail of upsert/delete — the
-    durability contract lives here once."""
+    durability contract lives here once.
+
+    `scoped_parts` (partitioned path): the partition VALUES that were
+    in the rewrite scope.  A scoped partition whose rows were ALL
+    removed stages as absent; its live dir is deleted HERE, in the same
+    swap pass — not by the caller afterwards — so the erase a caller
+    asked for cannot be lost to a crash between the swap and a separate
+    cleanup loop.  Crash semantics: every individual rename/delete is
+    atomic and the sequence is idempotent, so a failed call must simply
+    be RETRIED; a crash mid-sequence leaves some partitions new and
+    some old (each internally consistent), never a torn partition."""
     fs, jtarget = _fs_path(spark, target_dir)
     staging_dir = target_dir.rstrip("/") + "__staging"
     _, jstaging = _fs_path(spark, staging_dir)
@@ -158,18 +222,27 @@ def _staged_swap_write(
             staging_dir
         )
         # swap in ONLY the staged partition dirs; untouched partitions'
-        # files are never opened, moved, or rewritten.  A partition
-        # whose rows were ALL deleted stages as absent — delete the
-        # live dir for any scoped partition missing from staging.
+        # files are never opened, moved, or rewritten.
         prefix = f"{partition_col}="
+        staged_names = set()
         for st in fs.listStatus(jstaging):
             name = st.getPath().getName()
             if not name.startswith(prefix):
                 continue
+            staged_names.add(name)
             _, jdst = _fs_path(spark, f"{target_dir.rstrip('/')}/{name}")
             if fs.exists(jdst):
                 fs.delete(jdst, True)
             fs.rename(st.getPath(), jdst)
+        # same pass: drop live dirs for scoped partitions that staged
+        # empty (all rows deleted / moved out).
+        for p in scoped_parts or []:
+            name = _hive_partition_dirname(partition_col, p)
+            if name in staged_names:
+                continue
+            _, jdst = _fs_path(spark, f"{target_dir.rstrip('/')}/{name}")
+            if fs.exists(jdst):
+                fs.delete(jdst, True)
         fs.delete(jstaging, True)
     else:
         merged.write.mode("overwrite").parquet(staging_dir)
@@ -218,20 +291,12 @@ def delete_rows(
             return  # no partition holds any of the keys: nothing to do
         scope = target.where(F.col(partition_col).isin(parts))
         merged = scope.join(kd, key_cols, "left_anti")
-        # a fully-emptied partition writes no staging dir and would
-        # survive the swap stale — find survivors BEFORE swapping and
-        # drop the emptied partitions' live dirs afterwards
-        survivors = {
-            r[0] for r in merged.select(partition_col).distinct().collect()
-        }
-        _staged_swap_write(spark, target_dir, merged, partition_col)
-        for p in parts:
-            if p not in survivors:
-                _, jdst = _fs_path(
-                    spark, f"{target_dir.rstrip('/')}/{partition_col}={p}"
-                )
-                if fs.exists(jdst):
-                    fs.delete(jdst, True)
+        # a fully-emptied partition writes no staging dir; passing the
+        # scope as scoped_parts makes the swap delete its live dir in
+        # the SAME pass (no separate post-swap cleanup a crash could
+        # skip — the erasure this function exists for must not outlive
+        # a retried call)
+        _staged_swap_write(spark, target_dir, merged, partition_col, parts)
     else:
         merged = target.join(kd, key_cols, "left_anti")
         _staged_swap_write(spark, target_dir, merged, None)

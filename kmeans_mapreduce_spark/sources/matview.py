@@ -55,10 +55,27 @@ def _list_data_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
+def _heal_torn_publish(spark: SparkSession, mv_dir: str) -> None:
+    """Repair the publish crash window.  The atomic-publish sequence in
+    `merge_delta` is two renames: mv -> mv__old, staging -> mv.  A crash
+    between them leaves NO mv_dir but a complete mv__old (data +
+    manifest).  Without repair, the batch path refolds everything (slow
+    but correct) while the streaming fold path would see manifest={} and
+    rebuild the view from only the replayed micro-batch — silently
+    dropping every previously folded batch.  Roll the old view back in
+    before anyone reads the manifest, so both recovery paths resume from
+    the last published state."""
+    fs, jmv = _fs_path(spark, mv_dir)
+    _, jold = _fs_path(spark, mv_dir.rstrip("/") + "__old")
+    if not fs.exists(jmv) and fs.exists(jold):
+        fs.rename(jold, jmv)
+
+
 def _read_manifest(spark: SparkSession, mv_dir: str) -> dict:
     """Manifest dict ({} when the view doesn't exist yet): `files` =
     fact files already folded (batch refresh), `batch_id` = last
     streaming micro-batch folded (stream refresh)."""
+    _heal_torn_publish(spark, mv_dir)
     fs, _ = _fs_path(spark, mv_dir)
     _, jman = _fs_path(spark, f"{mv_dir.rstrip('/')}/{_MANIFEST}")
     if not fs.exists(jman):
@@ -127,6 +144,9 @@ def merge_delta(
     delta = delta_rows.groupBy(*group_cols).agg(
         *[c.alias(n) for n, c in sum_measures.items()]
     )
+    # Callers that hold a manifest from before a crash still merge
+    # against the last PUBLISHED view, not a void left by a torn rename.
+    _heal_torn_publish(spark, mv_dir)
     fs, jmv = _fs_path(spark, mv_dir)
     if fs.exists(jmv):
         current = spark.read.parquet(mv_dir).select(delta.columns)

@@ -33,9 +33,13 @@ def events_stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
     # Same contract as _events: UTC session TZ makes NTZ->TIMESTAMP an
     # identity on the stored micros value.  get_spark sets both confs at
     # session build; the guards only fire for externally-built sessions.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # timeZone always resolves (JVM TZ default) and Spark 4 validates any
+    # fallback default as a timezone string — so pass none.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") != "true":
+    # Type-valid default required: Spark 4 validates the fallback against
+    # the boolean conf type, so "" throws on sessions without the key set.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(events_dir)
     src = spark.readStream.schema(batch.schema).parquet(events_dir)

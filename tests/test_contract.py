@@ -20,65 +20,30 @@ def test_catalog_shapes():
         "ann_pq_topk",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — round 4: never-recorded rotations + changed + new
-    # queries must be inside
+    # entries — round 5: the 8 r4 reds (the `_events` conf-guard fix
+    # needs driver evidence) + the never-driver-recorded analytics
+    # batches must be inside
     first50 = list(qs)[:50]
+    from kmeans_mapreduce_spark.plans.catalog import _R5_WINDOW
+
+    assert first50 == _R5_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (a) rotated in — never driver-recorded before round 4
+        # (b) the 8 round-4 driver reds — fixed this round
         "events_funnel",
         "events_retention_cohorts",
-        "pipeline_corpus_curation",
         "sketch_rollup_weekly_users",
-        "dq_validation_report",
-        "ann_pq_topk",
-        "set_multiset_priorities",
-        "case_coalesce_buckets",
-        "array_top_tokens",
         "scd2_user_value_history",
-        # (b) changed in round 4
-        "agg_collect_sets",
-        "dedup_embedding_cosine",
-        "ann_lsh_topk",
-        "mm_decode",
-        "ann_brute_topk_pandas",
         "events_ohlc_rollup",
-        # (c) new in round 4
-        "pipeline_contamination_check",
-        "pipeline_seq_packing",
-        "pipeline_domain_mix",
-        "text_repetition_score",
-        "window_percentile_customers",
         "events_gapfill_locf",
-        "dedup_semantic_clusters",
-        "knn_graph_cells",
-        "pipeline_lang_rebalance",
-        "text_pii_scrub",
-        "embedding_dim_stats",
-        "text_quality_zscore",
-        # (c) new in round 4, third batch
-        "pipeline_shuffle_shards",
-        "pipeline_stratified_sample",
-        "pipeline_dataset_card",
-        "pipeline_bpe_pair_counts",
-        "dedup_cluster_representatives",
-        "text_char_entropy",
         "events_concurrency_sweep",
-        "graph_pagerank_vectors",
-        "graph_bfs_reach",
-        "dedup_substring_pairs",
         "events_anomaly_mad",
-        "table_column_stats",
-        "hybrid_search_rrf",
-        "corpus_drift_psi",
-        # (c) new in round 4, fourth batch — last TPC-H shapes
-        "q2_min_cost_supplier",
-        "q9_nation_profit",
-        "q12_priority_shipping",
-        "q20_dominant_suppliers",
-        # (c) new in round 4, fifth batch — chunking/linkage/diff
-        "pipeline_doc_chunks",
-        "linkage_fuzzy_parts",
-        "snapshot_diff_orders",
+        # (a) judge-flagged never-sampled priorities (VERDICT r4 §3)
+        "ab_test_ztest",
+        "attribution_last_touch",
+        "events_ewma",
+        "cohort_ltv_curves",
+        "customers_rfm_segments",
+        "docs_pmi_pairs",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

@@ -72,3 +72,14 @@ def test_vacuum_keeps_recent_versions(spark, tmp_path):
     assert read_version(spark, t).count() == 1
     with pytest.raises(FileNotFoundError):
         read_version(spark, t, 1)
+
+
+def test_permissive_read_dim1(spark, tmp_path):
+    """dim=1 must work: the null-field predicate is a reduce over `|`,
+    not F.greatest (which asserts >= 2 columns)."""
+    p = tmp_path / "pts1.csv"
+    p.write_text("1.5\n\nnot_a_number\n2.5\n")
+    good, bad = read_points_csv_permissive(spark, str(p), dim=1)
+    vals = sorted(r["features"][0] for r in good.collect())
+    assert vals == [1.5, 2.5]
+    assert bad.count() >= 1  # the unparseable row is quarantined

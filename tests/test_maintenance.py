@@ -184,3 +184,52 @@ def test_write_zorder_bounds_both_columns(spark, sf_dir, tmp_path):
     assert zc["o_totalprice"] < 0.6, zc
     # …while lexicographic leaves the secondary column near-global
     assert sc["o_totalprice"] > zc["o_totalprice"] * 1.5, (sc, zc)
+
+
+def test_upsert_partition_move_leaves_no_stale_copy(spark, tmp_path):
+    """An update that CHANGES a row's partition value must remove the
+    old-partition copy — and drop the old partition's dir entirely when
+    the move empties it."""
+    import os
+
+    from kmeans_mapreduce_spark.sources.maintenance import upsert_parquet
+
+    t = str(tmp_path / "mvtbl")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "id long, day string, val double",
+    )
+    upsert_parquet(spark, t, base, ["id"], partition_col="day")
+    # move id=2 from 01-02 to 01-03 (01-02 becomes empty)
+    updates = spark.createDataFrame(
+        [(2, "2024-01-03", 21.0)], "id long, day string, val double"
+    )
+    upsert_parquet(spark, t, updates, ["id"], partition_col="day")
+    rows = spark.read.parquet(t).collect()
+    # partition-type inference reads day back as DATE — compare as str
+    got = {(r["id"], str(r["day"])): r["val"] for r in rows}
+    assert got == {(1, "2024-01-01"): 10.0, (2, "2024-01-03"): 21.0}
+    assert len(rows) == 2, "stale copy survived the partition move"
+    assert not os.path.exists(f"{t}/day=2024-01-02"), "emptied dir not dropped"
+
+
+def test_delete_partitioned_special_char_values(spark, tmp_path):
+    """Partition values containing hive-escaped characters (: / =)
+    round-trip through the emptied-partition cleanup — the dir name we
+    delete must match the escaped name Spark's writer produced."""
+    import os
+
+    from kmeans_mapreduce_spark.sources.maintenance import delete_rows
+
+    t = str(tmp_path / "esc")
+    base = spark.createDataFrame(
+        [(1, "a:b", 1.0), (2, "a:b", 2.0), (3, "plain", 3.0)],
+        "id long, grp string, val double",
+    )
+    base.write.partitionBy("grp").parquet(t)
+    assert os.path.exists(f"{t}/grp=a%3Ab")  # writer escaped the colon
+    keys = spark.createDataFrame([(1,), (2,)], "id long")
+    delete_rows(spark, t, keys, ["id"], partition_col="grp")
+    got = {r["id"] for r in spark.read.parquet(t).collect()}
+    assert got == {3}
+    assert not os.path.exists(f"{t}/grp=a%3Ab"), "escaped dir survived erase"

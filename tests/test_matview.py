@@ -89,3 +89,51 @@ def test_refresh_reads_only_new_files(spark, tmp_path):
     got = _view(spark, mv)
     assert got["b"] == (expected["b"][0] + 5.0, expected["b"][1] + 1)
     assert got["a"] == expected["a"]
+
+
+def test_torn_publish_heals(spark, tmp_path):
+    """Crash window between the publish renames (mv -> mv__old,
+    staging -> mv): on next entry the old view must be rolled back so
+    BOTH recovery paths resume from the last published state — the
+    streaming fold path would otherwise rebuild from one micro-batch."""
+    import os
+
+    fact = str(tmp_path / "fact")
+    mv = str(tmp_path / "mv")
+    _write_batch(spark, fact, [("a", 1.0), ("b", 10.0)])
+    refresh_matview(spark, fact, mv, ["k"], MEASURES())
+    published = _view(spark, mv)
+
+    # simulate the torn state: first rename done, second never happened
+    os.rename(mv, mv + "__old")
+    from kmeans_mapreduce_spark.sources.matview import _read_manifest
+
+    manifest = _read_manifest(spark, mv)  # triggers healing
+    assert manifest.get("files"), "manifest lost after torn publish"
+    assert _view(spark, mv) == published
+
+    # refresh after healing folds only the delta and stays exact
+    before = len(manifest["files"])
+    _write_batch(spark, fact, [("a", 4.0)])
+    n = refresh_matview(spark, fact, mv, ["k"], MEASURES())
+    assert 1 <= n < before + 1, "refolded old files => manifest was lost"
+    assert _view(spark, mv) == _full_recompute(spark, fact)
+
+
+def test_torn_publish_heals_streaming_fold(spark, tmp_path):
+    """The merge_delta entry path also heals — a foreachBatch fold
+    arriving right after a torn publish must merge into the recovered
+    view, not a fresh one."""
+    import os
+
+    from kmeans_mapreduce_spark.sources.matview import merge_delta
+
+    fact = str(tmp_path / "fact")
+    mv = str(tmp_path / "mv")
+    _write_batch(spark, fact, [("a", 1.0), ("b", 10.0)])
+    refresh_matview(spark, fact, mv, ["k"], MEASURES())
+    os.rename(mv, mv + "__old")
+
+    delta = spark.createDataFrame([("a", 4.0)], "k string, val double")
+    merge_delta(spark, mv, delta, ["k"], MEASURES(), {"batch_id": 99})
+    assert _view(spark, mv) == {"a": (5.0, 2), "b": (10.0, 1)}
