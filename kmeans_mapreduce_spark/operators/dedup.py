@@ -161,14 +161,47 @@ def minhash_dedup_pairs(
     text_col: str,
     threshold: float = 0.8,
     shingle_n: int = 2,
+    num_perm: int = MINHASH_NUM_PERM,
+    bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-Jaccard >= threshold.
 
     Returns [id_a, id_b, jaccard(rounded 6)].  This is the scalable
     near-dup pipeline: LSH prunes, exact Jaccard confirms — candidates
-    only, never all pairs.
+    only, never all pairs.  False positives cost verification work;
+    false NEGATIVES are silent (a qualifying pair that never shares a
+    band bucket is lost), so num_perm/bands must be sized to the
+    corpus and threshold, not left at the test default.
+
+    Parameter guidance (P[candidate] = 1-(1-J^r)^b, r = num_perm/bands
+    rows per band; the s-curve midpoint sits near (1/b)^(1/r)):
+
+      num_perm  bands  r   midpoint  use when
+      --------  -----  --  --------  --------------------------------
+        32        8    4     0.59    <=~10M docs, t >= 0.7 (default;
+                                     P(cand|J=0.8) ~ 0.98)
+        64       16    4     0.50    ~100M docs, t >= 0.7 — doubles
+                                     bands to hold recall as the
+                                     corpus (and near-miss mass) grows
+       128       32    4     0.42    ~1B docs / t >= 0.6; midpoint
+                                     drops, catching more borderline
+                                     pairs at higher verify cost
+       128       16    8     0.71    1B+ docs, t >= 0.85 only —
+                                     r=8 suppresses the candidate
+                                     explosion exact-duplicate-heavy
+                                     web corpora produce
+
+    Scale costs are linear in the knobs: signature build is
+    O(N*num_perm) map-side work, the shuffle carries N*bands band
+    keys, and candidate volume (the verify join) follows the s-curve
+    tail below the threshold.  tests/test_dedup_similarity.py pins
+    recall == 1.0 vs the exact PPJoin ground truth at two corpus
+    scales (sf0.001 and sf0.01) for the default AND the 64/16
+    scale-up setting.
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, shingle_n=shingle_n)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_n=shingle_n
+    )
     # Identical plan to the frame inside minhash_lsh_candidates -> Spark's
     # CacheManager resolves it to the same InMemoryRelation; shingles are
     # computed exactly once for candidates + verification.

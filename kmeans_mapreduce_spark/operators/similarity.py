@@ -122,6 +122,31 @@ def lsh_topk(
     equi-join Catalyst shuffles hash-partitioned, no N^2 anywhere.
     Returns the same shape as brute_force_topk (ranks may hold fewer
     than k rows when buckets are sparse — that's the approximation).
+
+    Parameter guidance: expected bucket occupancy is N / 2^n_planes
+    per table, and per-pair recall is 1-(1-p^n_planes)^n_tables with
+    p = 1 - angle/pi.  Both knobs must GROW with the corpus:
+
+      n_planes  n_tables  buckets/table  use when
+      --------  --------  -------------  ---------------------------
+         4         4            16       <=~100k vectors (default —
+                                         candidate sets stay large,
+                                         recall effectively 1)
+         8         8           256       ~10M vectors
+        12        16          4096       ~1B vectors; at this depth
+                                         recall for 60-degree pairs
+                                         is ~35%/table — the table
+                                         count is what restores it
+        16        32         65536       beyond ~1B, or latency-bound
+                                         serving where per-bucket
+                                         scan cost must stay flat
+
+    Deeper buckets (n_planes) cut comparisons exponentially but lose
+    mid-angle neighbors; more tables buy recall back linearly in scan
+    cost.  IVF/PQ (below) are the better trade past ~100M vectors —
+    their cells adapt to the data distribution where hyperplanes do
+    not.  tests/test_dedup_similarity.py pins recall@5 vs brute force
+    at two corpus scales for the default and the 8/8 scale-up.
     """
     def bucketed(df: DataFrame, ident: str) -> DataFrame:
         vec_sql = f"cast({vec_col} as array<double>)"
@@ -377,42 +402,106 @@ def pq_train(
     uses the k_codes lowest-id vectors' sub-slices as starting
     codewords — one collect total instead of k_codes-1 distributed
     argmax rounds PER subspace, the right trade when training runs
-    inside a latency-bounded job.  Training reuses the
-    reference-semantics Lloyd loop (operators/kmeans.py): K-Means as
-    ANN infrastructure again, same as IVF's coarse quantizer."""
-    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
+    inside a latency-bounded job.
 
+    JOINT Lloyd loop: all m subspaces advance in ONE assignment +
+    aggregation job per iteration, not m sequential fits.  The input
+    explodes once to (id, j, features) — m small rows per vector,
+    cached for the loop — and the per-subspace codebooks ride a single
+    broadcast relation indexed by j, so the iteration plan (and its
+    generated code) is identical every round AND for every subspace.
+    Per-subspace semantics are exactly fit_kmeans_native's (same
+    argmin/tie rule, wide sum/count recenter, empty-keeps-old, mean-
+    movement tol, per-subspace iteration budget — a converged
+    subspace's book freezes while others continue).  The sequential
+    version cost m * iters jobs of pure scheduling overhead (25.9 s
+    for ann_pq_topk at sf0.1, the slowest catalog entry); the joint
+    loop costs max_j(iters) jobs over m-fold-smaller rows — the same
+    job-count discipline the PageRank re-execution fix encodes."""
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        DELTA_THRESHOLD,
+        compute_delta,
+        farthest_point_init,
+    )
+    from pyspark.sql import types as T
+
+    spark = points.sparkSession
     sub = dim // m
-    books: list[list[list[float]]] = []
     base = points.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # (id, j, features): every vector contributes one row per subspace.
+    exp = base.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.slice("v", j * sub + 1, sub) for j in range(m)])
+        ).alias("j", "features"),
     ).cache()
     try:
-        first_rows = (
-            [list(r["v"]) for r in base.orderBy("id").limit(k_codes).collect()]
-            if init == "first"
-            else None
+        if init == "first":
+            first_rows = [
+                list(r["v"]) for r in base.orderBy("id").limit(k_codes).collect()
+            ]
+            books = [
+                [first_rows[c][j * sub : (j + 1) * sub] for c in range(k_codes)]
+                for j in range(m)
+            ]
+        else:
+            books = [
+                farthest_point_init(
+                    exp.where(F.col("j") == j).select("id", "features"),
+                    k_codes,
+                    seed=seed + j,
+                )
+                for j in range(m)
+            ]
+        books = [[list(c) for c in bk] for bk in books]
+        cent_schema = T.StructType(
+            [
+                T.StructField(
+                    "_C",
+                    T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+                )
+            ]
         )
-        for j in range(m):
-            sub_pts = base.select(
-                "id", F.slice("v", j * sub + 1, sub).alias("features")
+        # same argmin/tie expression as the single-space loop, with the
+        # subspace's codebook picked out of the broadcast by j
+        assign = F.expr(
+            "element_at(transform(array(transform(element_at(_C, j + 1), c -> "
+            "aggregate(zip_with(features, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v))), "
+            "ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
+        )
+        sums = [F.sum(F.col("features")[i]).alias(f"s{i}") for i in range(sub)]
+        active = set(range(m))
+        iters = [0] * m
+        while active:
+            cent_df = spark.createDataFrame([(books,)], cent_schema)
+            # No active-set filter: the plan stays bit-identical every
+            # iteration (codegen cache); frozen subspaces recompute the
+            # same stats, which the update loop below simply ignores.
+            stats = (
+                exp.crossJoin(F.broadcast(cent_df))
+                .withColumn("cluster_id", assign)
+                .groupBy("j", "cluster_id")
+                .agg(F.count("*").alias("cnt"), *sums)
+                .collect()
             )
-            init_c = (
-                [v[j * sub : (j + 1) * sub] for v in first_rows]
-                if first_rows is not None
-                else None
-            )
-            res = fit_kmeans_native(
-                sub_pts,
-                k=k_codes,
-                dim=sub,
-                seed=seed + j,
-                max_iter=max_iter,
-                initial_centroids=init_c,
-            )
-            books.append([list(c) for c in res.centroids])
+            by_j: dict[int, list] = {}
+            for r in stats:
+                by_j.setdefault(r["j"], []).append(r)
+            for j in sorted(active):
+                new_book = [list(c) for c in books[j]]  # empty keeps old
+                for r in by_j.get(j, []):
+                    new_book[r["cluster_id"]] = [
+                        r[f"s{i}"] / r["cnt"] for i in range(sub)
+                    ]
+                iters[j] += 1
+                delta = compute_delta(books[j], new_book)
+                books[j] = new_book
+                if delta < DELTA_THRESHOLD or iters[j] >= max_iter:
+                    active.discard(j)
     finally:
-        base.unpersist()
+        exp.unpersist()
     return books
 
 

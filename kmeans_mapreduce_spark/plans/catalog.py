@@ -149,6 +149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_rollup_weekly_users": AN.sketch_rollup_weekly_users,
     "dq_validation_report": RX3.dq_validation_report,
     "ann_pq_topk": PQ.ann_pq_topk,
+    "ann_pq_fixed_topk": PQ.ann_pq_fixed_topk,
     "set_multiset_priorities": RX.set_multiset_priorities,
     "case_coalesce_buckets": RX.case_coalesce_buckets,
     "array_top_tokens": RX.array_top_tokens,
@@ -451,7 +452,9 @@ _R5_WINDOW = [
     "parts_brand_share_topn",
     "events_hourly_heatmap",
     "parts_market_basket",
-    "events_conversion_latency",
+    # (c) new in round 5 — fixed-codebook PQ: ADC arithmetic gets an
+    # exact oracle (displaced events_conversion_latency to round 6)
+    "ann_pq_fixed_topk",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 # Dict-merge keeps _R5_WINDOW's insertion order for the first 50 keys;
@@ -593,6 +596,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": PQ.ANN_LSH_SQL,
     "ann_brute_topk_pandas": PQ.ANN_BRUTE4_SQL,
     "ann_ivf_topk": PQ.ANN_IVF_SQL,
+    "ann_pq_fixed_topk": PQ.ANN_PQ_FIXED_SQL,
     "mm_metadata": PQ.MM_METADATA_SQL,
     "mm_decode": PQ.MM_DECODE_SQL,
     "mm_frame_sample": PQ.MM_FRAME_SQL,

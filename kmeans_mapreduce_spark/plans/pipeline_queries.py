@@ -785,3 +785,80 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         embs.unpersist()
+
+
+def ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC with FIXED codebooks and an exact DuckDB oracle: the
+    first 16 corpus vectors' subspace slices ARE the codewords (8
+    subspaces x 16 codes), so no iterative training stands between the
+    query and a SQL ground truth — the same fixed-parameter trick
+    ann_ivf_topk uses for IVF.
+
+    Exactness across engines: vectors are scaled to integers first
+    (floor(x*1000)), making every distance an exact integer in double
+    arithmetic — encode argmins, ADC lookup sums, and rank ties are
+    bit-identical in Spark and DuckDB regardless of summation order.
+    This pins the ADC arithmetic itself (encode -> broadcast-lut join
+    -> per-query top-k), which ann_pq_topk (trained codebooks,
+    rows-only) cannot."""
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000).cast("double"),
+        ).alias("v"),
+    )
+    book_rows = e.where(F.col("id") < 16).orderBy("id").collect()
+    assert len(book_rows) == 16, "need >= 16 corpus vectors for codewords"
+    books = [
+        [list(r["v"])[j * 8 : (j + 1) * 8] for r in book_rows]
+        for j in range(8)
+    ]
+    codes = SIM.pq_encode(e, books)
+    qs = [
+        (r["id"], list(r["v"]))
+        for r in e.where(F.col("id") < 5).orderBy("id").collect()
+    ]
+    return SIM.pq_topk(codes, books, qs, k=5)
+
+
+def _pq_d2_sql(a: str, b: str, j: str = "sub.j") -> str:
+    """Sum of squares over one 8-dim subspace, 1-based list indexing."""
+    return " + ".join(
+        f"({a}[{j}*8+{i}] - {b}[{j}*8+{i}]) * ({a}[{j}*8+{i}] - {b}[{j}*8+{i}])"
+        for i in range(1, 9)
+    )
+
+
+ANN_PQ_FIXED_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> FLOOR(x*1000)) AS v
+  FROM embeddings),
+cents AS (SELECT id AS cid, v FROM e WHERE id < 16),
+sub AS (SELECT unnest(range(8)) AS j),
+enc AS (  -- per (vector, subspace): distance to each of the 16 codewords
+  SELECT e.id, sub.j, c.cid, {_pq_d2_sql('e.v', 'c.v')} AS d2
+  FROM e CROSS JOIN sub CROSS JOIN cents c),
+codes AS (  -- argmin codeword, lowest cid on ties (= Spark first-min)
+  SELECT id, j, cid AS code FROM (
+    SELECT id, j, cid,
+           ROW_NUMBER() OVER (PARTITION BY id, j ORDER BY d2 ASC, cid ASC) AS rn
+    FROM enc) WHERE rn = 1),
+lut AS (  -- ADC lookup table for the 5 query vectors
+  SELECT q.id AS query_id, sub.j, c.cid AS code, {_pq_d2_sql('q.v', 'c.v')} AS d2
+  FROM e q CROSS JOIN sub CROSS JOIN cents c
+  WHERE q.id < 5),
+scored AS (
+  SELECT lut.query_id, codes.id AS neighbor_id, ROUND(SUM(lut.d2), 6) AS approx_d2
+  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.code
+  GROUP BY lut.query_id, codes.id
+  HAVING lut.query_id != codes.id)
+SELECT query_id, rank, neighbor_id, approx_d2 FROM (
+  SELECT query_id, neighbor_id, approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""

@@ -68,3 +68,21 @@ def test_approx_stats_error_bounds(spark, sf_dir):
     for r in rows:
         assert r["hll_within_5pct"], r
         assert r["median_within_5pct"], r
+
+
+def test_scale_baseline_covers_catalog():
+    """tools/SCALE_BASELINE.json (the scale-run regression gate's
+    reference) must cover every catalog query — adding a query without
+    re-running `python tools/scale_run.py --update-baseline` leaves it
+    outside the re-execution gate."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as e
+
+    base = json.loads(
+        (Path(__file__).resolve().parent.parent / "tools" / "SCALE_BASELINE.json")
+        .read_text()
+    )
+    missing = sorted(set(e.queries()) - set(base))
+    assert not missing, f"queries missing from scale baseline: {missing}"

@@ -138,3 +138,69 @@ def test_ivf_topk_matches_brute_mostly(embs):
     i = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     recall = len(b & i) / len(b)
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+@pytest.mark.parametrize("scale_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.parametrize("num_perm,bands", [(32, 8), (64, 16)])
+def test_minhash_recall_pinned_at_two_scales(spark, scale_dir, num_perm, bands):
+    """Retuning contract (minhash_dedup_pairs docstring guidance): at
+    t=0.8 both the default (32/8) and the documented 100x scale-up
+    (64/16) must hold recall 1.0 vs the exact PPJoin ground truth, at
+    BOTH corpus scale points (500 docs at sf0.001, 5000 at sf0.1).
+    Precision is 1.0 by construction (exact verify), so set equality
+    is the assertion."""
+    d = spark.read.parquet(f"{scale_dir}/documents.parquet")
+    gt = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_dedup_pairs(
+            d, "doc_id", "text", threshold=0.8, num_perm=num_perm, bands=bands
+        ).collect()
+    }
+    assert got == gt, f"missed={len(gt - got)} extra={len(got - gt)}"
+
+
+def test_ann_lsh_recall_pinned_at_two_scales(spark):
+    """Retuning contract (lsh_topk docstring guidance), pinned with
+    measured numbers at two corpus scales (500 and 2000 vectors):
+
+      - the default 4x4 holds recall ~0.45 at BOTH scales (16 buckets
+        per table stay well-occupied);
+      - the deep 8x8 setting (meant for 10M+ vectors) degrades on
+        small corpora — measured 0.09 at N=500, 0.22 at N=2000 — and
+        must IMPROVE as N grows, because recall for deep plane counts
+        is an occupancy effect: more vectors per 256-entry bucket.
+
+    This is the degradation curve the docstring's guidance table
+    derives from; the floors pin it rather than hide it."""
+
+    def recall(sf, n_planes, n_tables):
+        e = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        q = e.where(F.col("vec_id") < 20)
+        b = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.brute_force_topk(
+                e, q, k=5, id_col="vec_id", vec_col="embedding"
+            ).collect()
+        }
+        l = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.lsh_topk(
+                e, q, k=5, id_col="vec_id", vec_col="embedding", dim=64,
+                n_planes=n_planes, n_tables=n_tables,
+            ).collect()
+        }
+        return len(b & l) / len(b)
+
+    assert recall("sf0.001", 4, 4) >= 0.4
+    assert recall("sf0.1", 4, 4) >= 0.4
+    deep_small = recall("sf0.001", 8, 8)
+    deep_large = recall("sf0.1", 8, 8)
+    assert deep_small >= 0.05, deep_small
+    assert deep_large >= 0.15, deep_large
+    # the documented occupancy effect: deep settings recover recall
+    # as the corpus grows toward their intended scale
+    assert deep_large > deep_small, (deep_small, deep_large)
