@@ -27,6 +27,7 @@ from kmeans_mapreduce_spark.plans import relational_ext2 as RX2
 from kmeans_mapreduce_spark.plans import relational_ext3 as RX3
 from kmeans_mapreduce_spark.plans import pipeline_queries5 as PQ5
 from kmeans_mapreduce_spark.plans import pipeline_queries6 as PQ6
+from kmeans_mapreduce_spark.plans import pipeline_queries7 as PQ7
 from kmeans_mapreduce_spark.plans import relational_ext4 as RX4
 from kmeans_mapreduce_spark.plans import analytics2 as AN2
 from kmeans_mapreduce_spark.plans import analytics3 as AN3
@@ -150,6 +151,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_validation_report": RX3.dq_validation_report,
     "ann_pq_topk": PQ.ann_pq_topk,
     "ann_pq_fixed_topk": PQ.ann_pq_fixed_topk,
+    "pipeline_ngram_contamination": PQ7.pipeline_ngram_contamination,
+    "dedup_canonical_exact": PQ7.dedup_canonical_exact,
     "set_multiset_priorities": RX.set_multiset_priorities,
     "case_coalesce_buckets": RX.case_coalesce_buckets,
     "array_top_tokens": RX.array_top_tokens,
@@ -450,11 +453,13 @@ _R5_WINDOW = [
     "sessions_duration_stats",
     "lineitem_shipping_lead_time",
     "parts_brand_share_topn",
-    "events_hourly_heatmap",
-    "parts_market_basket",
-    # (c) new in round 5 — fixed-codebook PQ: ADC arithmetic gets an
-    # exact oracle (displaced events_conversion_latency to round 6)
+    # (c) new in round 5 — fixed-codebook PQ (exact ADC oracle), n-gram
+    # window decontamination, canonicalized dedup.  Displaced to round
+    # 6: events_hourly_heatmap, parts_market_basket,
+    # events_conversion_latency.
     "ann_pq_fixed_topk",
+    "pipeline_ngram_contamination",
+    "dedup_canonical_exact",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 # Dict-merge keeps _R5_WINDOW's insertion order for the first 50 keys;
@@ -597,6 +602,8 @@ ORACLES: dict[str, str] = {
     "ann_brute_topk_pandas": PQ.ANN_BRUTE4_SQL,
     "ann_ivf_topk": PQ.ANN_IVF_SQL,
     "ann_pq_fixed_topk": PQ.ANN_PQ_FIXED_SQL,
+    "pipeline_ngram_contamination": PQ7.NGRAM_CONTAMINATION_SQL,
+    "dedup_canonical_exact": PQ7.DEDUP_CANONICAL_SQL,
     "mm_metadata": PQ.MM_METADATA_SQL,
     "mm_decode": PQ.MM_DECODE_SQL,
     "mm_frame_sample": PQ.MM_FRAME_SQL,

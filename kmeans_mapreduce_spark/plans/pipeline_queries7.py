@@ -1,0 +1,221 @@
+"""Pipeline queries, round-5 batch 17: n-gram window decontamination
+and canonicalized exact dedup.
+
+Two more LLM-training-data operators with no analog in the reference
+engine (numeric K-Means MapReduce, SURVEY §1):
+
+  * pipeline_ngram_contamination — the industry-standard eval
+    decontamination check: an eval document is contaminated if it
+    shares ANY n-token window with any train document (the GPT-3/PaLM
+    style n-gram overlap test), which catches partial/quoted leakage
+    the exact-fingerprint check (pipeline_contamination_check) cannot.
+  * dedup_canonical_exact — exact dedup AFTER text canonicalization
+    (lowercase, strip non-alphanumerics, collapse whitespace): the
+    first dedup pass real corpora need, where trivial formatting
+    variants (case, punctuation, spacing) hide byte-level duplicates
+    from a raw-content hash.
+
+Both pure Catalyst; both with exact DuckDB oracles.  All aggregates
+emitted as exact integers (counts / id sums), so cross-engine hashes
+cannot drift on float summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions import text as TXT
+from kmeans_mapreduce_spark.plans.pipeline_queries import _TOKS_ALL, _WS, _docs
+from kmeans_mapreduce_spark.plans.pipeline_queries2 import _TRAIN_CUT, _bucket
+
+_N = 5  # contamination window, in tokens
+
+
+def pipeline_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language n-gram window contamination of the eval split.
+
+    An eval doc is contaminated when >=1 of its distinct 5-token
+    windows appears anywhere in the train split.  Output per lang:
+    eval doc count, contaminated doc count, total/hit distinct eval
+    grams, and an id-sum checksum of the contaminated docs (so the
+    oracle verifies WHICH docs, not just how many).
+
+    Scale shape: gram generation is a map-side fan-out bounded by
+    token count; the only shuffles are the distinct on train grams and
+    the gram equi-join — both hash-partitioned on the gram string.  At
+    100 TB you'd hash the gram to 8 bytes first to shrink the shuffle
+    key (the oracle joins on the string so both engines agree without
+    sharing a hash function); candidate volume stays linear in gram
+    count either way — no all-pairs."""
+    toks = TXT.tokens("text")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        _bucket(F.col("doc_id")).alias("bucket"),
+        toks.alias("toks"),
+    )
+    # sequence(1, n) DESCENDS when n < 1 — guard short docs before the
+    # fan-out (the empty-sequence trap).
+    grams = base.select(
+        "doc_id",
+        "lang",
+        "bucket",
+        F.explode(
+            F.when(
+                F.size("toks") >= _N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, _N)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).distinct()  # distinct per (doc, gram): fractions well-defined
+    train_grams = (
+        grams.where(F.col("bucket") < _TRAIN_CUT)
+        .select("g")
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    ev = grams.where(F.col("bucket") >= _TRAIN_CUT).join(
+        train_grams, "g", "left"
+    )
+    per_doc = ev.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_grams"),
+        F.count("in_train").alias("n_hit"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_eval_docs"),
+            F.sum((F.col("n_hit") > 0).cast("bigint")).alias("n_contaminated_docs"),
+            F.sum("n_grams").alias("eval_grams"),
+            F.sum("n_hit").alias("hit_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_hit") > 0, F.col("doc_id"))), F.lit(0)
+            ).alias("contaminated_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+NGRAM_CONTAMINATION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS INT) AS bucket,
+         {_TOKS_ALL} AS toks
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, lang, bucket, g FROM (
+    SELECT doc_id, lang, bucket, unnest(gs) AS g FROM (
+      SELECT doc_id, lang, bucket,
+             [array_to_string(list_slice(toks, i, i + {_N - 1}), ' ')
+              for i in range(1, greatest(len(toks) - {_N - 2}, 1))] AS gs
+      FROM base))),
+train_grams AS (
+  SELECT DISTINCT g, 1 AS in_train FROM grams WHERE bucket < {_TRAIN_CUT}),
+per_doc AS (
+  SELECT e.doc_id, e.lang,
+         COUNT(*) AS n_grams,
+         COUNT(t.in_train) AS n_hit
+  FROM grams e LEFT JOIN train_grams t USING (g)
+  WHERE e.bucket >= {_TRAIN_CUT}
+  GROUP BY e.doc_id, e.lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+       CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS eval_grams,
+       CAST(SUM(n_hit) AS BIGINT) AS hit_grams,
+       CAST(COALESCE(SUM(CASE WHEN n_hit > 0 THEN doc_id END), 0) AS BIGINT)
+         AS contaminated_id_sum
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+# canonicalization: lowercase -> drop everything outside [a-z0-9 + ws]
+# -> collapse whitespace runs to one space -> trim.  Explicit character
+# classes (not \\W / \\s) so Java regex and DuckDB RE2 agree.
+_CANON_SPARK_STEPS = (
+    (f"[^a-z0-9{_WS[1:-1]}]", ""),
+    (f"{_WS}+", " "),
+    ("^ +| +$", ""),
+)
+
+
+def _canon(col):
+    out = F.lower(col)
+    for pat, rep in _CANON_SPARK_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup, reported per source: how many docs
+    collapse when trivial formatting variants (case, punctuation,
+    whitespace) are normalized away before hashing.  Output per
+    source: doc count, distinct raw fingerprints, distinct canonical
+    fingerprints, dup counts under each, and an id-sum checksum of
+    canonical-duplicate members (docs sharing their canonical key with
+    another doc) — so the oracle verifies WHICH docs collapse.
+
+    Scale shape: canonicalization is per-row codegen; the shuffles
+    group by 16-byte digests (never the document body — the same
+    digest-not-payload rule exact_dedup follows,
+    operators/dedup.py:39)."""
+    d = _docs(spark, sf_dir)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("raw_k"),
+        F.md5(_canon(F.col("text"))).alias("canon_k"),
+    )
+    group_sizes = keyed.groupBy("canon_k").agg(
+        F.count("*").alias("members")
+    )
+    return (
+        keyed.join(group_sizes, "canon_k")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw_k").alias("distinct_raw"),
+            F.countDistinct("canon_k").alias("distinct_canon"),
+            F.coalesce(
+                F.sum(F.when(F.col("members") >= 2, F.col("doc_id"))), F.lit(0)
+            ).alias("canon_dup_id_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "distinct_raw",
+            "distinct_canon",
+            (F.col("n_docs") - F.col("distinct_raw")).alias("raw_dups"),
+            (F.col("n_docs") - F.col("distinct_canon")).alias("canon_dups"),
+            "canon_dup_id_sum",
+        )
+        .orderBy("source")
+    )
+
+
+_CANON_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    f"'[^a-z0-9{_WS[1:-1]}]', '', 'g'), '{_WS}+', ' ', 'g'))"
+)
+
+DEDUP_CANONICAL_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5(text) AS raw_k, md5({_CANON_SQL}) AS canon_k
+  FROM documents),
+sizes AS (SELECT canon_k, COUNT(*) AS members FROM keyed GROUP BY canon_k)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT raw_k) AS BIGINT) AS distinct_raw,
+       CAST(COUNT(DISTINCT canon_k) AS BIGINT) AS distinct_canon,
+       CAST(COUNT(*) - COUNT(DISTINCT raw_k) AS BIGINT) AS raw_dups,
+       CAST(COUNT(*) - COUNT(DISTINCT canon_k) AS BIGINT) AS canon_dups,
+       CAST(COALESCE(SUM(CASE WHEN s.members >= 2 THEN doc_id END), 0) AS BIGINT)
+         AS canon_dup_id_sum
+FROM keyed JOIN sizes s USING (canon_k)
+GROUP BY source
+ORDER BY source
+"""

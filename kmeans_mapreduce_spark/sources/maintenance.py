@@ -93,6 +93,7 @@ def upsert_parquet(
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str | None = None,
+    immutable_partition_key: bool = False,
 ) -> None:
     """CDC merge (upsert) into a plain-parquet table: rows in `updates`
     replace target rows with the same key; new keys append.
@@ -100,10 +101,13 @@ def upsert_parquet(
     Without a table format's MERGE, the honest parquet strategy is
     rewrite-the-affected-scope: anti-join the target against the update
     keys, union the updates, rewrite.  With `partition_col` set (the
-    table laid out hive-partitioned on it), ONLY the partitions that
-    appear in `updates` are rewritten — at 100 TB an upsert batch
-    touching 3 days of a date-partitioned table rewrites 3 partitions,
-    not the table.  `dedup_latest_event`/keep-latest compaction is the
+    table laid out hive-partitioned on it), only the affected
+    partitions are rewritten — the ones updates land in, plus (unless
+    `immutable_partition_key` asserts otherwise) the ones the updated
+    keys currently live in, so a row whose partition value changes
+    leaves no stale copy behind.  At 100 TB an upsert batch touching 3
+    days of a date-partitioned table rewrites 3 partitions, not the
+    table.  `dedup_latest_event`/keep-latest compaction is the
     read-side counterpart for when updates must land without rewrites.
 
     Durability: the merged scope is WRITTEN TO A STAGING DIRECTORY
@@ -131,20 +135,27 @@ def upsert_parquet(
         # the stale copy survives in its old partition and the table
         # holds the same key twice.  Finding it costs one semi-join
         # over the target (key-only column scan + broadcast of the
-        # update keys — same cost class delete_rows already pays);
-        # when the partition column is immutable per key the two sets
-        # coincide and the semi-join finds only partitions already in
-        # scope.
+        # update keys — same cost class delete_rows already pays).
+        # `immutable_partition_key=True` is the caller's contract that
+        # a key's partition value never changes (date-partitioned facts
+        # keyed by (date, id), etc.); then the two sets provably
+        # coincide and the full-table semi-join is skipped — at 100 TB
+        # the difference between scanning two key columns of the whole
+        # table and listing a handful of touched partitions.
         new_parts = {
             r[0] for r in updates.select(partition_col).distinct().collect()
         }
-        old_parts = {
-            r[0]
-            for r in target.join(kd, key_cols, "left_semi")
-            .select(partition_col)
-            .distinct()
-            .collect()
-        }
+        old_parts = (
+            set()
+            if immutable_partition_key
+            else {
+                r[0]
+                for r in target.join(kd, key_cols, "left_semi")
+                .select(partition_col)
+                .distinct()
+                .collect()
+            }
+        )
         parts = list(new_parts | old_parts)
         scope = target.where(
             F.col(partition_col).isin([p for p in parts if p is not None])
