@@ -153,6 +153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_fixed_topk": PQ.ann_pq_fixed_topk,
     "pipeline_ngram_contamination": PQ7.pipeline_ngram_contamination,
     "dedup_canonical_exact": PQ7.dedup_canonical_exact,
+    "pipeline_bpe_train": PQ7.pipeline_bpe_train,
     "set_multiset_priorities": RX.set_multiset_priorities,
     "case_coalesce_buckets": RX.case_coalesce_buckets,
     "array_top_tokens": RX.array_top_tokens,
@@ -452,14 +453,15 @@ _R5_WINDOW = [
     "customers_repurchase_intervals",
     "sessions_duration_stats",
     "lineitem_shipping_lead_time",
-    "parts_brand_share_topn",
     # (c) new in round 5 — fixed-codebook PQ (exact ADC oracle), n-gram
-    # window decontamination, canonicalized dedup.  Displaced to round
-    # 6: events_hourly_heatmap, parts_market_basket,
-    # events_conversion_latency.
+    # window decontamination, canonicalized dedup, distributed BPE
+    # training (rows-only, reference-impl-pinned).  Displaced to round
+    # 6: parts_brand_share_topn, events_hourly_heatmap,
+    # parts_market_basket, events_conversion_latency.
     "ann_pq_fixed_topk",
     "pipeline_ngram_contamination",
     "dedup_canonical_exact",
+    "pipeline_bpe_train",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 # Dict-merge keeps _R5_WINDOW's insertion order for the first 50 keys;

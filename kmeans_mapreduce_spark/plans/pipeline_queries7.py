@@ -219,3 +219,26 @@ FROM keyed JOIN sizes s USING (canon_k)
 GROUP BY source
 ORDER BY source
 """
+
+
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): learn the
+    first 8 merges over the corpus vocabulary and return the merge
+    table [rank, left, right, merged, freq].
+
+    Iterative with a data-dependent argmax per round -> no SQL oracle
+    (rows-only, like the K-Means fits); tests/test_bpe.py pins the
+    exact merge sequence against a pure-Python reference BPE on the
+    same word counts, plus encode parity and determinism.
+
+    Scale shape: one corpus pass collapses to distinct words; each
+    merge round is one partial-aggregated pair count over the vocab
+    (top-1 to the driver) + one fold projection, lineage truncated per
+    round — the corpus is never rescanned after round 0."""
+    from kmeans_mapreduce_spark.operators import bpe as BPE
+
+    merges, _ = BPE.bpe_train(_docs(spark, sf_dir), n_merges=8)
+    return spark.createDataFrame(
+        [(m.rank, m.left, m.right, m.merged, m.freq) for m in merges],
+        "rank int, left string, right string, merged string, freq bigint",
+    )

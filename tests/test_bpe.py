@@ -1,0 +1,103 @@
+"""Distributed BPE training: exact merge-sequence parity with a pure
+Python reference, encode parity, determinism."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators import bpe as BPE
+
+
+def ref_bpe(words: list[tuple[str, int]], n: int):
+    """Reference BPE: same tie-break (freq desc, then pair asc)."""
+    vocab: dict[tuple, int] = collections.defaultdict(int)
+    for w, c in words:
+        vocab[tuple(w)] += c
+    merges = []
+    for _ in range(n):
+        pc: collections.Counter = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, freq))
+        new: dict[tuple, int] = collections.defaultdict(int)
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new[tuple(out)] += c
+        vocab = new
+    return merges, vocab
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_bpe_matches_reference(docs):
+    words = [(r["word"], r["wc"]) for r in BPE.word_counts(docs).collect()]
+    expect, _ = ref_bpe(words, 8)
+    merges, vocab = BPE.bpe_train(docs, n_merges=8)
+    got = [(m.left, m.right, m.freq) for m in merges]
+    assert got == expect
+    # ranks are sequential and merged = left + right
+    assert [m.rank for m in merges] == list(range(len(merges)))
+    assert all(m.merged == m.left + m.right for m in merges)
+
+
+def test_bpe_encode_matches_reference_application(docs):
+    words = [(r["word"], r["wc"]) for r in BPE.word_counts(docs).collect()]
+    merges, _ = BPE.bpe_train(docs, n_merges=6)
+
+    def ref_apply(word: str) -> list[str]:
+        out = list(word)
+        for m in merges:
+            nxt: list[str] = []
+            for s in out:
+                if nxt and nxt[-1] == m.left and s == m.right:
+                    nxt[-1] = m.merged
+                else:
+                    nxt.append(s)
+            out = nxt
+        return out
+
+    sample = [w for w, _ in sorted(words)[:50] if w]
+    df = docs.sparkSession.createDataFrame([(w,) for w in sample], "word string")
+    enc = {r["word"]: list(r["pieces"]) for r in BPE.bpe_encode(df, merges).collect()}
+    for w in sample:
+        assert enc[w] == ref_apply(w), w
+
+
+def test_bpe_deterministic(docs):
+    a, _ = BPE.bpe_train(docs, n_merges=4)
+    b, _ = BPE.bpe_train(docs, n_merges=4)
+    assert [(m.left, m.right, m.freq) for m in a] == [
+        (m.left, m.right, m.freq) for m in b
+    ]
+
+
+def test_bpe_symbol_count_shrinks_by_freq(docs):
+    """Each merge round removes exactly `freq` symbols from the
+    weighted corpus — the invariant that pins pair counting and greedy
+    application together."""
+    vocab0 = BPE.word_counts(docs).withColumn(
+        "symbols", F.filter(F.split("word", ""), lambda x: x != "")
+    )
+    total0 = vocab0.select(
+        F.sum(F.size("symbols") * F.col("wc")).alias("t")
+    ).collect()[0]["t"]
+    merges, vocab = BPE.bpe_train(docs, n_merges=5)
+    total1 = vocab.select(
+        F.sum(F.size("symbols") * F.col("wc")).alias("t")
+    ).collect()[0]["t"]
+    assert total0 - total1 == sum(m.freq for m in merges)

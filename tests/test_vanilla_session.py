@@ -27,12 +27,17 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 SF_DIR = "/root/testdata/sf0.001"
 
-# One query per loader family.  Keep the slice small (fresh JVM is the
-# expensive part) but make every conf-probing code path fire.
+# One query per loader/operator family.  Keep the slice small (fresh
+# JVM is the expensive part) but make every conf-probing or
+# session-assuming code path fire at least once.
 SLICE = [
     "events_ohlc_rollup",  # _events loader: nanosAsLong + TZ guards
+    "events_ewma",  # analytics.py's own _events route
     "q1_pricing_summary",  # plain relational scan path
     "text_quality",  # documents/pipeline path
+    "dedup_minhash",  # signature/cache-heavy dedup path
+    "km_assign",  # K-Means expression path
+    "ann_brute_topk_pandas",  # Arrow pandas-UDF path (arrow conf unset)
 ]
 
 CHILD = r"""
