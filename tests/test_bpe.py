@@ -101,3 +101,12 @@ def test_bpe_symbol_count_shrinks_by_freq(docs):
         F.sum(F.size("symbols") * F.col("wc")).alias("t")
     ).collect()[0]["t"]
     assert total0 - total1 == sum(m.freq for m in merges)
+
+
+def test_bpe_pieces_concat_to_word(docs):
+    """Encoding never loses characters: concat(pieces) == word."""
+    merges, vocab = BPE.bpe_train(docs, n_merges=8)
+    bad = vocab.where(
+        F.concat_ws("", F.col("symbols")) != F.col("word")
+    ).count()
+    assert bad == 0

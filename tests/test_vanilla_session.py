@@ -38,6 +38,10 @@ SLICE = [
     "dedup_minhash",  # signature/cache-heavy dedup path
     "km_assign",  # K-Means expression path
     "ann_brute_topk_pandas",  # Arrow pandas-UDF path (arrow conf unset)
+    # round-5 additions: build-time collects + localCheckpoint paths
+    "ann_pq_fixed_topk",
+    "pipeline_ngram_contamination",
+    "pipeline_bpe_train",
 ]
 
 CHILD = r"""
