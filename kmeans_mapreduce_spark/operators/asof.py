@@ -30,6 +30,7 @@ def asof_join(
     right_time: str,
     payload_cols: list[str] | None = None,
     how: str = "inner",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_time`` <= ``left_time`` within the same ``key`` (backward
@@ -38,6 +39,13 @@ def asof_join(
     ``right`` must be unique per (key, right_time) — pre-aggregate if
     not, or the matched payload is ambiguous.  ``how``: 'inner' drops
     unmatched left rows, 'left' keeps them with null payload.
+
+    ``tolerance`` (a SQL interval string, e.g. ``'7 days'``) is the
+    feature-store max-staleness bound: a match older than
+    ``left_time - tolerance`` is treated as NO match (dropped under
+    'inner', nulled under 'left').  Same construction either way — the
+    staleness test is a post-window predicate, so the one-shuffle
+    union+window plan is unchanged.
 
     Returns all left columns + ``matched_time`` + the payload columns.
     """
@@ -70,6 +78,18 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
     )
     out = out.where(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        fresh = F.col("matched_time").isNotNull() & (
+            F.expr(f"matched_time + INTERVAL {tolerance}") >= F.col(left_time)
+        )
+        if how == "inner":
+            out = out.where(fresh)
+        else:
+            out = out.select(
+                *left.columns,
+                F.when(fresh, F.col("matched_time")).alias("matched_time"),
+                *[F.when(fresh, F.col(c)).alias(c) for c in payload_cols],
+            )
     if how == "inner":
         out = out.where(F.col("matched_time").isNotNull())
     return out

@@ -660,6 +660,63 @@ FROM events e ASOF JOIN daily d
 """
 
 
+def asof_tolerance_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound — the feature-store /
+    point-in-time-correctness shape, as purchase attribution: each
+    purchase picks up the user's most recent click AT OR BEFORE it,
+    but only within a 2-day freshness window; staler clicks are no
+    match.  Same one-shuffle union+window plan as asof_events_orders
+    (the staleness test is a post-window predicate,
+    operators/asof.py:tolerance), vs the naive band-join + row_number
+    oracle that materializes every in-band (purchase, click) pair.
+    Output: purchase id, user, matched click id, integer seconds of
+    staleness (exact in both engines)."""
+    from kmeans_mapreduce_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # unique per (user, ts): asof_join's right-side contract
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_time="ts",
+        right_time="click_ts", payload_cols=["click_id"], how="inner",
+        tolerance="2 days",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("matched_time")).alias(
+            "staleness_s"
+        ),
+    )
+
+
+ASOF_TOLERANCE_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+pairs AS (
+  SELECT p.event_id, p.user_id, c.click_id,
+         CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(c.click_ts)) AS BIGINT) AS staleness_s,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.click_ts DESC) AS rn
+  FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND p.ts >= c.click_ts
+   AND c.click_ts + INTERVAL 2 DAY >= p.ts)
+SELECT event_id, user_id, click_id, staleness_s
+FROM pairs WHERE rn = 1
+"""
+
+
 # --- session windows (batch twin of streaming session_window) -------------
 
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,3 +145,36 @@ def test_pandas_udf_cosine_matches_expr(spark, embs_mod):
     for key, (nid, score) in ex_out.items():
         pnid, pscore = pd_out[key]
         assert pnid == nid and abs(pscore - score) <= 1e-6, (key, nid, pnid)
+
+
+def test_asof_tolerance_semantics(spark):
+    """Staleness bound: inner drops stale matches, left nullifies them;
+    fresh matches are identical to the unbounded join."""
+    from kmeans_mapreduce_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "v", 50)],
+        "id long, k string, t long",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [("u", 90, "a"), ("u", 95, "b"), ("v", 49, "c")],
+        "k string, rt long, tag string",
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+
+    inner = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        payload_cols=["tag"], how="inner", tolerance="10 seconds",
+    )
+    got = {r["id"]: r["tag"] for r in inner.collect()}
+    # id=1: latest rt=95, 5s stale -> 'b'; id=2: 155s stale -> dropped;
+    # id=3: 1s stale -> 'c'
+    assert got == {1: "b", 3: "c"}
+
+    left_out = asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        payload_cols=["tag"], how="left", tolerance="10 seconds",
+    )
+    rows = {r["id"]: (r["tag"], r["matched_time"]) for r in left_out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == (None, None), "stale match must nullify under left"
+    assert rows[1][0] == "b" and rows[3][0] == "c"
