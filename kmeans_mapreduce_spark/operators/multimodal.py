@@ -216,3 +216,37 @@ def media_metadata(df: DataFrame) -> DataFrame:
     Catalyst-only (octet_length) — the cheap pre-filter stage that runs
     before any expensive decode at scale."""
     return df.select("media_id", "mime", F.octet_length("payload").cast("long").alias("n_bytes"))
+
+
+def image_tiles(df: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style 2-D patch grid over decoded media: one row per
+    (tile_row, tile_col), with edge tiles clipped to the image bounds.
+    Input needs ``media_id``, ``width``, ``height`` (decode_media's
+    output).  Pure Catalyst — one sequence+explode fan-out bounded by
+    ceil(w/p)*ceil(h/p) per image, no Python; at scale this is the
+    pre-processing fan-out that feeds a patch-embedding UDF, and it
+    parallelizes per-tile instead of per-image."""
+    cols = F.ceil(F.col("width") / patch).cast("int")
+    rows = F.ceil(F.col("height") / patch).cast("int")
+    return (
+        df.select(
+            "media_id",
+            "width",
+            "height",
+            cols.alias("_cols"),
+            F.explode(F.sequence(F.lit(0), rows * cols - 1)).alias("_i"),
+        )
+        .select(
+            "media_id",
+            (F.col("_i") / F.col("_cols")).cast("int").alias("tile_row"),
+            (F.col("_i") % F.col("_cols")).alias("tile_col"),
+            F.least(
+                F.lit(patch), F.col("width") - (F.col("_i") % F.col("_cols")) * patch
+            ).alias("tile_w"),
+            F.least(
+                F.lit(patch),
+                F.col("height")
+                - (F.col("_i") / F.col("_cols")).cast("int") * patch,
+            ).alias("tile_h"),
+        )
+    )

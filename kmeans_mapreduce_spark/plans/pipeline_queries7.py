@@ -242,3 +242,44 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m.rank, m.left, m.right, m.merged, m.freq) for m in merges],
         "rank int, left string, right string, merged string, freq bigint",
     )
+
+
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 2-D patch grid (operators/multimodal.image_tiles):
+    decode (Arrow mapInPandas, deterministic fake codec) then fan out
+    one row per 16x16 tile with edge clipping, for a 200-image slice.
+    The fake codec's dims are pure integer functions of payload length,
+    so the full decode->grid pipeline has an exact SQL oracle — the
+    2-D analog of mm_frame_sample's 1-D offsets."""
+    from kmeans_mapreduce_spark.operators import multimodal as MM
+
+    media = MM.attach_payload(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 200), "doc_id", "text"
+    )
+    dec = MM.decode_media(media)
+    return MM.image_tiles(dec, patch=16)
+
+
+MM_TILES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 200),
+d AS (
+  SELECT media_id,
+         CAST(64 + (n % 64) AS INT) AS w,
+         CAST(64 + ((n // 64) % 64) AS INT) AS h
+  FROM m),
+g AS (
+  SELECT media_id, w, h,
+         CAST(ceil(w / 16.0) AS INT) AS cols,
+         CAST(ceil(h / 16.0) AS INT) AS rows_
+  FROM d),
+x AS (
+  SELECT media_id, w, h, cols, unnest(range(0, rows_ * cols)) AS i FROM g)
+SELECT media_id,
+       CAST(i // cols AS INT) AS tile_row,
+       CAST(i % cols AS INT) AS tile_col,
+       CAST(LEAST(16, w - (i % cols) * 16) AS INT) AS tile_w,
+       CAST(LEAST(16, h - (i // cols) * 16) AS INT) AS tile_h
+FROM x
+"""
