@@ -295,6 +295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_events_orders": R.asof_events_orders,
     "asof_tolerance_purchase_click": R.asof_tolerance_purchase_click,
     "mm_image_tiles": PQ7.mm_image_tiles,
+    "pipeline_mixture_schedule": PQ7.pipeline_mixture_schedule,
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
     "events_sliding_window": R.events_sliding_window,
@@ -460,9 +461,9 @@ _R5_WINDOW = [
     # training (rows-only, reference-impl-pinned).  Round-6 queue
     # (never driver-sampled): parts_brand_share_topn,
     # events_hourly_heatmap, parts_market_basket,
-    # events_conversion_latency, asof_tolerance_purchase_click and
-    # mm_image_tiles (new in r5, didn't fit), plus the batch-14/15/16
-    # tail listed above.
+    # events_conversion_latency, asof_tolerance_purchase_click,
+    # mm_image_tiles and pipeline_mixture_schedule (new in r5, didn't
+    # fit), plus the batch-14/15/16 tail listed above.
     "ann_pq_fixed_topk",
     "pipeline_ngram_contamination",
     "dedup_canonical_exact",
@@ -512,6 +513,7 @@ ORACLES: dict[str, str] = {
     "asof_events_orders": R.ASOF_SQL,
     "asof_tolerance_purchase_click": R.ASOF_TOLERANCE_SQL,
     "mm_image_tiles": PQ7.MM_TILES_SQL,
+    "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,
     "events_sliding_window": R.SLIDING_SQL,

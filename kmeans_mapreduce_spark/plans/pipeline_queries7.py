@@ -283,3 +283,67 @@ SELECT media_id,
        CAST(LEAST(16, h - (i // cols) * 16) AS INT) AS tile_h
 FROM x
 """
+
+
+def pipeline_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted-interleave training order (stride
+    scheduling): sources tagged weight 3 ('web'-like), 2 ('books'-like)
+    or 1 (rest) emit documents at virtual time r * (6 / w) where r is
+    the doc's rank within its source — so a weight-3 source supplies 3x
+    the documents of a weight-1 source in any schedule prefix.  Output:
+    the first 500 schedule positions.
+
+    This is the step AFTER pipeline_domain_mix's rate table: turning
+    weights into the actual global training order, reproducibly (no
+    rand()).  All arithmetic integer -> exact cross-engine.
+
+    Scale shape: one window shuffle for within-source ranks, then a
+    distributed TakeOrdered for the 500-row prefix; the single-
+    partition position numbering runs on the 500 survivors only, never
+    the corpus.  At 100 TB you'd emit shard-sized prefixes per worker
+    the same way (rank ranges partition cleanly by virtual time)."""
+    d = _docs(spark, sf_dir)
+    w = (
+        F.when(F.col("source").like("%0"), F.lit(3))
+        .when(F.col("source").like("%1"), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    from pyspark.sql import Window
+
+    r = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    )
+    scheduled = d.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        r.alias("rank_in_source"),
+    ).withColumn("vtime", F.col("rank_in_source") * (6 / F.col("weight")).cast("int"))
+    prefix = scheduled.orderBy(
+        F.asc("vtime"), F.asc("source"), F.asc("doc_id")
+    ).limit(500)
+    pos = F.row_number().over(
+        Window.orderBy(F.asc("vtime"), F.asc("source"), F.asc("doc_id"))
+    )
+    return prefix.select(
+        pos.alias("position"), "doc_id", "source", "weight", "vtime"
+    )
+
+
+MIXTURE_SCHEDULE_SQL = """
+WITH s AS (
+  SELECT doc_id, source,
+         CASE WHEN source LIKE '%0' THEN 3
+              WHEN source LIKE '%1' THEN 2 ELSE 1 END AS weight,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rank_in_source
+  FROM documents),
+v AS (
+  SELECT doc_id, source, weight, rank_in_source,
+         CAST(rank_in_source * (6 // weight) AS BIGINT) AS vtime
+  FROM s)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, source, doc_id) AS INT) AS position,
+       doc_id, CAST(weight AS INT) AS weight, source, vtime
+FROM v
+ORDER BY vtime, source, doc_id
+LIMIT 500
+"""
