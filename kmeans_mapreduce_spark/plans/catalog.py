@@ -39,6 +39,8 @@ from kmeans_mapreduce_spark.plans import analytics8 as AN8
 from kmeans_mapreduce_spark.plans import analytics9 as AN9
 from kmeans_mapreduce_spark.plans import analytics10 as AN10
 from kmeans_mapreduce_spark.plans import analytics11 as AN11
+from kmeans_mapreduce_spark.plans import pipeline_queries8 as PQ8
+from kmeans_mapreduce_spark.plans import pipeline_queries9 as PQ9
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +386,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # price positioning
     "customers_abc_classes": AN11.customers_abc_classes,
     "parts_price_positioning": AN11.parts_price_positioning,
+    # Round-5 batch 18 (rotate into round 6): data-selection /
+    # governance stages — DSIR importance resampling, Bloom dedup
+    # pre-filter, curriculum staging, int8 quantization, k-anonymity,
+    # linear quality-classifier inference
+    "pipeline_dsir_select": PQ8.pipeline_dsir_select,
+    "dedup_bloom_probe": PQ8.dedup_bloom_probe,
+    "pipeline_curriculum_stages": PQ8.pipeline_curriculum_stages,
+    "embedding_int8_quant": PQ8.embedding_int8_quant,
+    "privacy_k_anonymity": PQ8.privacy_k_anonymity,
+    "pipeline_quality_classifier": PQ8.pipeline_quality_classifier,
+    # Round-5 batch 19 (rotate into round 6): corpus statistics for
+    # training-data planning — n-gram novelty, token-budget epochs,
+    # Zipf's-law fit
+    "docs_ngram_novelty": PQ9.docs_ngram_novelty,
+    "pipeline_token_budget_epochs": PQ9.pipeline_token_budget_epochs,
+    "text_zipf_fit": PQ9.text_zipf_fit,
 }
 
 # ---------------------------------------------------------------------------
@@ -463,7 +481,12 @@ _R5_WINDOW = [
     # events_hourly_heatmap, parts_market_basket,
     # events_conversion_latency, asof_tolerance_purchase_click,
     # mm_image_tiles and pipeline_mixture_schedule (new in r5, didn't
-    # fit), plus the batch-14/15/16 tail listed above.
+    # fit), the batch-14/15/16 tail listed above, plus batch 18
+    # (pipeline_dsir_select, dedup_bloom_probe,
+    # pipeline_curriculum_stages, embedding_int8_quant,
+    # privacy_k_anonymity, pipeline_quality_classifier) and batch 19
+    # (docs_ngram_novelty, pipeline_token_budget_epochs,
+    # text_zipf_fit).
     "ann_pq_fixed_topk",
     "pipeline_ngram_contamination",
     "dedup_canonical_exact",
@@ -669,6 +692,15 @@ ORACLES: dict[str, str] = {
     "docs_dup_rate_by_source": AN10.DUP_RATE_SQL,
     "customers_abc_classes": AN11.ABC_SQL,
     "parts_price_positioning": AN11.PRICE_POSITIONING_SQL,
+    "pipeline_dsir_select": PQ8.DSIR_SELECT_SQL,
+    "dedup_bloom_probe": PQ8.DEDUP_BLOOM_SQL,
+    "pipeline_curriculum_stages": PQ8.CURRICULUM_SQL,
+    "embedding_int8_quant": PQ8.INT8_QUANT_SQL,
+    "privacy_k_anonymity": PQ8.K_ANONYMITY_SQL,
+    "pipeline_quality_classifier": PQ8.QUALITY_CLASSIFIER_SQL,
+    "docs_ngram_novelty": PQ9.NGRAM_NOVELTY_SQL,
+    "pipeline_token_budget_epochs": PQ9.TOKEN_BUDGET_SQL,
+    "text_zipf_fit": PQ9.ZIPF_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

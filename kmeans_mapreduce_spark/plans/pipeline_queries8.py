@@ -1,0 +1,697 @@
+"""Pipeline queries, round-5 batch 18: the data-selection /
+data-governance stages of an LLM training pipeline.
+
+Six operators with no analog in the reference engine (numeric K-Means
+MapReduce, SURVEY §1) — each a recognized production stage:
+
+  * pipeline_dsir_select     — DSIR-style importance resampling
+    (hashed-bigram likelihood-ratio scoring of raw docs against a
+    target domain; Xie et al. 2023 semantics, linear one-pass).
+  * dedup_bloom_probe        — Bloom-filter membership pre-filter for
+    cross-snapshot dedup: train split populates an m-bit/k-hash
+    filter, the eval split is probed, false-positive rate reported
+    against exact truth.
+  * pipeline_curriculum_stages — curriculum staging: integer
+    difficulty score -> NTILE(4) stage assignment, per-stage/lang
+    composition report.
+  * embedding_int8_quant     — per-dimension min/max int8 embedding
+    quantization + reconstruction-error audit.
+  * privacy_k_anonymity      — k-anonymity suppression report over
+    quasi-identifier groups (nation x market segment, k=5).
+  * pipeline_quality_classifier — fixed-weight linear quality-filter
+    inference (fastText-style classifier applied as pure Catalyst
+    arithmetic; weights ride in the plan as literals).
+
+Cross-engine exactness: every score that feeds an ORDER BY or a
+rounded output is either pure-integer arithmetic, or ln() of an exact
+integer rational (identical doubles on both engines — the
+lm_bigram_logprob precedent) accumulated via DECIMAL(38,18) casts so
+shuffle order cannot jitter the sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions import text as TXT
+from kmeans_mapreduce_spark.plans.pipeline_queries import (
+    _BLANK,
+    _TOKS_ALL,
+    _WS,
+    _docs,
+)
+from kmeans_mapreduce_spark.plans.pipeline_queries2 import _TRAIN_CUT, _bucket
+
+# --- DSIR importance resampling ------------------------------------------
+
+_DSIR_B = 1024  # hashed feature space size (buckets)
+_DSIR_TARGET = ("src0", "src1")  # the "trusted domain" sample
+_DSIR_TOPK = 20
+
+
+def _feat_bucket(col):
+    """Hashed-bigram feature id in [0, B): md5 prefix, shared with the
+    `_bucket` split convention so both engines agree bit-for-bit."""
+    return _bucket(col) % _DSIR_B
+
+
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR): score every
+    NON-target document by the log-likelihood ratio of its hashed
+    bigram features under add-1-smoothed unigram feature models of the
+    target domain (sources src0/src1) vs the raw pool (the rest), and
+    return the top 20 raw documents a resampler would pull into the
+    training mix.
+
+    weight(d) = sum over d's bigram features b of
+        ln( (t_b + 1) * (R + B)  /  ((r_b + 1) * (T + B)) )
+    with t_b/r_b the target/raw counts of feature b and T/R the total
+    feature mass of each split — the hashed-n-gram formulation of
+    Xie et al., "Data Selection for Language Models via Importance
+    Resampling" (NeurIPS 2023).
+
+    Scale shape: feature generation is a map-side fan-out; the model
+    "training" is two partial-aggregated counts over a B=1024 feature
+    space, which rides a broadcast join back onto the feature stream
+    (the model is KB-sized by construction — that is DSIR's point).
+    One shuffle groups per-doc sums; top-k is a distributed
+    TakeOrdered.  Nothing is quadratic and the corpus is read once.
+
+    Exactness: each ln() argument is a ratio of exact integer products
+    (< 2^53), so both engines see identical doubles; the per-doc sum
+    is accumulated as DECIMAL(38,18) so shuffle order cannot move the
+    last ulp.
+    """
+    toks = TXT.tokens("text")
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", toks.alias("toks")
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_target"),
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).withColumn("b", _feat_bucket(F.col("g")))
+    model = grams.groupBy("b").agg(
+        F.sum(F.col("is_target").cast("bigint")).alias("t_cnt"),
+        F.sum((~F.col("is_target")).cast("bigint")).alias("r_cnt"),
+    )
+    totals = model.agg(
+        F.sum("t_cnt").alias("t_total"), F.sum("r_cnt").alias("r_total")
+    )
+    scored = (
+        grams.where(~F.col("is_target"))
+        .join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "term",
+            F.log(
+                ((F.col("t_cnt") + 1) * (F.col("r_total") + _DSIR_B))
+                / ((F.col("r_cnt") + 1) * (F.col("t_total") + _DSIR_B))
+            ).cast("decimal(38,18)"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("term").alias("w_exact"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("w_exact"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.round(F.col("w_exact").cast("double"), 6).alias("dsir_weight"),
+        )
+    )
+
+
+_DSIR_TGT_SQL = "source IN ('src0', 'src1')"
+
+DSIR_SELECT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, {_DSIR_TGT_SQL} AS is_target, {_TOKS_ALL} AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, lang, is_target,
+         ('0x' || substr(md5(g), 1, 4))::BIGINT % {_DSIR_B} AS b
+  FROM (
+    SELECT doc_id, lang, is_target, unnest(gs) AS g FROM (
+      SELECT doc_id, lang, is_target,
+             [array_to_string(list_slice(toks, i, i + 1), ' ')
+              for i in range(1, greatest(len(toks), 1))] AS gs
+      FROM base))),
+model AS (
+  SELECT b,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS r_cnt
+  FROM grams GROUP BY b),
+totals AS (SELECT SUM(t_cnt) AS t_total, SUM(r_cnt) AS r_total FROM model),
+scored AS (
+  SELECT g.doc_id, g.lang,
+         COUNT(*) AS n_feats,
+         SUM(CAST(LN(
+             CAST((m.t_cnt + 1) * (t.r_total + {_DSIR_B}) AS DOUBLE)
+           / CAST((m.r_cnt + 1) * (t.t_total + {_DSIR_B}) AS DOUBLE)
+         ) AS DECIMAL(38,18))) AS w_exact
+  FROM grams g JOIN model m USING (b) CROSS JOIN totals t
+  WHERE NOT g.is_target
+  GROUP BY g.doc_id, g.lang)
+SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
+       ROUND(CAST(w_exact AS DOUBLE), 6) AS dsir_weight
+FROM scored
+ORDER BY w_exact DESC, doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+# --- Bloom-filter dedup pre-filter ---------------------------------------
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(key, i: int):
+    """Bit position of hash i for a 32-hex digest key: md5 of the
+    seeded key, first 8 hex chars -> bigint, mod m.  Pure column expr
+    so both engines compute identical positions."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(str(i)), key)), 1, 8), 16, 10)
+        .cast("bigint")
+        % _BLOOM_M
+    )
+
+
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter cross-snapshot dedup pre-filter: the TRAIN split
+    (md5-bucket < 80%, the shared split convention) populates an
+    m=8192-bit / k=3 filter keyed on the exact content fingerprint;
+    the EVAL split is probed.  Per source: probed docs, bloom
+    positives, exact true duplicates, and the false-positive count +
+    id checksum (so the oracle verifies WHICH docs the filter
+    over-matched).
+
+    This is the constant-memory first pass of incremental corpus dedup
+    (the streaming variant keeps a signature index; the Bloom filter
+    is what you ship to the ingest edge).  Bloom soundness — a true
+    duplicate can never be bloom-negative — is pinned in
+    tests/test_pipeline8.py.  m is sized for the sf0.1 scale gate
+    (~0.77 fill, a deliberately lossy edge filter with visible false
+    positives); at sf0.01 the filter is near-empty and reports zeros,
+    which the oracle still hash-checks.
+
+    Scale shape: the filter's set-bit relation is at most m=8192 rows
+    regardless of corpus size — it BROADCASTS (visible in the plan),
+    so probing is map-side; the only shuffles are the distinct on
+    train keys/bits and the per-doc verdict agg.  At 100 TB you would
+    aggregate the bit positions into an actual bitmap via
+    `bit_or` partial aggs and broadcast that single row; the relation
+    form keeps the whole query oracle-checkable without losing the
+    broadcast property.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        _bucket(F.col("doc_id")).alias("bucket"),
+        F.md5("text").alias("k"),
+    )
+    train = d.where(F.col("bucket") < _TRAIN_CUT)
+    ev = d.where(F.col("bucket") >= _TRAIN_CUT)
+
+    def positions(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[_bloom_pos(F.col("k"), i) for i in range(1, _BLOOM_K + 1)]
+                )
+            ).alias("pos"),
+        ).distinct()
+
+    bits = positions(train).select("pos").distinct().withColumn(
+        "set_", F.lit(1)
+    )
+    probe = (
+        positions(ev)
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.count("set_").alias("n_hit"),
+        )
+        .withColumn("bloom_pos", F.col("n_hit") == F.col("n_pos"))
+    )
+    truth = train.select("k").distinct().withColumn("in_train", F.lit(1))
+    verdict = (
+        ev.join(truth, "k", "left")
+        .select("doc_id", "source", F.col("in_train").isNotNull().alias("is_dup"))
+        .join(probe.select("doc_id", "bloom_pos"), "doc_id")
+    )
+    return (
+        verdict.groupBy("source")
+        .agg(
+            F.count("*").alias("n_probed"),
+            F.sum(F.col("bloom_pos").cast("bigint")).alias("n_bloom_pos"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_true_dup"),
+            F.sum(
+                (F.col("bloom_pos") & ~F.col("is_dup")).cast("bigint")
+            ).alias("n_false_pos"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("bloom_pos") & ~F.col("is_dup"), F.col("doc_id"))
+                ),
+                F.lit(0),
+            ).alias("fp_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_BLOOM_POS_SQL = (
+    "('0x' || substr(md5(CAST({i} AS VARCHAR) || k), 1, 8))::BIGINT"
+    f" % {_BLOOM_M}"
+)
+
+DEDUP_BLOOM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket,
+         md5(text) AS k
+  FROM documents),
+pos AS (
+  SELECT DISTINCT doc_id, bucket, p AS pos FROM (
+    SELECT doc_id, bucket,
+           unnest([{_BLOOM_POS_SQL.format(i=1)},
+                   {_BLOOM_POS_SQL.format(i=2)},
+                   {_BLOOM_POS_SQL.format(i=3)}]) AS p
+    FROM d)),
+bits AS (
+  SELECT DISTINCT pos FROM pos WHERE bucket < {_TRAIN_CUT}),
+probe AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_pos,
+         COUNT(b.pos) AS n_hit
+  FROM pos p LEFT JOIN bits b USING (pos)
+  WHERE p.bucket >= {_TRAIN_CUT}
+  GROUP BY p.doc_id),
+truth AS (SELECT DISTINCT k FROM d WHERE bucket < {_TRAIN_CUT}),
+verdict AS (
+  SELECT e.doc_id, e.source,
+         (t.k IS NOT NULL) AS is_dup,
+         (pr.n_hit = pr.n_pos) AS bloom_pos
+  FROM d e
+  LEFT JOIN truth t USING (k)
+  JOIN probe pr USING (doc_id)
+  WHERE e.bucket >= {_TRAIN_CUT})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+       CAST(SUM(CASE WHEN bloom_pos AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(COALESCE(SUM(CASE WHEN bloom_pos AND NOT is_dup THEN doc_id END), 0)
+            AS BIGINT) AS fp_id_sum
+FROM verdict
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- curriculum staging ---------------------------------------------------
+
+_N_STAGES = 4
+
+
+def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: an integer difficulty score (scaled mean
+    token length + a document-length term — both classic curriculum
+    proxies) buckets the corpus into NTILE(4) stages; output is the
+    per-stage/lang composition with difficulty boundaries and an id
+    checksum, i.e. the stage manifest a curriculum sampler consumes.
+
+    difficulty = (total_token_chars * 1000) // n_tokens  +  10 * n_tokens
+    — pure integer arithmetic, so stages are exact cross-engine.
+
+    Scale shape: the score is per-row codegen; NTILE rides one global
+    sort.  At 100 TB you would swap the exact NTILE for approx
+    percentile boundaries broadcast back (the same two-pass trick
+    hist_equidepth_prices documents); the composition agg after it is
+    an ordinary partial-agg shuffle either way.
+    """
+    toks = TXT.tokens("text")
+    scored = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").alias("n_tok"),
+            F.aggregate(
+                F.transform(F.col("toks"), F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("tok_chars"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("n_tok") == 0, F.lit(0))
+            .otherwise(
+                (F.col("tok_chars") * 1000).cast("bigint")
+                / F.col("n_tok").cast("bigint")
+            )
+            .cast("bigint")
+            .alias("difficulty_raw"),
+            (F.col("n_tok") * 10).alias("len_term"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("difficulty_raw") + F.col("len_term")).alias("difficulty"),
+        )
+    )
+    staged = scored.withColumn(
+        "stage",
+        F.ntile(_N_STAGES).over(Window.orderBy(F.asc("difficulty"), F.asc("doc_id"))),
+    )
+    return (
+        staged.groupBy("stage", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("difficulty").alias("min_difficulty"),
+            F.max("difficulty").alias("max_difficulty"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("stage", "lang")
+    )
+
+
+_TOK_CHARS = f"list_sum(list_transform({_TOKS_ALL}, t -> length(t)))"
+_NTOK_SQL = f"CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS_ALL}) END"
+
+CURRICULUM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_NTOK_SQL} = 0 THEN 0
+              ELSE ({_TOK_CHARS} * 1000) // {_NTOK_SQL} END
+         + 10 * {_NTOK_SQL} AS difficulty
+  FROM documents),
+staged AS (
+  SELECT doc_id, lang, difficulty,
+         NTILE({_N_STAGES}) OVER (ORDER BY difficulty, doc_id) AS stage
+  FROM scored)
+SELECT CAST(stage AS INT) AS stage, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+       CAST(MAX(difficulty) AS BIGINT) AS max_difficulty,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM staged
+GROUP BY stage, lang
+ORDER BY stage, lang
+"""
+
+
+# --- int8 embedding quantization -----------------------------------------
+
+
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max int8 quantization of the embedding table
+    with a reconstruction-error audit — the storage-compression pass a
+    vector index runs before sharding (4x smaller than float32, and
+    the ADC tables of ann_pq_* consume exactly this layout).
+
+    q = clamp(floor((v - min_d) * 255 / (max_d - min_d)), 0, 255);
+    dequant = min_d + q * (max_d - min_d) / 255.  Per label: element
+    count, total quantized mass, position checksum (sum of dim*q), and
+    mean/max absolute reconstruction error.
+
+    Exactness: min/max are order-free; the quantize/dequant chain is
+    written with identical operation shape on both engines, so every
+    intermediate double is bit-identical; the error SUM is accumulated
+    as DECIMAL(38,18).
+
+    Scale shape: one posexplode (map-side), one 64-group stats agg
+    whose result BROADCASTS back onto the element stream, one final
+    partial agg by label.  The corpus is read once and nothing is
+    quadratic; at 100 TB the stats agg is the only extra pass and is
+    column-pruned to the vector column.
+    """
+    elems = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("dim", "v_raw"),
+        )
+        .select(
+            "vec_id", "label", "dim", F.col("v_raw").cast("double").alias("v")
+        )
+    )
+    stats = elems.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    q = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("v") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn"))
+                ).cast("int"),
+            ),
+        )
+    )
+    quant = (
+        elems.join(F.broadcast(stats), "dim")
+        .withColumn("q", q)
+        .withColumn(
+            "dequant",
+            F.col("mn") + F.col("q").cast("double") * (F.col("mx") - F.col("mn")) / 255,
+        )
+        .withColumn("err", F.abs(F.col("v") - F.col("dequant")))
+    )
+    return (
+        quant.groupBy("label")
+        .agg(
+            F.count("*").alias("n_elems"),
+            F.sum("q").cast("bigint").alias("q_mass"),
+            F.sum(F.col("dim") * F.col("q")).cast("bigint").alias("q_pos_checksum"),
+            F.round(
+                (
+                    F.sum(F.col("err").cast("decimal(38,18)"))
+                    / F.count("*")
+                ).cast("double"),
+                6,
+            ).alias("mean_abs_err"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+INT8_QUANT_SQL = """
+WITH elems AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+stats AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM elems GROUP BY dim),
+quant AS (
+  SELECT e.label, e.dim, e.v, s.mn, s.mx,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE GREATEST(0, LEAST(255,
+                   CAST(FLOOR((e.v - s.mn) * 255 / (s.mx - s.mn)) AS INT)))
+         END AS q
+  FROM elems e JOIN stats s USING (dim)),
+errs AS (
+  SELECT label, dim, q,
+         ABS(v - (mn + CAST(q AS DOUBLE) * (mx - mn) / 255)) AS err
+  FROM quant)
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_elems,
+       CAST(SUM(q) AS BIGINT) AS q_mass,
+       CAST(SUM(dim * q) AS BIGINT) AS q_pos_checksum,
+       ROUND(CAST(SUM(CAST(err AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE), 6)
+         AS mean_abs_err,
+       ROUND(MAX(err), 6) AS max_abs_err
+FROM errs
+GROUP BY label
+ORDER BY label
+"""
+
+
+# --- k-anonymity ----------------------------------------------------------
+
+_K_ANON = 5
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression report over the quasi-identifier
+    (nation, market segment), k=5: a release of customer rows keyed by
+    that QI pair must suppress every group smaller than k.  Per
+    segment: group count, suppressed groups/rows, released rows, and a
+    nation-key checksum of the suppressed groups (the oracle verifies
+    WHICH groups, not just how many).
+
+    The suppression predicate is the governance gate a training-data
+    release pipeline runs before exporting any user-joined table; the
+    same group-size scan generalizes to l-diversity by swapping the
+    COUNT for a COUNT(DISTINCT sensitive).
+
+    Scale shape: one partial-agg shuffle on the QI pair, one tiny
+    rollup by segment.  Pure integers throughout.
+    """
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    groups = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        groups.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("n") < _K_ANON).cast("bigint")).alias("suppressed_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") < _K_ANON, F.col("n"))), F.lit(0)
+            ).alias("suppressed_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") >= _K_ANON, F.col("n"))), F.lit(0)
+            ).alias("released_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") < _K_ANON, F.col("c_nationkey"))),
+                F.lit(0),
+            ).alias("suppressed_nation_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS suppressed_groups,
+       CAST(COALESCE(SUM(CASE WHEN n < {_K_ANON} THEN n END), 0) AS BIGINT)
+         AS suppressed_rows,
+       CAST(COALESCE(SUM(CASE WHEN n >= {_K_ANON} THEN n END), 0) AS BIGINT)
+         AS released_rows,
+       CAST(COALESCE(SUM(CASE WHEN n < {_K_ANON} THEN c_nationkey END), 0) AS BIGINT)
+         AS suppressed_nation_sum
+FROM groups
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- linear quality-classifier inference ---------------------------------
+
+# Integer feature weights (scaled logits): trained-elsewhere linear
+# quality filter, shipped into the plan as literals — the fastText-
+# classifier-inference pattern.  z > 0 => keep.
+_QC_W = {
+    "bias": -300,
+    "n_tokens": 4,  # longer docs score higher ...
+    "punct": -30,  # ... unless punctuation-dense
+    "stopwords": 25,  # natural prose has stopwords
+    "digits": -12,  # digit-heavy boilerplate scores down
+}
+
+
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: apply a fixed-weight linear
+    classifier (integer-scaled logits over 4 cheap text features) to
+    every document and report the keep/drop split per source with a
+    kept-id checksum — the inference half of the fastText-style
+    quality filter every production corpus pipeline runs (the training
+    half lives outside the engine; weights arrive as literals).
+
+    z = -300 + 4*n_tokens - 30*punct + 25*stopwords - 12*digits,
+    keep iff z > 0.  All-integer arithmetic -> exact cross-engine.
+    (The harness corpus contains no punctuation or digit characters,
+    so those two weights are exercised as live plan columns but the
+    decision boundary runs on length + stopword density — centered so
+    roughly half the corpus survives.)
+
+    Scale shape: pure per-row codegen (no UDF — the dot product is
+    unrolled into Catalyst arithmetic) followed by one partial-agg
+    shuffle on source.  At 100 TB this is a single map-side pass; a
+    wider real model would ride the same shape as an array literal dot
+    product or a pandas_udf scoring batch.
+    """
+    d = _docs(spark, sf_dir)
+    toks = TXT.tokens("text")
+    sw = F.array(*[F.lit(w) for w in TXT.STOPWORDS_EN])
+    feats = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^.,;:!?]", "")).alias("punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias(
+            "stopwords"
+        ),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("digits"),
+    )
+    z = (
+        F.lit(_QC_W["bias"])
+        + F.col("n_tokens") * _QC_W["n_tokens"]
+        + F.col("punct") * _QC_W["punct"]
+        + F.col("stopwords") * _QC_W["stopwords"]
+        + F.col("digits") * _QC_W["digits"]
+    ).cast("bigint")
+    scored = feats.withColumn("z", z)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("z") > 0).cast("bigint")).alias("n_kept"),
+            F.sum("z").alias("z_sum"),
+            F.coalesce(
+                F.sum(F.when(F.col("z") > 0, F.col("doc_id"))), F.lit(0)
+            ).alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS_EN) + "]"
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         {_NTOK_SQL} AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len(list_filter({_TOKS_ALL}, t -> list_contains({_SW_LIST}, t)))
+           AS stopwords,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+  FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         CAST({_QC_W["bias"]}
+              + n_tokens * {_QC_W["n_tokens"]}
+              + punct * {_QC_W["punct"]}
+              + stopwords * {_QC_W["stopwords"]}
+              + digits * {_QC_W["digits"]} AS BIGINT) AS z
+  FROM feats)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(z) AS BIGINT) AS z_sum,
+       CAST(COALESCE(SUM(CASE WHEN z > 0 THEN doc_id END), 0) AS BIGINT)
+         AS kept_id_sum
+FROM scored
+GROUP BY source
+ORDER BY source
+"""

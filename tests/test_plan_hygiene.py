@@ -25,7 +25,9 @@ import pytest
 #   lm_bigram_logprob        1-row vocabulary-size scalar onto bigrams
 #   embedding_pca_power      1-row norm/eigenvalue scalars onto d=64 rows
 #   graph_triangle_count     1-row triangle-total scalar onto ≤N nodes
+#   pipeline_dsir_select     1-row feature-mass totals onto the stream
 ALLOWED_NESTED_LOOP = {
+    "pipeline_dsir_select",
     "events_funnel",
     "dq_validation_report",
     "ann_brute_topk",

@@ -14,7 +14,14 @@ gate is:  t_q / baseline_q  >  GATE_K * median_ratio  AND  t_q >
 ABS_FLOOR (small queries jitter too much to gate).
 
 Usage:
-    python tools/scale_run.py [sf_dir] [--update-baseline]
+    python tools/scale_run.py [sf_dir] [--update-baseline] [query ...]
+
+Bare-word args (no "/") name a catalog subset to run — the compare.py
+convention.  With --update-baseline, a subset run MERGES its timings
+into the existing baseline instead of rewriting it, so adding a query
+batch costs one subset run, not a full-catalog rerun.  (A full run
+still rewrites the file outright, dropping entries for queries that no
+longer exist.)
 
 Exit status: 1 if any query errored or any regression flagged (so CI
 can gate on it); 0 otherwise.  --update-baseline rewrites
@@ -38,11 +45,17 @@ BASELINE_PATH = Path(__file__).resolve().parent / "SCALE_BASELINE.json"
 
 update_baseline = "--update-baseline" in sys.argv
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
-sf_dir = args[0] if args else "/root/testdata/sf0.1"
+sf_dir = next((a for a in args if "/" in a), "/root/testdata/sf0.1")
+subset = [a for a in args if "/" not in a]
 
 spark = get_spark("catalog-sf01")
 spark.conf.set("spark.sql.shuffle.partitions", "64")
 qs = e.queries()
+if subset:
+    unknown = sorted(set(subset) - set(qs))
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+    qs = {n: qs[n] for n in subset}
 results = []
 for name, fn in qs.items():
     t0 = time.time()
@@ -92,6 +105,10 @@ if BASELINE_PATH.exists() and not update_baseline:
         print(f"not in baseline (new queries, unchecked): {len(new)}: {new[:8]}...")
 
 if update_baseline:
+    if subset and BASELINE_PATH.exists():
+        merged = json.loads(BASELINE_PATH.read_text())
+        merged.update(times)
+        times = merged
     BASELINE_PATH.write_text(json.dumps(times, indent=0, sort_keys=True))
     print(f"baseline updated: {BASELINE_PATH} ({len(times)} queries)")
 
