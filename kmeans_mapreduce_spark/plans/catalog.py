@@ -41,6 +41,7 @@ from kmeans_mapreduce_spark.plans import analytics10 as AN10
 from kmeans_mapreduce_spark.plans import analytics11 as AN11
 from kmeans_mapreduce_spark.plans import pipeline_queries8 as PQ8
 from kmeans_mapreduce_spark.plans import pipeline_queries9 as PQ9
+from kmeans_mapreduce_spark.plans import pipeline_queries10 as PQ10
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +403,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_novelty": PQ9.docs_ngram_novelty,
     "pipeline_token_budget_epochs": PQ9.pipeline_token_budget_epochs,
     "text_zipf_fit": PQ9.text_zipf_fit,
+    # Round-5 batch 20 (rotate into round 6): watermark lateness audit,
+    # DP noisy release counts, LSH recall@k evaluation
+    "events_watermark_audit": PQ10.events_watermark_audit,
+    "dp_noisy_counts": PQ10.dp_noisy_counts,
+    "ann_lsh_recall": PQ10.ann_lsh_recall,
 }
 
 # ---------------------------------------------------------------------------
@@ -484,9 +490,10 @@ _R5_WINDOW = [
     # fit), the batch-14/15/16 tail listed above, plus batch 18
     # (pipeline_dsir_select, dedup_bloom_probe,
     # pipeline_curriculum_stages, embedding_int8_quant,
-    # privacy_k_anonymity, pipeline_quality_classifier) and batch 19
+    # privacy_k_anonymity, pipeline_quality_classifier), batch 19
     # (docs_ngram_novelty, pipeline_token_budget_epochs,
-    # text_zipf_fit).
+    # text_zipf_fit), and batch 20 (events_watermark_audit,
+    # dp_noisy_counts, ann_lsh_recall).
     "ann_pq_fixed_topk",
     "pipeline_ngram_contamination",
     "dedup_canonical_exact",
@@ -701,6 +708,9 @@ ORACLES: dict[str, str] = {
     "docs_ngram_novelty": PQ9.NGRAM_NOVELTY_SQL,
     "pipeline_token_budget_epochs": PQ9.TOKEN_BUDGET_SQL,
     "text_zipf_fit": PQ9.ZIPF_SQL,
+    "events_watermark_audit": PQ10.WATERMARK_AUDIT_SQL,
+    "dp_noisy_counts": PQ10.DP_NOISY_SQL,
+    "ann_lsh_recall": PQ10.ANN_RECALL_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

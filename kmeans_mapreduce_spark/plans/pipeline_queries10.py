@@ -1,0 +1,275 @@
+"""Pipeline queries, round-5 batch 20: pipeline-evaluation and
+release-governance operators.
+
+  * events_watermark_audit — late-data accounting for a streaming
+    deployment: per hourly window, how many events a 10-minute
+    watermark would have delivered vs dropped, under a deterministic
+    per-event arrival delay.  The batch-computable audit you run
+    BEFORE picking a production watermark.
+  * dp_noisy_counts — differentially-private release counts: Laplace
+    noise via the inverse-CDF of a hash-derived uniform (deterministic
+    here so the oracle can verify the mechanism's arithmetic exactly;
+    a production release would draw real randomness through the same
+    plan shape).
+  * ann_lsh_recall — retrieval-quality evaluation as a first-class
+    query: recall@5 of the multi-table hyperplane LSH path against the
+    exact brute-force top-5, per query vector.  Turns the test-suite
+    recall pin into a driver-visible, oracle-checked artifact.
+
+Exactness notes: watermark arithmetic is pure integer epoch-micros;
+the DP uniform is an exactly-representable dyadic rational so ln() of
+it matches bit-for-bit across engines (the lm_bigram precedent); the
+recall join inherits the shared (rounded score, id) tiebreak both
+ANN queries already use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators import similarity as SIM
+from kmeans_mapreduce_spark.plans.pipeline_queries import (
+    _embs,
+    _dot_sql,
+    _lsh_buckets_union,
+)
+from kmeans_mapreduce_spark.plans.pipeline_queries2 import _bucket
+from kmeans_mapreduce_spark.plans.relational import _events
+
+_WM_DELAY_US = 600 * 1_000_000  # 10-minute watermark
+_ARRIVAL_MOD_S = 900  # deterministic transport delay in [0, 900) s
+_HOUR_US = 3_600 * 1_000_000
+
+
+def events_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit: replay the events table as if each
+    event arrived `md5(event_id) % 900` seconds after its event time,
+    and report — per hourly event-time window — what a 10-minute
+    watermark would deliver vs drop (arrival after window_end +
+    watermark misses the window's final emission).  This is the
+    planning query behind `withWatermark("ts", "10 minutes")` in
+    streaming/windows.py: the drop column IS the data-loss cost of
+    that watermark choice at the observed delay distribution.
+
+    All lateness arithmetic in integer epoch-micros (exact
+    cross-engine); the dropped-id checksum verifies WHICH events a
+    streaming run would lose, not just how many.
+
+    Scale shape: one partial-agg shuffle keyed by the hour window;
+    delay/lateness are per-row codegen.  At 100 TB this is the same
+    single-pass shape as any windowed count."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+    )
+    arrival = F.col("us") + (
+        (_bucket(F.col("event_id")) % _ARRIVAL_MOD_S).cast("bigint")
+        * 1_000_000
+    )
+    # integer mod, not floor(us / HOUR): the double division's quotient
+    # sits ~5 ulp from integer boundaries at 2024-epoch micros — legal
+    # but needlessly tight; us - us % HOUR is exact bigint arithmetic.
+    wend = F.col("us") - F.col("us") % _HOUR_US + _HOUR_US
+    flagged = ev.withColumn(
+        "dropped", arrival > wend + _WM_DELAY_US
+    )
+    return (
+        flagged.groupBy("hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((~F.col("dropped")).cast("bigint")).alias("delivered"),
+            F.sum(F.col("dropped").cast("bigint")).alias("dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("dropped"), F.col("event_id"))), F.lit(0)
+            ).alias("dropped_id_sum"),
+        )
+        .withColumn(
+            "drop_rate",
+            F.round(F.col("dropped") / F.col("n_events").cast("double"), 6),
+        )
+        .orderBy("hour")
+    )
+
+
+WATERMARK_AUDIT_SQL = f"""
+WITH ev AS (
+  SELECT event_id,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         epoch_us(ts) AS us,
+         epoch_us(ts)
+           + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+              % {_ARRIVAL_MOD_S}) * 1000000 AS arrival_us
+  FROM events),
+flagged AS (
+  SELECT event_id, hour,
+         arrival_us > us - (us % {_HOUR_US}) + {_HOUR_US} + {_WM_DELAY_US}
+           AS dropped
+  FROM ev)
+SELECT hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS delivered,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+       CAST(COALESCE(SUM(CASE WHEN dropped THEN event_id END), 0) AS BIGINT)
+         AS dropped_id_sum,
+       ROUND(CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS drop_rate
+FROM flagged
+GROUP BY hour
+ORDER BY hour
+"""
+
+
+# --- differentially-private release counts --------------------------------
+
+_DP_EPS_INV = 2  # 1/epsilon (epsilon = 0.5), Laplace scale for sensitivity 1
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private event-type counts: true count plus
+    Laplace(2) noise (epsilon = 0.5, count sensitivity 1) through the
+    inverse-CDF transform  noise = -(1/eps) * sign(u) * ln(1 - 2|u|),
+    u uniform on (-1/2, 1/2).
+
+    u here is hash-derived (md5 of the group key -> dyadic rational),
+    which makes the release DETERMINISTIC — the right property for an
+    oracle-checked test harness, and explicitly NOT a private release
+    (a fixed seed leaks the true count; swap u for real randomness in
+    production — the plan shape is identical).  What the oracle
+    verifies is the mechanism's arithmetic: inverse-CDF, scale, and
+    the count plumbing around it.
+
+    Scale shape: one partial-agg count per group plus per-row codegen
+    on the |groups|-row result."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    # u = (2h + 1 - 65536) / 131072 with h = 16-bit md5 bucket: an odd
+    # dyadic numerator, so u is exact, never 0, never +-1/2.
+    m = (2 * _bucket(F.col("event_type")) + 1 - 65536).cast("double")
+    u = m / 131072
+    noise = (
+        -_DP_EPS_INV
+        * F.signum(u)
+        * F.log(1 - 2 * F.abs(u))
+    )
+    return (
+        counts.select(
+            "event_type",
+            "n",
+            F.lit(0.5).alias("epsilon"),
+            F.round(F.col("n") + noise, 4).alias("noisy_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DP_NOISY_SQL = f"""
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+mech AS (
+  SELECT event_type, n,
+         CAST(2 * (('0x' || substr(md5(event_type), 1, 4))::BIGINT)
+              + 1 - 65536 AS DOUBLE) / 131072 AS u
+  FROM counts)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(0.5 AS DOUBLE) AS epsilon,
+       ROUND(n + (-{_DP_EPS_INV} * sign(u) * LN(1 - 2 * abs(u))), 4)
+         AS noisy_count
+FROM mech
+ORDER BY event_type
+"""
+
+
+# --- LSH retrieval-quality evaluation ------------------------------------
+
+_RECALL_Q = 50  # evaluation sample: first 50 vectors as queries
+_RECALL_K = 5
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation: per-query recall@5 of the hyperplane-LSH
+    ANN path against the exact brute-force top-5, over a 50-query
+    sample.  The eval harness every ANN deployment runs after
+    parameter changes (the 4-plane/4-table degradation curve in
+    tests/test_dedup_similarity.py becomes a driver-visible artifact).
+
+    Both sides rank by the shared (rounded score DESC, id) tiebreak,
+    so the two top-k sets are deterministic and the recall join is
+    exact.
+
+    Scale shape: the brute side is O(Q*N) BY DESIGN and Q is a
+    50-vector evaluation sample — recall eval always pays one bounded
+    brute-force pass for ground truth; the LSH side is the production
+    bucket equi-join.  At 100 TB you'd sample Q the same way and
+    the brute side stays Q*N with Q constant."""
+    e = _embs(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < _RECALL_Q)
+    brute = SIM.brute_force_topk(
+        e, queries, k=_RECALL_K, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id")
+    lsh = SIM.lsh_topk(
+        e, queries, k=_RECALL_K, id_col="vec_id", vec_col="embedding", dim=64
+    ).select("query_id", F.col("neighbor_id").alias("lsh_neighbor"))
+    hits = brute.join(
+        lsh,
+        (brute.query_id == lsh.query_id)
+        & (brute.neighbor_id == lsh.lsh_neighbor),
+        "left",
+    ).groupBy(brute.query_id.alias("query_id"))
+    return (
+        hits.agg(
+            F.count("*").alias("k"),
+            F.count("lsh_neighbor").alias("hits"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("hits") / F.col("k").cast("double"), 6)
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {_RECALL_Q}),
+brute_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(({_dot_sql('q.v', 'e.v')})
+               / (SQRT({_dot_sql('q.v', 'q.v')}) * SQRT({_dot_sql('e.v', 'e.v')})), 6) AS score
+  FROM q CROSS JOIN e WHERE q.vec_id != e.vec_id),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM brute_scored)
+  WHERE rank <= {_RECALL_K}),
+b AS ({_lsh_buckets_union()}),
+qb AS (SELECT * FROM b WHERE vec_id < {_RECALL_Q}),
+pairs AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN b cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id <> cb.vec_id),
+lsh_scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(({_dot_sql('a.v', 'c.v')})
+               / (SQRT({_dot_sql('a.v', 'a.v')}) * SQRT({_dot_sql('c.v', 'c.v')})), 6) AS score
+  FROM pairs JOIN e a ON a.vec_id = query_id JOIN e c ON c.vec_id = neighbor_id),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM lsh_scored)
+  WHERE rank <= {_RECALL_K})
+SELECT b.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS hits,
+       ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS recall
+FROM brute b
+LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""

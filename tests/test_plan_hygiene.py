@@ -26,8 +26,10 @@ import pytest
 #   embedding_pca_power      1-row norm/eigenvalue scalars onto d=64 rows
 #   graph_triangle_count     1-row triangle-total scalar onto ≤N nodes
 #   pipeline_dsir_select     1-row feature-mass totals onto the stream
+#   ann_lsh_recall           Q=50 eval sample through the brute baseline
 ALLOWED_NESTED_LOOP = {
     "pipeline_dsir_select",
+    "ann_lsh_recall",
     "events_funnel",
     "dq_validation_report",
     "ann_brute_topk",
