@@ -42,6 +42,12 @@ SLICE = [
     "ann_pq_fixed_topk",
     "pipeline_ngram_contamination",
     "pipeline_bpe_train",
+    # batches 18-20 (rotate into the round-6 driver window): decimal-sum
+    # DSIR scoring, broadcast bloom bits, _events-routed watermark audit
+    "pipeline_dsir_select",
+    "dedup_bloom_probe",
+    "events_watermark_audit",
+    "ann_lsh_recall",
 ]
 
 CHILD = r"""
