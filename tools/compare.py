@@ -7,7 +7,13 @@ rows sorted by their stringified tuple).  Stricter than necessary on
 purpose: catching a mismatch here is free; catching it in
 CORRECTNESS_r{N}.json costs a round.
 
-Usage: python tools/compare.py [sf_dir] [query ...]
+Usage: python tools/compare.py [sf_dir] [query ...] [--vanilla]
+
+``--vanilla`` builds a bare ``SparkSession.builder`` session instead of
+``session.get_spark`` — the exact session shape the round driver uses
+(no pre-set confs).  Run the driver window through it before a round
+closes; the round-2 and round-4 driver-only regressions lived precisely
+in the gap between the two session shapes.
 """
 
 from __future__ import annotations
@@ -65,12 +71,23 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def run(sf_dir: str, only: list[str] | None = None) -> int:
-    from kmeans_mapreduce_spark.session import get_spark
-
+def run(sf_dir: str, only: list[str] | None = None, vanilla: bool = False) -> int:
     import __spark_entry__ as entrymod
 
-    spark = get_spark("compare-harness")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("compare-vanilla")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from kmeans_mapreduce_spark.session import get_spark
+
+        spark = get_spark("compare-harness")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     con = duckdb.connect()
@@ -145,6 +162,15 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    vanilla = "--window" in args or "--vanilla" in args
+    window = "--window" in args
+    args = [a for a in args if not a.startswith("--")]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a] or None
-    sys.exit(1 if run(sf, only) else 0)
+    if window and only is None:
+        # --window: the driver's exact gate — first 50 catalog entries
+        # on the vanilla session
+        import __spark_entry__ as _e
+
+        only = list(_e.queries())[:50]
+    sys.exit(1 if run(sf, only, vanilla=vanilla) else 0)
