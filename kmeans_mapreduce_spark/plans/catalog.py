@@ -408,6 +408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_watermark_audit": PQ10.events_watermark_audit,
     "dp_noisy_counts": PQ10.dp_noisy_counts,
     "ann_lsh_recall": PQ10.ann_lsh_recall,
+    "pipeline_preference_pairs": PQ10.pipeline_preference_pairs,
 }
 
 # ---------------------------------------------------------------------------
@@ -493,7 +494,7 @@ _R5_WINDOW = [
     # privacy_k_anonymity, pipeline_quality_classifier), batch 19
     # (docs_ngram_novelty, pipeline_token_budget_epochs,
     # text_zipf_fit), and batch 20 (events_watermark_audit,
-    # dp_noisy_counts, ann_lsh_recall).
+    # dp_noisy_counts, ann_lsh_recall, pipeline_preference_pairs).
     "ann_pq_fixed_topk",
     "pipeline_ngram_contamination",
     "dedup_canonical_exact",
@@ -711,6 +712,7 @@ ORACLES: dict[str, str] = {
     "events_watermark_audit": PQ10.WATERMARK_AUDIT_SQL,
     "dp_noisy_counts": PQ10.DP_NOISY_SQL,
     "ann_lsh_recall": PQ10.ANN_RECALL_SQL,
+    "pipeline_preference_pairs": PQ10.PREFERENCE_PAIRS_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

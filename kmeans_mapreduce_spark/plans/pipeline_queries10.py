@@ -273,3 +273,118 @@ LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY b.query_id
 ORDER BY b.query_id
 """
+
+
+# --- preference-pair mining ----------------------------------------------
+
+_PREF_GROUPS = 16  # md5 prompt-group proxy buckets per language
+
+
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF data prep: within each
+    (lang, prompt-group) bucket, pair the highest-scoring document
+    (chosen) with the lowest-scoring one (rejected) under the
+    pipeline_quality_classifier's integer logit, keeping groups where
+    the margin is positive.  This is the comparison-data construction
+    step of a preference pipeline — the grouping key stands in for the
+    shared prompt, the linear score for the reward model.
+
+    All-integer scores with (score, doc_id) window tiebreaks -> the
+    chosen/rejected picks are exact cross-engine.
+
+    Scale shape: per-row codegen for the score, ONE shuffle on the
+    group key serving both rank windows (same partition key), then a
+    |groups|-row projection.  At 100 TB this is the canonical
+    grouped-top-1 shape — no joins, no blowup."""
+    from kmeans_mapreduce_spark.functions import text as TXT
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _docs
+    from kmeans_mapreduce_spark.plans.pipeline_queries8 import _QC_W
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = TXT.tokens("text")
+    sw = F.array(*[F.lit(w) for w in TXT.STOPWORDS_EN])
+    z = (
+        F.lit(_QC_W["bias"])
+        + F.size(toks) * _QC_W["n_tokens"]
+        + F.length(F.regexp_replace("text", "[^.,;:!?]", "")) * _QC_W["punct"]
+        + F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        * _QC_W["stopwords"]
+        + F.length(F.regexp_replace("text", "[^0-9]", "")) * _QC_W["digits"]
+    ).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (_bucket(F.col("doc_id")) % _PREF_GROUPS).alias("grp"),
+        z.alias("score"),
+    )
+    w = Window.partitionBy("lang", "grp")
+    best = F.row_number().over(w.orderBy(F.desc("score"), F.asc("doc_id")))
+    worst = F.row_number().over(w.orderBy(F.asc("score"), F.desc("doc_id")))
+    ranked = scored.select(
+        "lang",
+        "grp",
+        "doc_id",
+        "score",
+        best.alias("rb"),
+        worst.alias("rw"),
+        F.count("*").over(w).alias("n_docs"),
+    )
+    chosen = ranked.where(F.col("rb") == 1).select(
+        "lang",
+        "grp",
+        "n_docs",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    rejected = ranked.where(F.col("rw") == 1).select(
+        "lang", "grp", F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, ["lang", "grp"])
+        .withColumn("margin", F.col("chosen_score") - F.col("rejected_score"))
+        .where((F.col("n_docs") >= 2) & (F.col("margin") >= 1))
+        .select(
+            "lang", "grp", "n_docs", "chosen_id", "chosen_score",
+            "rejected_id", "rejected_score", "margin",
+        )
+        .orderBy("lang", "grp")
+    )
+
+
+def _pref_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _TOKS_ALL, _BLANK
+    from kmeans_mapreduce_spark.plans.pipeline_queries8 import _QC_W, _SW_LIST
+
+    ntok = f"CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS_ALL}) END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % {_PREF_GROUPS} AS grp,
+         CAST({_QC_W["bias"]}
+              + ({ntok}) * {_QC_W["n_tokens"]}
+              + length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * {_QC_W["punct"]}
+              + len(list_filter({_TOKS_ALL}, t -> list_contains({_SW_LIST}, t)))
+                * {_QC_W["stopwords"]}
+              + length(regexp_replace(text, '[^0-9]', '', 'g')) * {_QC_W["digits"]}
+           AS BIGINT) AS score
+  FROM documents),
+ranked AS (
+  SELECT lang, grp, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY lang, grp ORDER BY score DESC, doc_id ASC) AS rb,
+         ROW_NUMBER() OVER (PARTITION BY lang, grp ORDER BY score ASC, doc_id DESC) AS rw,
+         COUNT(*) OVER (PARTITION BY lang, grp) AS n_docs
+  FROM scored)
+SELECT c.lang, CAST(c.grp AS BIGINT) AS grp, CAST(c.n_docs AS BIGINT) AS n_docs,
+       c.doc_id AS chosen_id, CAST(c.score AS BIGINT) AS chosen_score,
+       r.doc_id AS rejected_id, CAST(r.score AS BIGINT) AS rejected_score,
+       CAST(c.score - r.score AS BIGINT) AS margin
+FROM ranked c JOIN ranked r ON c.lang = r.lang AND c.grp = r.grp
+WHERE c.rb = 1 AND r.rw = 1 AND c.n_docs >= 2 AND c.score - r.score >= 1
+ORDER BY c.lang, c.grp
+"""
+
+
+PREFERENCE_PAIRS_SQL = _pref_sql()

@@ -58,3 +58,21 @@ def test_lsh_recall_bounded_and_exactly_k(spark, sf_dir):
         assert r["k"] == PQ10._RECALL_K
         assert 0 <= r["hits"] <= r["k"]
         assert abs(r["recall"] - round(r["hits"] / r["k"], 6)) < 1e-9
+
+
+def test_preference_pairs_are_valid_comparisons(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.pipeline_queries10 import (
+        pipeline_preference_pairs,
+    )
+
+    rows = pipeline_preference_pairs(spark, sf_dir).collect()
+    assert rows, "no preference pairs mined"
+    seen = set()
+    for r in rows:
+        key = (r["lang"], r["grp"])
+        assert key not in seen, f"duplicate group {key}"
+        seen.add(key)
+        assert r["chosen_id"] != r["rejected_id"]
+        assert r["margin"] == r["chosen_score"] - r["rejected_score"]
+        assert r["margin"] >= 1
+        assert r["n_docs"] >= 2
