@@ -409,6 +409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_noisy_counts": PQ10.dp_noisy_counts,
     "ann_lsh_recall": PQ10.ann_lsh_recall,
     "pipeline_preference_pairs": PQ10.pipeline_preference_pairs,
+    "text_tokenizer_fertility": PQ10.text_tokenizer_fertility,
 }
 
 # ---------------------------------------------------------------------------
@@ -494,7 +495,8 @@ _R5_WINDOW = [
     # privacy_k_anonymity, pipeline_quality_classifier), batch 19
     # (docs_ngram_novelty, pipeline_token_budget_epochs,
     # text_zipf_fit), and batch 20 (events_watermark_audit,
-    # dp_noisy_counts, ann_lsh_recall, pipeline_preference_pairs).
+    # dp_noisy_counts, ann_lsh_recall, pipeline_preference_pairs,
+    # text_tokenizer_fertility).
     "ann_pq_fixed_topk",
     "pipeline_ngram_contamination",
     "dedup_canonical_exact",
@@ -713,6 +715,7 @@ ORACLES: dict[str, str] = {
     "dp_noisy_counts": PQ10.DP_NOISY_SQL,
     "ann_lsh_recall": PQ10.ANN_RECALL_SQL,
     "pipeline_preference_pairs": PQ10.PREFERENCE_PAIRS_SQL,
+    "text_tokenizer_fertility": PQ10.TOKENIZER_FERTILITY_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

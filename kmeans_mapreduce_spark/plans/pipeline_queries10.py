@@ -388,3 +388,82 @@ ORDER BY c.lang, c.grp
 
 
 PREFERENCE_PAIRS_SQL = _pref_sql()
+
+
+# --- tokenizer fertility --------------------------------------------------
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pieces per whitespace
+    word (`functions/text.bpe_token_count` over `token_count`) — the
+    standard multilingual tokenizer-equity metric (fertility >> 1 for a
+    language means its documents burn disproportionate sequence length,
+    the signal behind vocabulary rebalancing).
+
+    Integer piece/word sums per language; the ratio is one
+    exact-integer division rounded at the end.  Per lang also: docs,
+    mean pieces per doc (from the same integer sums), and the max
+    single-doc fertility in integer milli-units (max over exact
+    per-doc integer arithmetic — no float accumulation anywhere).
+
+    Scale shape: per-row regexp_count codegen, one partial-agg shuffle
+    on lang.  The same single-pass shape as text_token_stats."""
+    from kmeans_mapreduce_spark.functions import text as TXT
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _docs
+
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang",
+        TXT.token_count("text").alias("w"),
+        TXT.bpe_token_count("text").alias("p"),
+    ).withColumn(
+        "fert_milli",
+        F.when(F.col("w") == 0, F.lit(0)).otherwise(
+            (F.col("p") * 1000 / F.col("w")).cast("bigint")
+        ),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("ws_tokens"),
+            F.sum("p").alias("bpe_pieces"),
+            F.max("fert_milli").alias("max_doc_fert_milli"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("bpe_pieces") / F.col("ws_tokens").cast("double"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fertility_sql() -> str:
+    from kmeans_mapreduce_spark.functions import text as TXT
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _BLANK, _TOKS_ALL
+
+    bpe = TXT.BPE_PATTERN.replace("\\", "\\\\")
+    ntok = f"CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS_ALL}) END"
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         {ntok} AS w,
+         len(regexp_extract_all(lower(text), '{bpe}')) AS p
+  FROM documents),
+m AS (
+  SELECT lang, w, p,
+         CASE WHEN w = 0 THEN 0 ELSE (p * 1000) // w END AS fert_milli
+  FROM per_doc)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS ws_tokens,
+       CAST(SUM(p) AS BIGINT) AS bpe_pieces,
+       CAST(MAX(fert_milli) AS BIGINT) AS max_doc_fert_milli,
+       ROUND(CAST(SUM(p) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS fertility
+FROM m
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+TOKENIZER_FERTILITY_SQL = _fertility_sql()

@@ -76,3 +76,18 @@ def test_preference_pairs_are_valid_comparisons(spark, sf_dir):
         assert r["margin"] == r["chosen_score"] - r["rejected_score"]
         assert r["margin"] >= 1
         assert r["n_docs"] >= 2
+
+
+def test_tokenizer_fertility_bounds(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.pipeline_queries10 import (
+        text_tokenizer_fertility,
+    )
+
+    rows = text_tokenizer_fertility(spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == {"de", "en", "es", "fr", "zh"}
+    for r in rows:
+        # a BPE-ish piece never spans whitespace: pieces >= words
+        assert r["bpe_pieces"] >= r["ws_tokens"] > 0, r
+        assert r["fertility"] >= 1.0
+        # corpus mean can't exceed the max per-doc fertility
+        assert r["fertility"] * 1000 <= r["max_doc_fert_milli"] + 1000, r
