@@ -410,6 +410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": PQ10.ann_lsh_recall,
     "pipeline_preference_pairs": PQ10.pipeline_preference_pairs,
     "text_tokenizer_fertility": PQ10.text_tokenizer_fertility,
+    "pipeline_span_corruption": PQ10.pipeline_span_corruption,
 }
 
 # ---------------------------------------------------------------------------
@@ -496,7 +497,7 @@ _R5_WINDOW = [
     # (docs_ngram_novelty, pipeline_token_budget_epochs,
     # text_zipf_fit), and batch 20 (events_watermark_audit,
     # dp_noisy_counts, ann_lsh_recall, pipeline_preference_pairs,
-    # text_tokenizer_fertility).
+    # text_tokenizer_fertility, pipeline_span_corruption).
     "ann_pq_fixed_topk",
     "pipeline_ngram_contamination",
     "dedup_canonical_exact",
@@ -716,6 +717,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_recall": PQ10.ANN_RECALL_SQL,
     "pipeline_preference_pairs": PQ10.PREFERENCE_PAIRS_SQL,
     "text_tokenizer_fertility": PQ10.TOKENIZER_FERTILITY_SQL,
+    "pipeline_span_corruption": PQ10.SPAN_CORRUPTION_SQL,
     # no oracle (rows-only): kmeans_fit_native, kmeans_fit_mllib,
     # kmeans_fit_lineitem (iterative Lloyd loops), ann_pq_topk
     # (codebooks from iterative K-Means) — see docstrings.

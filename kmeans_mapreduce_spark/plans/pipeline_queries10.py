@@ -467,3 +467,139 @@ ORDER BY lang
 
 
 TOKENIZER_FERTILITY_SQL = _fertility_sql()
+
+
+# --- span-corruption mask planning ---------------------------------------
+
+_SPAN_EVERY = 20  # a span starts at ~5% of positions ...
+_SPAN_LEN = 3  # ... and masks 3 tokens -> ~15% corruption rate
+
+
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption mask planning: deterministically
+    select ~5% of token positions as span starts (md5 of (doc_id,
+    position)), mask 3 tokens from each start (clipped at the doc end,
+    overlaps unioned), and report the realized corruption statistics
+    per language — the denoising-objective data-prep pass that turns a
+    raw corpus into (inputs, targets) pretraining pairs.
+
+    Hash-seeded span starts make the masks reproducible across runs,
+    partitionings, and engines (the same property sample_train_split
+    leans on); the oracle recomputes the identical mask union, so
+    span accounting — including edge clipping and overlap merging — is
+    verified exactly.
+
+    Output per lang: docs, tokens, span starts, masked tokens (union),
+    realized mask rate, and a doc_id-weighted masked-count checksum.
+
+    Scale shape: two bounded fan-outs (positions, then 3 offsets per
+    start) and one partial-agg shuffle on lang; everything is map-side
+    integer/hash codegen — the canonical corpus-pass shape."""
+    from kmeans_mapreduce_spark.functions import text as TXT
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _docs
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", "lang", F.size(TXT.tokens("text")).alias("n")
+    )
+    pos = base.where(F.col("n") >= 1).select(
+        "doc_id",
+        "lang",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"),
+    )
+    starts = pos.where(
+        _bucket(F.concat_ws(":", F.col("doc_id"), F.col("p"))) % _SPAN_EVERY
+        == 0
+    )
+    masked = (
+        starts.select(
+            "doc_id",
+            "lang",
+            "n",
+            F.explode(
+                F.sequence(F.col("p"), F.least(F.col("p") + (_SPAN_LEN - 1), F.col("n")))
+            ).alias("mp"),
+        )
+        .select("doc_id", "lang", "mp")
+        .distinct()
+    )
+    per_doc = (
+        base.join(
+            masked.groupBy("doc_id").agg(F.count("*").alias("masked")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            starts.groupBy("doc_id").agg(F.count("*").alias("spans")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n",
+            F.coalesce("masked", F.lit(0)).alias("masked"),
+            F.coalesce("spans", F.lit(0)).alias("spans"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("tokens"),
+            F.sum("spans").alias("span_starts"),
+            F.sum("masked").alias("masked_tokens"),
+            F.sum(F.col("doc_id") * F.col("masked")).alias("mask_checksum"),
+        )
+        .withColumn(
+            "mask_rate",
+            F.round(
+                F.col("masked_tokens") / F.col("tokens").cast("double"), 6
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _span_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _BLANK, _TOKS_ALL
+
+    ntok = f"CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS_ALL}) END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {ntok} AS n FROM documents),
+pos AS (
+  SELECT doc_id, lang, n, unnest(range(1, n + 1)) AS p
+  FROM base WHERE n >= 1),
+starts AS (
+  SELECT doc_id, lang, n, p FROM pos
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 4))::BIGINT
+        % {_SPAN_EVERY} = 0),
+masked AS (
+  SELECT DISTINCT doc_id, lang, mp FROM (
+    SELECT doc_id, lang, unnest(range(p, LEAST(p + {_SPAN_LEN - 1}, n) + 1)) AS mp
+    FROM starts)),
+per_doc AS (
+  SELECT b.doc_id, b.lang, b.n,
+         COALESCE(m.masked, 0) AS masked,
+         COALESCE(s.spans, 0) AS spans
+  FROM base b
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS masked FROM masked GROUP BY doc_id) m
+    USING (doc_id)
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS spans FROM starts GROUP BY doc_id) s
+    USING (doc_id))
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS tokens,
+       CAST(SUM(spans) AS BIGINT) AS span_starts,
+       CAST(SUM(masked) AS BIGINT) AS masked_tokens,
+       CAST(SUM(doc_id * masked) AS BIGINT) AS mask_checksum,
+       ROUND(CAST(SUM(masked) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS mask_rate
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SPAN_CORRUPTION_SQL = _span_sql()

@@ -91,3 +91,20 @@ def test_tokenizer_fertility_bounds(spark, sf_dir):
         assert r["fertility"] >= 1.0
         # corpus mean can't exceed the max per-doc fertility
         assert r["fertility"] * 1000 <= r["max_doc_fert_milli"] + 1000, r
+
+
+def test_span_corruption_mask_accounting(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.pipeline_queries10 import (
+        _SPAN_LEN,
+        pipeline_span_corruption,
+    )
+
+    rows = pipeline_span_corruption(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # union of clipped spans: can't exceed starts * span_len, nor
+        # the token budget
+        assert r["masked_tokens"] <= r["span_starts"] * _SPAN_LEN, r
+        assert r["masked_tokens"] <= r["tokens"], r
+        # ~5% start rate * 3-token spans targets ~15%; generous band
+        assert 0.05 <= r["mask_rate"] <= 0.30, r
