@@ -228,13 +228,21 @@ def image_tiles(df: DataFrame, patch: int = 16) -> DataFrame:
     parallelizes per-tile instead of per-image."""
     cols = F.ceil(F.col("width") / patch).cast("int")
     rows = F.ceil(F.col("height") / patch).cast("int")
+    # sequence(0, -1) DESCENDS in Spark, so a non-positive dimension
+    # (width/height <= 0) would emit spurious negative tile indices and
+    # _cols=0 would null tile_row/tile_col via division by zero — guard
+    # with an empty array instead (same pattern as bpe._pair_counts).
+    n_tiles = rows * cols
+    idx = F.when(
+        (cols >= 1) & (rows >= 1), F.sequence(F.lit(0), n_tiles - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(
             "media_id",
             "width",
             "height",
             cols.alias("_cols"),
-            F.explode(F.sequence(F.lit(0), rows * cols - 1)).alias("_i"),
+            F.explode(idx).alias("_i"),
         )
         .select(
             "media_id",

@@ -157,6 +157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_ngram_contamination": PQ7.pipeline_ngram_contamination,
     "dedup_canonical_exact": PQ7.dedup_canonical_exact,
     "pipeline_bpe_train": PQ7.pipeline_bpe_train,
+    "pipeline_bpe_apply_fixed": PQ7.pipeline_bpe_apply_fixed,
     "set_multiset_priorities": RX.set_multiset_priorities,
     "case_coalesce_buckets": RX.case_coalesce_buckets,
     "array_top_tokens": RX.array_top_tokens,
@@ -242,6 +243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (kmeans_fit_native has standing driver signal via entry();
     #  km_two_iterations is oracle-pinned by compare.py + plan tests)
     "km_two_iterations": KQ.km_two_iterations,
+    "kmeans_fit_fixed": KQ.kmeans_fit_fixed,
     "kmeans_fit_native": kmeans_fit_native,
     "kmeans_fit_mllib": kmeans_fit_mllib,
     "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
@@ -411,6 +413,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_preference_pairs": PQ10.pipeline_preference_pairs,
     "text_tokenizer_fertility": PQ10.text_tokenizer_fertility,
     "pipeline_span_corruption": PQ10.pipeline_span_corruption,
+    # Round-7 additions: the flagship Lloyd loop end-to-end under an
+    # exact integer-quantized oracle, the BPE merge-fold under a fixed
+    # merge table, and the MinHash candidate-recall contract
+    "dedup_minhash_recall": PQ10.dedup_minhash_recall,
 }
 
 # ---------------------------------------------------------------------------
@@ -504,9 +510,95 @@ _R5_WINDOW = [
     "pipeline_bpe_train",
 ]
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
-# Dict-merge keeps _R5_WINDOW's insertion order for the first 50 keys;
+
+# ---------------------------------------------------------------------------
+# ROUND-7 DRIVER WINDOW (round 6 recorded nothing, so this window
+# completes the full-catalog rotation the round-5 ledger planned).
+# Composition per the rotation policy:
+#   (a) ALL 31 never-driver-sampled queries (batch 12-16 tails, the
+#       round-5 additions that didn't fit, batches 18-20) — after this
+#       window every catalog query has at least one driver-recorded row;
+#   (b) changed this round: pipeline_token_budget_epochs (exact integer
+#       div + available>0 guard) and mm_image_tiles (degenerate-dims
+#       sequence guard) — both already in (a);
+#   (c) new this round: kmeans_fit_fixed (the flagship Lloyd loop
+#       end-to-end under an exact integer-quantized oracle),
+#       pipeline_bpe_apply_fixed (the merge fold under a fixed table),
+#       dedup_minhash_recall (the banding recall contract);
+#   (d) rows-only re-samples so their row-count checks stay fresh:
+#       kmeans_fit_native/mllib/lineitem, ann_pq_topk,
+#       pipeline_bpe_train;
+#   (e) stable driver-green fill (heavy/core representatives), kept at
+#       the tail so later additions displace fill, not signal.
+#   +  dedup_simhash: gained an oracle after its rows-only r3 sampling;
+#      needs one oracle-backed driver row.
+_R7_WINDOW = [
+    # (a) batch 12 tail + batch 13
+    "parts_brand_share_topn",
+    "events_hourly_heatmap",
+    "parts_market_basket",
+    "events_conversion_latency",
+    # (a) batch 14
+    "users_longest_streaks",
+    "events_forecast_backtest",
+    "orders_new_vs_returning",
+    "orders_hist2d_price_quantity",
+    "events_variant_props",
+    # (a) batch 15 + 16
+    "lineitem_returns_by_brand",
+    "docs_dup_rate_by_source",
+    "customers_abc_classes",
+    "parts_price_positioning",
+    # (a) round-5 additions that never fit a window
+    "asof_tolerance_purchase_click",
+    "mm_image_tiles",
+    "pipeline_mixture_schedule",
+    # (a) batch 18
+    "pipeline_dsir_select",
+    "dedup_bloom_probe",
+    "pipeline_curriculum_stages",
+    "embedding_int8_quant",
+    "privacy_k_anonymity",
+    "pipeline_quality_classifier",
+    # (a) batch 19
+    "docs_ngram_novelty",
+    "pipeline_token_budget_epochs",
+    "text_zipf_fit",
+    # (a) batch 20
+    "events_watermark_audit",
+    "dp_noisy_counts",
+    "ann_lsh_recall",
+    "pipeline_preference_pairs",
+    "text_tokenizer_fertility",
+    "pipeline_span_corruption",
+    # oracle upgrade needing a driver row
+    "dedup_simhash",
+    # (c) new this round
+    "kmeans_fit_fixed",
+    "pipeline_bpe_apply_fixed",
+    "dedup_minhash_recall",
+    # (d) rows-only freshness re-samples
+    "kmeans_fit_native",
+    "kmeans_fit_mllib",
+    "kmeans_fit_lineitem",
+    "ann_pq_topk",
+    "pipeline_bpe_train",
+    # (e) stable driver-green fill
+    "dedup_minhash",
+    "dedup_components",
+    "km_two_iterations",
+    "q1_pricing_summary",
+    "events_sessionize",
+    "graph_pagerank_vectors",
+    "ann_ivf_topk",
+    "text_tfidf_topterms",
+    "pipeline_seq_packing",
+    "events_funnel",
+]
+assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+# Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R5_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R7_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,
@@ -518,6 +610,9 @@ ORACLES: dict[str, str] = {
     "km_avg_point_dist": KQ.KM_AVG_POINT_SQL,
     "km_reshape_2d": KQ.KM_RESHAPE_SQL,
     "km_two_iterations": KQ.KM_TWO_ITER_SQL,
+    "kmeans_fit_fixed": KQ.KM_FIT_FIXED_SQL,
+    "pipeline_bpe_apply_fixed": PQ7.BPE_APPLY_FIXED_SQL,
+    "dedup_minhash_recall": PQ10.MINHASH_RECALL_SQL,
     "q1_pricing_summary": R.Q1_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_local_supplier": R.Q5_SQL,

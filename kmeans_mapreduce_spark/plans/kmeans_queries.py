@@ -394,3 +394,181 @@ FROM assign2 a JOIN e USING (vec_id)
 GROUP BY a.cluster_id
 """
 )
+
+
+# --- end-to-end Lloyd loop with an exact oracle ----------------------------
+#
+# The flagship operator (reference master.go:123-236) oracled END-TO-END:
+# quantize coordinates to integer milli-units (the ann_pq_fixed_topk
+# recipe), fix the initial centroids (first K points), quantize every
+# recentered mean back to integer milli-units with integer division, and
+# run a BOUNDED number of Lloyd iterations.  Every assign -> recenter ->
+# re-assign step is then exact integer arithmetic on BOTH engines — no
+# floating-point accumulation order anywhere — so the full loop
+# hash-matches a DuckDB oracle built by unrolling the same iterations as
+# chained CTEs.  Early exit: integer centroids make the fixpoint exact;
+# once cent_{t+1} == cent_t every later unrolled iteration is the
+# identity, so Spark may stop at the fixpoint while the oracle "runs"
+# all N — the final states agree by construction.
+
+N_FIT_ITER = 10
+_INT_OFFSET = 4096  # shifts milli-unit coords positive: integer division
+#                     semantics (trunc vs floor) never diverge on >= 0
+
+
+def kmeans_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-semantics Lloyd loop, end-to-end, with an exact SQL
+    oracle (integer-quantized coordinates, fixed first-K init, N=10
+    bounded iterations, empty-cluster-keeps-old, argmin ties to the
+    lowest cluster id — master.go:123-236 semantics minus the
+    float-valued delta stop, replaced by the exact integer fixpoint).
+
+    Output per non-empty final cluster: size, first two centroid
+    coordinates (milli-units), and `stable` = whether the final
+    iteration moved that centroid (the convergence signal, exact).
+
+    Scale shape is the production loop's: the points frame is cached
+    once; each iteration ships k x d integers down as a broadcast 1-row
+    relation and k x (d+1) aggregates up (posexplode + partial agg, a
+    d-independent plan); driver state is the k x d centroid matrix.
+    Bytes per iteration are independent of N — same posture as
+    kmeans_fit_native, now with a driver-checkable hash."""
+    from pyspark.sql import types as T
+
+    pts = (
+        points_from_embeddings(spark, sf_dir, dim=DIM)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                "features",
+                lambda x: F.floor(x * 1000).cast("bigint") + _INT_OFFSET,
+            ).alias("v"),
+        )
+        .cache()
+    )
+    try:
+        cents = [
+            list(r["v"])
+            for r in pts.where(F.col("vec_id") < K).orderBy("vec_id").collect()
+        ]
+        cent_schema = T.StructType(
+            [T.StructField("_C", T.ArrayType(T.ArrayType(T.LongType())))]
+        )
+        # iteration-invariant integer argmin (codegen cached, centroids
+        # ride broadcast DATA — the assign_clusters_broadcast economics)
+        assign_expr = F.expr(
+            "element_at(transform(array(transform(_C, c -> "
+            "aggregate(zip_with(v, c, (x, y) -> (x-y)*(x-y)), 0L, (s, t) -> s+t))), "
+            "ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
+        )
+
+        def _assigned(c: list[list[int]]) -> DataFrame:
+            cent_df = spark.createDataFrame([(c,)], cent_schema)
+            return pts.crossJoin(F.broadcast(cent_df)).withColumn(
+                "cluster_id", assign_expr
+            )
+
+        prev = cents
+        for _ in range(N_FIT_ITER):
+            stats = (
+                _assigned(cents)
+                .select("cluster_id", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cluster_id", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new = [list(c) for c in cents]  # empty cluster keeps old
+            for r in stats:
+                # exact integer mean quantization; s >= 0 by the offset,
+                # so floor == trunc and // matches both engines' div
+                new[r["cluster_id"]][r["pos"]] = r["s"] // r["n"]
+            prev, cents = cents, new
+            if cents == prev:
+                break  # exact fixpoint: further iterations are identity
+        counts = (
+            _assigned(cents).groupBy("cluster_id").agg(F.count("*").alias("cnt"))
+        )
+        cent_df = spark.createDataFrame(
+            [
+                (j, cents[j][0], cents[j][1], cents[j] == prev[j])
+                for j in range(K)
+            ],
+            "cluster_id int, m0 bigint, m1 bigint, stable boolean",
+        )
+        out = (
+            counts.join(cent_df, "cluster_id")
+            .select("cluster_id", "cnt", "m0", "m1", "stable")
+            .orderBy("cluster_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        pts.unpersist()
+    return out
+
+
+def _fit_fixed_sql(n_iter: int = N_FIT_ITER) -> str:
+    """Unrolled-iteration oracle for kmeans_fit_fixed: one (distance,
+    argmin-assign, recenter) CTE triple per Lloyd iteration, all in
+    exact BIGINT arithmetic."""
+    d2 = " + ".join(
+        f"(p.v[{i + 1}]-c.m{i})*(p.v[{i + 1}]-c.m{i})" for i in range(DIM)
+    )
+    sums = ", ".join(f"SUM(p.v[{i + 1}]) AS s{i}" for i in range(DIM))
+    init_cols = ", ".join(f"v[{i + 1}] AS m{i}" for i in range(DIM))
+    upd = ", ".join(
+        f"CAST(COALESCE(g.s{i} // g.n, c.m{i}) AS BIGINT) AS m{i}"
+        for i in range(DIM)
+    )
+    # Every per-iteration CTE is MATERIALIZED: cent{t} is referenced
+    # twice per level (distance + keep-old), so DuckDB's default CTE
+    # inlining would expand the plan tree ~2.5x PER ITERATION (measured:
+    # 0.3 / 0.6 / 1.6 s for 1/2/3 unrolled iterations, ~17 min at 10).
+    # Materialization makes the oracle linear in n_iter.
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS f FROM embeddings),",
+        "p AS MATERIALIZED (SELECT vec_id, list_transform(f, x -> "
+        f"CAST(FLOOR(x*1000) AS BIGINT) + {_INT_OFFSET}) AS v FROM e),",
+        f"cent0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, {init_cols} "
+        f"FROM p WHERE vec_id < {K}),",
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT p.vec_id, c.cid, {d2} AS d2 "
+            f"FROM p CROSS JOIN cent{t} c),"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC)"
+            f" AS rn FROM d{t}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT cid, COUNT(*) AS n, {sums} "
+            f"FROM a{t} JOIN p USING (vec_id) GROUP BY cid),"
+        )
+        parts.append(
+            f"cent{t + 1} AS MATERIALIZED (SELECT c.cid, {upd} "
+            f"FROM cent{t} c LEFT JOIN g{t} g USING (cid)),"
+        )
+    parts.append(
+        f"dF AS (SELECT p.vec_id, c.cid, {d2} AS d2 "
+        f"FROM p CROSS JOIN cent{n_iter} c),"
+    )
+    parts.append(
+        "aF AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC)"
+        " AS rn FROM dF) WHERE rn = 1)"
+    )
+    stable = " AND ".join(f"cN.m{i} = cP.m{i}" for i in range(DIM))
+    parts.append(
+        f"SELECT cN.cid AS cluster_id, CAST(fc.cnt AS BIGINT) AS cnt, "
+        f"cN.m0, cN.m1, ({stable}) AS stable "
+        f"FROM cent{n_iter} cN "
+        f"JOIN cent{n_iter - 1} cP ON cN.cid = cP.cid "
+        "JOIN (SELECT cid, COUNT(*) AS cnt FROM aF GROUP BY cid) fc "
+        "ON fc.cid = cN.cid "
+        "ORDER BY cluster_id"
+    )
+    return "\n".join(parts)
+
+
+KM_FIT_FIXED_SQL = _fit_fixed_sql()

@@ -603,3 +603,83 @@ ORDER BY lang
 
 
 SPAN_CORRUPTION_SQL = _span_sql()
+
+
+# --- MinHash candidate-recall evaluation -----------------------------------
+
+_MH_SETTINGS = [(32, 8), (64, 16)]  # (num_perm, bands): default + 100x scale
+
+
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-set recall of banded MinHash LSH vs the exact
+    all-pairs shingle-Jaccard ground truth (J >= 0.8), per band
+    setting — the retuning contract from the minhash_dedup_pairs
+    parameter-guidance table as a driver-visible artifact (what
+    ann_lsh_recall is for the ANN family).
+
+    The oracle encodes the CONTRACT, not a re-simulation: at t=0.8 both
+    the default 32-perm/8-band and the documented 100x-scale 64/16
+    settings have per-pair miss probability (1-0.8^4)^b < 1e-6, and
+    tests/test_dedup_similarity.py pins recall 1.0 at two corpus scales
+    — so the oracle computes the ground-truth pair count in SQL and
+    asserts hits == truth (recall 1.0).  If a signature/banding change
+    ever drops a qualifying pair, THIS row goes red at the driver.
+
+    Scale shape: ground truth is the O(N^2) oracle baseline (bounded
+    eval corpus by design — recall eval always pays a ground-truth
+    pass); each candidate side is the production banded equi-join,
+    O(N * num_perm) map-side + one shuffle on (band, key)."""
+    from kmeans_mapreduce_spark.operators import dedup as DD
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _docs
+
+    d = _docs(spark, sf_dir)
+    gt = (
+        DD.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8, n=2)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    rows = []
+    try:
+        n_truth = gt.count()
+        for num_perm, bands in _MH_SETTINGS:
+            cand = DD.minhash_lsh_candidates(
+                d, "doc_id", "text", num_perm=num_perm, bands=bands
+            )
+            hits = gt.join(cand, ["id_a", "id_b"], "left_semi").count()
+            rows.append(
+                (
+                    num_perm,
+                    bands,
+                    n_truth,
+                    hits,
+                    round(hits / n_truth, 6) if n_truth else 1.0,
+                )
+            )
+    finally:
+        gt.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "num_perm int, bands int, n_truth bigint, n_hits bigint, recall double",
+    )
+
+
+def _mh_recall_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _JACCARD_CTE
+
+    settings = ", ".join(f"({p}, {b})" for p, b in _MH_SETTINGS)
+    return (
+        _JACCARD_CTE
+        + f""",
+truth AS (SELECT COUNT(*) AS n_truth FROM pairs WHERE jaccard >= 0.8),
+settings(num_perm, bands) AS (VALUES {settings})
+SELECT CAST(num_perm AS INT) AS num_perm, CAST(bands AS INT) AS bands,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_truth AS BIGINT) AS n_hits,
+       1.0::DOUBLE AS recall
+FROM settings CROSS JOIN truth
+ORDER BY num_perm
+"""
+    )
+
+
+MINHASH_RECALL_SQL = _mh_recall_sql()

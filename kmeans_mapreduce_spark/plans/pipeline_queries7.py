@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions import text as TXT
-from kmeans_mapreduce_spark.plans.pipeline_queries import _TOKS_ALL, _WS, _docs
+from kmeans_mapreduce_spark.plans.pipeline_queries import (
+    _BLANK,
+    _TOKS_ALL,
+    _WS,
+    _docs,
+)
 from kmeans_mapreduce_spark.plans.pipeline_queries2 import _TRAIN_CUT, _bucket
 
 _N = 5  # contamination window, in tokens
@@ -347,3 +352,96 @@ FROM v
 ORDER BY vtime, source, doc_id
 LIMIT 500
 """
+
+
+# --- fixed-merge-table BPE application (exact oracle) ----------------------
+#
+# pipeline_bpe_train is rows-only (its per-round argmax is genuinely
+# iterative); the APPLY side is not: a literal merge table folded over
+# the vocabulary by the same Catalyst `aggregate` greedy fold is
+# deterministic SQL — the ann_pq_topk / ann_pq_fixed_topk split applied
+# to the tokenizer.  All merges have left != right ON PURPOSE: the
+# oracle simulates the greedy leftmost fold with space-anchored
+# REPLACE passes, which is exactly equivalent for non-self-overlapping
+# merges (two passes: pass 1 can skip an occurrence only when the
+# immediately preceding occurrence consumed their shared boundary; by
+# pass 2 that predecessor is already merged, so nothing is skipped).
+# For left == right (runs >= 4) REPLACE picks different occurrences
+# than the fold, so self-merges stay on the train/test side only
+# (tests/test_bpe.py pins them against the pure-Python reference).
+_FIXED_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("o", "n"),
+    ("e", "r"),
+    ("an", "d"),
+    ("o", "r"),
+]
+
+
+def pipeline_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a FIXED 8-entry BPE merge table (rank order) to the corpus
+    vocabulary via the production Catalyst greedy fold
+    (operators/bpe._apply_merge), then report the segmentation
+    histogram: per piece-count bucket, distinct words, corpus word
+    mass, and character mass.  This is the query that pins the
+    merge-fold arithmetic itself under the driver's hash gate.
+
+    Scale shape: one corpus-collapse shuffle to distinct words (the
+    only full-corpus pass, same as training), then 8 chained folds as
+    pure projections over the vocab, then one small agg."""
+    from kmeans_mapreduce_spark.operators import bpe as BPE
+
+    vocab = BPE.word_counts(_docs(spark, sf_dir))
+    out = vocab.withColumn("pieces", BPE._chars(F.col("word")))
+    for left, right in _FIXED_MERGES:
+        out = out.withColumn(
+            "pieces", BPE._apply_merge(F.col("pieces"), left, right)
+        )
+    return (
+        out.select(
+            "wc",
+            F.size("pieces").alias("n_pieces"),
+            F.length("word").alias("n_chars"),
+        )
+        .groupBy("n_pieces")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("wc").alias("wc_sum"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        )
+        .orderBy("n_pieces")
+    )
+
+
+def _bpe_apply_sql() -> str:
+    # ' t h e ' spaced-symbol form: leading space + each char followed
+    # by one space — symbols never contain spaces (whitespace tokens).
+    s = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+    for left, right in _FIXED_MERGES:
+        pat, rep = f"' {left} {right} '", f"' {left}{right} '"
+        for _ in range(2):  # two passes == greedy fold for left != right
+            s = f"replace({s}, {pat}, {rep})"
+    return f"""
+WITH w AS (
+  SELECT unnest({_TOKS_ALL}) AS word FROM documents
+  WHERE NOT ({_BLANK})),
+vocab AS (SELECT word, COUNT(*) AS wc FROM w GROUP BY word),
+seg AS (
+  SELECT word, wc,
+         len(string_split(trim({s}), ' ')) AS n_pieces,
+         length(word) AS n_chars
+  FROM vocab)
+SELECT CAST(n_pieces AS INT) AS n_pieces,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wc) AS BIGINT) AS wc_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM seg
+GROUP BY n_pieces
+ORDER BY n_pieces
+"""
+
+
+BPE_APPLY_FIXED_SQL = _bpe_apply_sql()

@@ -166,21 +166,25 @@ def pipeline_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_all = Window.partitionBy()
     planned = (
-        per_source.withColumn("total_avail", F.sum("available").over(w_all))
+        # available=0 (a source whose every doc is blank) would make the
+        # oracle's integer division error and Spark yield NULL — exclude
+        # those rows identically on both sides before dividing.
+        per_source.where(F.col("available") > 0)
+        .withColumn("total_avail", F.sum("available").over(w_all))
         .withColumn("w_total", F.sum("weight").over(w_all))
+        # exact integer `div` on both terms (not double `/` + bigint
+        # cast, which diverges from the oracle's `//` once the product
+        # exceeds 2^53)
         .withColumn(
             "target",
-            (F.lit(_BUDGET_X) * F.col("total_avail") * F.col("weight"))
-            .cast("bigint")
-            / F.col("w_total").cast("bigint"),
+            F.expr(
+                f"(cast({_BUDGET_X} as bigint) * total_avail * weight)"
+                " div w_total"
+            ),
         )
-        .withColumn("target", F.col("target").cast("bigint"))
         .withColumn(
             "epochs_milli",
-            (
-                (F.col("target") * 1000 + F.col("available") - 1)
-                / F.col("available")
-            ).cast("bigint"),
+            F.expr("(target * 1000 + available - 1) div available"),
         )
     )
     return planned.select(
@@ -206,7 +210,7 @@ planned AS (
   SELECT source, weight, available,
          ({_BUDGET_X} * SUM(available) OVER () * weight)
            // SUM(weight) OVER () AS target
-  FROM per_source)
+  FROM per_source WHERE available > 0)
 SELECT source, CAST(weight AS INT) AS weight,
        CAST(available AS BIGINT) AS available,
        CAST(target AS BIGINT) AS target,

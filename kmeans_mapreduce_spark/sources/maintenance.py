@@ -190,14 +190,30 @@ _HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^')
 def _hive_partition_dirname(partition_col: str, value) -> str:
     """The directory name Spark's hive-style writer produces for one
     partition value — `col=escaped(value)`, `__HIVE_DEFAULT_PARTITION__`
-    for NULL.  Values are formatted with str(), which matches the
-    writer for strings, ints and ISO dates (the supported key types)."""
+    for NULL.  Only value types whose str() provably matches Spark's
+    writer are accepted (str, int, ISO date) plus bool (Spark writes
+    'true'/'false', not Python's 'True'); anything else (floats,
+    timestamps, decimals…) raises rather than silently building a name
+    the writer never produced — a wrong name here means emptied-partition
+    cleanup misses the real directory and leaves stale rows, the exact
+    bug this helper exists to prevent."""
     if value is None:
         return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
-    s = str(value)
+    import datetime
+
+    if isinstance(value, bool):
+        s = "true" if value else "false"
+    elif isinstance(value, (str, int)) or type(value) is datetime.date:
+        s = str(value)
+    else:
+        raise TypeError(
+            f"unsupported partition value type {type(value).__name__}: "
+            "str()-formatting diverges from Spark's writer for this type"
+        )
     out = []
     for ch in s:
-        if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20:
+        # Spark escapes ASCII control chars AND DEL (0x7F)
+        if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20 or ord(ch) == 0x7F:
             out.append(f"%{ord(ch):02X}")
         else:
             out.append(ch)
@@ -300,7 +316,19 @@ def delete_rows(
         ]
         if not parts:
             return  # no partition holds any of the keys: nothing to do
-        scope = target.where(F.col(partition_col).isin(parts))
+        # NULL-aware scope (mirrors upsert_parquet): isin() never matches
+        # NULL, so without the isNull branch the null partition would be
+        # EXCLUDED from the rewrite while _staged_swap_write deletes its
+        # live __HIVE_DEFAULT_PARTITION__ dir — erasing every
+        # null-partition row, not just the requested keys.
+        scope = target.where(
+            F.col(partition_col).isin([p for p in parts if p is not None])
+            | (
+                F.col(partition_col).isNull()
+                if any(p is None for p in parts)
+                else F.lit(False)
+            )
+        )
         merged = scope.join(kd, key_cols, "left_anti")
         # a fully-emptied partition writes no staging dir; passing the
         # scope as scoped_parts makes the swap delete its live dir in

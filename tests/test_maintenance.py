@@ -233,3 +233,47 @@ def test_delete_partitioned_special_char_values(spark, tmp_path):
     got = {r["id"] for r in spark.read.parquet(t).collect()}
     assert got == {3}
     assert not os.path.exists(f"{t}/grp=a%3Ab"), "escaped dir survived erase"
+
+def test_delete_null_partition_keeps_unrequested_rows(spark, tmp_path):
+    """Deleting a key that lives in the NULL partition must NOT erase
+    the OTHER null-partition rows: the scope predicate needs an
+    isNull() branch (isin() never matches NULL) or the whole
+    __HIVE_DEFAULT_PARTITION__ dir is dropped by the swap while its
+    surviving rows were never rewritten."""
+    from kmeans_mapreduce_spark.sources.maintenance import delete_rows
+
+    t = str(tmp_path / "nulldel")
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "g", 3.0)],
+        "id long, grp string, val double",
+    )
+    base.write.partitionBy("grp").parquet(t)
+    keys = spark.createDataFrame([(1,)], "id long")
+    delete_rows(spark, t, keys, ["id"], partition_col="grp")
+    got = {(r["id"], r["grp"]) for r in spark.read.parquet(t).collect()}
+    assert got == {(2, None), (3, "g")}, (
+        "null-partition rows not requested for deletion must survive"
+    )
+
+
+def test_hive_dirname_rejects_unsupported_types_and_escapes_del(spark):
+    """str(True)='True' and float/timestamp formatting diverge from
+    Spark's writer -> must raise, not silently build a wrong dir name;
+    DEL (0x7F) is escaped like other control chars; bools format
+    lowercase like the writer."""
+    import datetime
+
+    import pytest as _pytest
+
+    from kmeans_mapreduce_spark.sources.maintenance import (
+        _hive_partition_dirname,
+    )
+
+    assert _hive_partition_dirname("c", "a\x7fb") == "c=a%7Fb"
+    assert _hive_partition_dirname("c", True) == "c=true"
+    assert _hive_partition_dirname("c", datetime.date(2024, 1, 2)) == (
+        "c=2024-01-02"
+    )
+    for bad in (1.5, datetime.datetime(2024, 1, 2, 3, 4, 5), b"x"):
+        with _pytest.raises(TypeError):
+            _hive_partition_dirname("c", bad)

@@ -131,3 +131,23 @@ def test_audio_pcm_windows_framing(spark):
         assert r["start_byte"] == r["start_sample"] * 2
         assert r["t_start_ms"] == pytest.approx(r["start_sample"] * 1000 / 16000, abs=1e-4)
     assert [r["start_sample"] for r in by_id[2]] == [0]
+
+def test_image_tiles_degenerate_dims_emit_no_tiles(spark):
+    """width/height <= 0 must yield ZERO tiles — without the guard,
+    sequence(0, -1) DESCENDS (spurious negative indices) and _cols=0
+    nulls tile_row/tile_col via division by zero."""
+    from kmeans_mapreduce_spark.operators.multimodal import image_tiles
+
+    df = spark.createDataFrame(
+        [("ok", 20, 20), ("zw", 0, 64), ("zh", 64, 0), ("neg", -20, -20)],
+        "media_id string, width int, height int",
+    )
+    rows = image_tiles(df, patch=16).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {"ok"}, "degenerate dims must emit no tiles"
+    assert len(by_id["ok"]) == 4  # ceil(20/16)^2
+    assert all(
+        r["tile_row"] >= 0 and r["tile_col"] >= 0 for r in by_id["ok"]
+    )
