@@ -42,6 +42,7 @@ from kmeans_mapreduce_spark.plans import analytics11 as AN11
 from kmeans_mapreduce_spark.plans import pipeline_queries8 as PQ8
 from kmeans_mapreduce_spark.plans import pipeline_queries9 as PQ9
 from kmeans_mapreduce_spark.plans import pipeline_queries10 as PQ10
+from kmeans_mapreduce_spark.plans import pipeline_queries11 as PQ11
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,6 +418,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact integer-quantized oracle, the BPE merge-fold under a fixed
     # merge table, and the MinHash candidate-recall contract
     "dedup_minhash_recall": PQ10.dedup_minhash_recall,
+    # Round-7 batch 21: pipeline planning artifacts — dedup threshold
+    # economics, temperature-scaled source sampling, embedding-norm QC,
+    # context-length planning, unigram-KL domain shift
+    "pipeline_dedup_yield_curve": PQ11.pipeline_dedup_yield_curve,
+    "pipeline_sample_temperature": PQ11.pipeline_sample_temperature,
+    "embedding_norm_outliers": PQ11.embedding_norm_outliers,
+    "pipeline_context_length_plan": PQ11.pipeline_context_length_plan,
+    "text_unigram_kl_sources": PQ11.text_unigram_kl_sources,
 }
 
 # ---------------------------------------------------------------------------
@@ -583,17 +592,18 @@ _R7_WINDOW = [
     "kmeans_fit_lineitem",
     "ann_pq_topk",
     "pipeline_bpe_train",
+    # (c continued) batch 21, new this round — displaces five fill slots
+    "pipeline_dedup_yield_curve",
+    "pipeline_sample_temperature",
+    "embedding_norm_outliers",
+    "pipeline_context_length_plan",
+    "text_unigram_kl_sources",
     # (e) stable driver-green fill
     "dedup_minhash",
     "dedup_components",
     "km_two_iterations",
     "q1_pricing_summary",
     "events_sessionize",
-    "graph_pagerank_vectors",
-    "ann_ivf_topk",
-    "text_tfidf_topterms",
-    "pipeline_seq_packing",
-    "events_funnel",
 ]
 assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 # Dict-merge keeps the window's insertion order for the first 50 keys;
@@ -613,6 +623,11 @@ ORACLES: dict[str, str] = {
     "kmeans_fit_fixed": KQ.KM_FIT_FIXED_SQL,
     "pipeline_bpe_apply_fixed": PQ7.BPE_APPLY_FIXED_SQL,
     "dedup_minhash_recall": PQ10.MINHASH_RECALL_SQL,
+    "pipeline_dedup_yield_curve": PQ11.YIELD_CURVE_SQL,
+    "pipeline_sample_temperature": PQ11.SAMPLE_TEMPERATURE_SQL,
+    "embedding_norm_outliers": PQ11.EMB_NORM_SQL,
+    "pipeline_context_length_plan": PQ11.CONTEXT_LENGTH_SQL,
+    "text_unigram_kl_sources": PQ11.UNIGRAM_KL_SQL,
     "q1_pricing_summary": R.Q1_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_local_supplier": R.Q5_SQL,

@@ -1,0 +1,421 @@
+"""Batch-21 pipeline queries: dedup threshold economics, temperature
+sampling, embedding QC, context-length planning, domain-shift KL.
+
+Each is a training-data-pipeline planning artifact (what you compute
+BEFORE committing a 100 TB job), with an exact DuckDB oracle.  The
+cross-engine float discipline throughout: any sum whose addend order
+differs between engines is summed as DECIMAL(38,18) casts (exact,
+commutative); ln/pow appear only inside per-row terms that both
+engines compute from identical rationals, with ROUND(.., 6) at the
+output boundary (the lm_bigram_logprob precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions import text as TXT
+from kmeans_mapreduce_spark.plans.pipeline_queries import (
+    _BLANK,
+    _TOKS_ALL,
+    _docs,
+    _embs,
+    _JACCARD_CTE,
+)
+
+_NTOK = f"CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS_ALL}) END"
+
+
+# --- dedup threshold economics ---------------------------------------------
+
+_YIELD_THRESHOLDS = [0.7, 0.8, 0.9]
+
+
+def pipeline_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity: at each Jaccard threshold, how many
+    near-dup pairs exist, how many docs the keep-lowest-id policy would
+    drop, and how many tokens that removal costs — the curve you read
+    BEFORE picking the production threshold (too low burns unique data,
+    too high ships duplicates into training).
+
+    Removal policy (exact, order-free): a doc is removed at threshold t
+    iff some LOWER-id doc is within Jaccard >= t of it — the greedy
+    keep-first pass, not transitive clustering (dedup_components owns
+    that).  Pair scores are rounded to 6dp on both engines before the
+    threshold compare, so bucket membership is engine-exact.
+
+    Scale shape: the pair source here is the exact all-pairs baseline
+    (bounded eval corpus BY DESIGN — the same posture as
+    ann_lsh_recall/dedup_minhash_recall: threshold tuning pays one
+    ground-truth pass on a sample); in production the identical
+    aggregation runs over minhash_dedup_pairs candidates instead.  The
+    per-threshold rollups are three scans of one cached pair frame,
+    each a broadcast-joined small aggregate."""
+    from kmeans_mapreduce_spark.operators import dedup as DD
+
+    d = _docs(spark, sf_dir)
+    pairs = (
+        DD.ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=min(_YIELD_THRESHOLDS), n=2
+        )
+        .select("id_a", "id_b", "jaccard")
+        .cache()
+    )
+    ntok = d.select(
+        F.col("doc_id").alias("id_b"), TXT.token_count("text").alias("n_tok")
+    )
+    out = None
+    try:
+        for thr in _YIELD_THRESHOLDS:
+            at = pairs.where(F.col("jaccard") >= thr)
+            removed = at.select("id_b").distinct().join(ntok, "id_b")
+            row = at.agg(F.count("*").alias("n_pairs")).crossJoin(
+                removed.agg(
+                    F.count("*").alias("n_docs_removed"),
+                    F.coalesce(F.sum("n_tok"), F.lit(0))
+                    .cast("bigint")
+                    .alias("tokens_removed"),
+                )
+            ).select(
+                F.lit(thr).alias("threshold"),
+                "n_pairs",
+                "n_docs_removed",
+                "tokens_removed",
+            )
+            out = row if out is None else out.unionByName(row)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        pairs.unpersist()
+    return out.orderBy("threshold")
+
+
+YIELD_CURVE_SQL = (
+    _JACCARD_CTE
+    + f""",
+thr(threshold) AS (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in _YIELD_THRESHOLDS)}),
+ntok AS (SELECT doc_id, {_NTOK} AS n_tok FROM documents),
+qualifying AS (
+  SELECT t.threshold, p.id_a, p.id_b
+  FROM thr t JOIN pairs p ON p.jaccard >= t.threshold),
+removed AS (
+  SELECT threshold, id_b FROM qualifying GROUP BY threshold, id_b)
+SELECT t.threshold,
+       CAST(COALESCE(q.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(r.n_docs, 0) AS BIGINT) AS n_docs_removed,
+       CAST(COALESCE(r.toks, 0) AS BIGINT) AS tokens_removed
+FROM thr t
+LEFT JOIN (SELECT threshold, COUNT(*) AS n_pairs
+           FROM qualifying GROUP BY threshold) q USING (threshold)
+LEFT JOIN (SELECT threshold, COUNT(*) AS n_docs, SUM(n.n_tok) AS toks
+           FROM removed JOIN ntok n ON n.doc_id = removed.id_b
+           GROUP BY threshold) r USING (threshold)
+ORDER BY threshold
+"""
+)
+
+
+# --- temperature-scaled source sampling ------------------------------------
+
+_TEMP_ALPHA = 0.7
+
+
+def pipeline_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multinomial sampling plan over sources:
+    p_i proportional to (n_i/N)^alpha with alpha=0.7 — the standard
+    low-resource upweighting scheme for multi-source/multilingual
+    pretraining mixtures (mBERT/XLM-R/mT5 lineage).  Reports each
+    source's raw token share, temperature share, and the boost factor
+    the temperature applies.
+
+    Float discipline: pow terms are per-row doubles both engines
+    compute from identical rationals; their SUM (whose order Spark
+    does not fix) runs over DECIMAL(38,18) casts, so the normalizer is
+    bit-identical before the final divisions and ROUND(.., 6).
+
+    Scale shape: one partial-agg shuffle on source; everything after
+    runs on |sources| rows."""
+    per_source = (
+        _docs(spark, sf_dir)
+        .select("source", TXT.token_count("text").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("available"),
+        )
+    )
+    w_all = Window.partitionBy()
+    dec = "decimal(38,18)"
+    powed = per_source.withColumn(
+        "total", F.sum("available").over(w_all)
+    ).withColumn(
+        "p_alpha",
+        F.pow(
+            F.col("available").cast("double") / F.col("total").cast("double"),
+            F.lit(_TEMP_ALPHA),
+        ),
+    )
+    normed = powed.withColumn(
+        "z", F.sum(F.col("p_alpha").cast(dec)).over(w_all)
+    )
+    return normed.select(
+        "source",
+        "n_docs",
+        "available",
+        F.round(
+            F.col("available").cast("double") / F.col("total").cast("double"),
+            6,
+        ).alias("raw_share"),
+        F.round(
+            F.col("p_alpha") / F.col("z").cast("double"), 6
+        ).alias("temp_share"),
+        F.round(
+            (F.col("p_alpha") / F.col("z").cast("double"))
+            / (F.col("available").cast("double") / F.col("total").cast("double")),
+            6,
+        ).alias("boost"),
+    ).orderBy("source")
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs, SUM({_NTOK}) AS available
+  FROM documents GROUP BY source),
+powed AS (
+  SELECT source, n_docs, available,
+         SUM(available) OVER () AS total,
+         POW(CAST(available AS DOUBLE) / CAST(SUM(available) OVER () AS DOUBLE),
+             {_TEMP_ALPHA}) AS p_alpha
+  FROM per_source),
+normed AS (
+  SELECT *, SUM(CAST(p_alpha AS DECIMAL(38,18))) OVER () AS z FROM powed)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(available AS BIGINT) AS available,
+       ROUND(CAST(available AS DOUBLE) / CAST(total AS DOUBLE), 6) AS raw_share,
+       ROUND(p_alpha / CAST(z AS DOUBLE), 6) AS temp_share,
+       ROUND((p_alpha / CAST(z AS DOUBLE))
+             / (CAST(available AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS boost
+FROM normed
+ORDER BY source
+"""
+
+
+# --- embedding-norm QC gate -------------------------------------------------
+
+_NORM2 = " + ".join(f"v[{i + 1}]*v[{i + 1}]" for i in range(64))
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QC gate: per label, squared-L2-norm statistics and the
+    count of vectors whose norm exceeds 1.5x the label mean — the
+    cheap pre-index sanity check that catches un-normalized or
+    corrupted embedding batches before they poison an ANN index.
+
+    Exactness: each row's norm2 is a fixed-order 64-term sum (the
+    _d2_sql convention — identical fold order on both engines); group
+    means come from DECIMAL(38,18) sums (commutative), and the outlier
+    compare runs in DECIMAL, so the flag is engine-exact.
+
+    Scale shape: one narrow map over the scan + one partial-agg
+    shuffle on label + a broadcast join of the |labels|-row means."""
+    e = _embs(spark, sf_dir)
+    dec = "decimal(38,18)"
+    norm2 = F.expr("aggregate(v, 0D, (s, x) -> s + x*x)")
+    base = e.select(
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("norm2", norm2)
+    means = base.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("norm2").cast(dec)).alias("s_dec"),
+        F.round(F.min("norm2"), 6).alias("min_norm2"),
+        F.round(F.max("norm2"), 6).alias("max_norm2"),
+    )
+    joined = base.join(F.broadcast(means), "label")
+    # the mean reaches double-land the SAME way on both engines (exact
+    # decimal sum -> double -> divide), so the 1.5x compare is a
+    # deterministic double-vs-double; Spark decimal ARITHMETIC is
+    # avoided entirely (its (38,18)x(38,18) products lose scale).
+    mean_d = F.col("s_dec").cast("double") / F.col("n").cast("double")
+    return (
+        joined.withColumn("is_out", F.col("norm2") > F.lit(1.5) * mean_d)
+        .groupBy("label")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first(mean_d), 6).alias("mean_norm2"),
+            F.first("min_norm2").alias("min_norm2"),
+            F.first("max_norm2").alias("max_norm2"),
+            F.sum(F.col("is_out").cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_NORM_SQL = f"""
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (
+  SELECT label, {_NORM2} AS norm2 FROM e),
+means AS (
+  SELECT label, COUNT(*) AS n,
+         SUM(CAST(norm2 AS DECIMAL(38,18))) AS s_dec,
+         ROUND(MIN(norm2), 6) AS min_norm2,
+         ROUND(MAX(norm2), 6) AS max_norm2
+  FROM base GROUP BY label)
+SELECT b.label,
+       CAST(m.n AS BIGINT) AS n,
+       ROUND(CAST(m.s_dec AS DOUBLE) / CAST(m.n AS DOUBLE), 6) AS mean_norm2,
+       m.min_norm2, m.max_norm2,
+       CAST(SUM(CASE WHEN b.norm2 >
+                  1.5 * (CAST(m.s_dec AS DOUBLE) / CAST(m.n AS DOUBLE))
+                THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM base b JOIN means m USING (label)
+GROUP BY b.label, m.n, m.s_dec, m.min_norm2, m.max_norm2
+ORDER BY b.label
+"""
+
+
+# --- context-length planning ------------------------------------------------
+
+_LEN_BUCKETS = [1 << i for i in range(21)]  # 1 .. 2^20
+
+
+def pipeline_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning: docs bucketed by power-of-2 token
+    length, with cumulative doc and token shares — the table that picks
+    max_seq_len (what fraction of docs/tokens fit at 512? 1024?) and
+    sizes the packing stage's expected padding waste.
+
+    All-integer until the final share divisions (exact long sums cast
+    to double) -> exact cross-engine.  The bucket edge is an integer
+    compare chain, NOT pow(2, ceil(log2(n))): log2 of an exact power
+    of two is engine-dependent in the last ulp (JVM computes
+    ln(x)/ln(2)), and a 3.0000000000000004 ceils into the wrong
+    bucket.  Scale shape: one map + one tiny agg on ~a dozen buckets;
+    the cumulative window runs over the bucket rows, never the
+    corpus."""
+    d = _docs(spark, sf_dir)
+    n = TXT.token_count("text")
+    bucket = F.when(n <= 0, F.lit(0))
+    for b in _LEN_BUCKETS:
+        bucket = bucket.when(n <= b, F.lit(b))
+    bucket = bucket.otherwise(F.lit(-1)).cast("bigint")
+    per = (
+        d.select(bucket.alias("len_bucket"), n.alias("n_tok"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy().orderBy("len_bucket")
+    w_all = Window.partitionBy()
+    return per.select(
+        "len_bucket",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.sum("n_docs").over(w).cast("double")
+            / F.sum("n_docs").over(w_all).cast("double"),
+            6,
+        ).alias("cum_doc_share"),
+        F.round(
+            F.sum("n_tokens").over(w).cast("double")
+            / F.sum("n_tokens").over(w_all).cast("double"),
+            6,
+        ).alias("cum_token_share"),
+    ).orderBy("len_bucket")
+
+
+_BUCKET_CASE = (
+    "CASE WHEN n_tok <= 0 THEN 0 "
+    + " ".join(f"WHEN n_tok <= {b} THEN {b}" for b in _LEN_BUCKETS)
+    + " ELSE -1 END"
+)
+
+CONTEXT_LENGTH_SQL = f"""
+WITH per AS (
+  SELECT {_BUCKET_CASE} AS len_bucket, n_tok
+  FROM (SELECT {_NTOK} AS n_tok FROM documents)),
+agg AS (
+  SELECT len_bucket, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+  FROM per GROUP BY len_bucket)
+SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_docs) OVER (ORDER BY len_bucket) AS DOUBLE)
+             / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS cum_doc_share,
+       ROUND(CAST(SUM(n_tokens) OVER (ORDER BY len_bucket) AS DOUBLE)
+             / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS cum_token_share
+FROM agg
+ORDER BY len_bucket
+"""
+
+
+# --- unigram KL domain shift -------------------------------------------------
+
+
+def text_unigram_kl_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift metric: KL(source unigram distribution || corpus
+    unigram distribution), in nats, per source — the distributional
+    cousin of corpus_drift_psi that data-selection papers (DSIR
+    lineage) compute to rank domains by distance from the target mix.
+    KL >= 0 always; 0 means the source's word usage matches the corpus.
+
+    Every p, q is a ratio of integer counts; each row's
+    p*ln(p/q) term is a double both engines compute from the same
+    rationals, and the sum over vocabulary runs on DECIMAL(38,18)
+    casts (commutative, order-free).  The source distribution's
+    support is a subset of the corpus's by construction, so no
+    log-of-zero edge exists.
+
+    Scale shape: one (source, token) partial-agg shuffle + one token
+    shuffle for the corpus marginal, joined back by token (broadcast
+    when the vocab fits; hash join otherwise); the final KL collapse
+    is |sources| rows."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", F.explode(TXT.tokens("text")).alias("tok"))
+    by_src = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    n_src = toks.groupBy("source").agg(F.count("*").alias("n_s"))
+    by_corpus = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    n_all = toks.count()
+    dec = "decimal(38,18)"
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.lit(float(n_all))
+    term = (p * F.log(p / q)).cast(dec)
+    return (
+        by_src.join(by_corpus, "tok")
+        .join(F.broadcast(n_src), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.round(F.sum(term).cast("double"), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+UNIGRAM_KL_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_ALL}) AS tok FROM documents
+  WHERE NOT ({_BLANK})),
+by_src AS (SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+n_src AS (SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1),
+by_corpus AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY 1),
+n_all AS (SELECT COUNT(*) AS n FROM toks)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(CAST(SUM(CAST(
+         (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+         * LN((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+              / (CAST(c_t AS DOUBLE) / CAST(n_all.n AS DOUBLE)))
+         AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl_nats
+FROM by_src s
+JOIN by_corpus USING (tok)
+JOIN n_src USING (source)
+CROSS JOIN n_all
+GROUP BY s.source
+ORDER BY s.source
+"""

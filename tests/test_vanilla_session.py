@@ -48,6 +48,13 @@ SLICE = [
     "dedup_bloom_probe",
     "events_watermark_audit",
     "ann_lsh_recall",
+    # round-7 additions: the driver-loop collect paths (integer Lloyd
+    # fixpoint, fixed-merge fold, recall contract, yield-curve collect)
+    "kmeans_fit_fixed",
+    "pipeline_bpe_apply_fixed",
+    "dedup_minhash_recall",
+    "pipeline_dedup_yield_curve",
+    "pipeline_sample_temperature",
 ]
 
 CHILD = r"""
