@@ -426,6 +426,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_outliers": PQ11.embedding_norm_outliers,
     "pipeline_context_length_plan": PQ11.pipeline_context_length_plan,
     "text_unigram_kl_sources": PQ11.text_unigram_kl_sources,
+    # Round-7 batch 22: packing waste across budget choices,
+    # cross-source duplicate leakage, PQ quantization distortion
+    "pipeline_pack_efficiency": PQ11.pipeline_pack_efficiency,
+    "pipeline_dedup_cross_source": PQ11.pipeline_dedup_cross_source,
+    "embedding_pq_distortion": PQ11.embedding_pq_distortion,
 }
 
 # ---------------------------------------------------------------------------
@@ -598,12 +603,13 @@ _R7_WINDOW = [
     "embedding_norm_outliers",
     "pipeline_context_length_plan",
     "text_unigram_kl_sources",
+    # (c continued) batch 22, new this round — displaces three more
+    "pipeline_pack_efficiency",
+    "pipeline_dedup_cross_source",
+    "embedding_pq_distortion",
     # (e) stable driver-green fill
     "dedup_minhash",
     "dedup_components",
-    "km_two_iterations",
-    "q1_pricing_summary",
-    "events_sessionize",
 ]
 assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 # Dict-merge keeps the window's insertion order for the first 50 keys;
@@ -628,6 +634,9 @@ ORACLES: dict[str, str] = {
     "embedding_norm_outliers": PQ11.EMB_NORM_SQL,
     "pipeline_context_length_plan": PQ11.CONTEXT_LENGTH_SQL,
     "text_unigram_kl_sources": PQ11.UNIGRAM_KL_SQL,
+    "pipeline_pack_efficiency": PQ11.PACK_EFFICIENCY_SQL,
+    "pipeline_dedup_cross_source": PQ11.CROSS_SOURCE_SQL,
+    "embedding_pq_distortion": PQ11.PQ_DISTORTION_SQL,
     "q1_pricing_summary": R.Q1_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_local_supplier": R.Q5_SQL,

@@ -419,3 +419,278 @@ CROSS JOIN n_all
 GROUP BY s.source
 ORDER BY s.source
 """
+
+
+# --- packing efficiency across budget choices -------------------------------
+
+_PACK_BUDGETS = [512, 1024, 2048]
+
+
+def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for the contiguous-prefix packing scheme
+    (pipeline_seq_packing's pack_id function) at three sequence-budget
+    choices: packs produced, capacity vs used tokens, waste share, and
+    how many docs individually overflow the budget (the docs that force
+    truncation/splitting decisions).  Read together with
+    pipeline_context_length_plan this picks max_seq_len.
+
+    All-integer except the final waste ratio (exact long sums cast to
+    double).  Scale shape: ONE per-lang cumulative sum (the same
+    distributed prefix-sum layout as pipeline_seq_packing) computed
+    before the 3-budget fan-out, then a map-side-combinable rollup per
+    budget; the fan-out triples rows of the (doc_id, cum) projection,
+    never rescans text."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang", TXT.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    fanned = cum.select(
+        "lang",
+        "n_tokens",
+        "cum",
+        F.explode(
+            F.array(*[F.lit(b) for b in _PACK_BUDGETS])
+        ).alias("budget"),
+    ).withColumn(
+        "pack_id", F.floor((F.col("cum") - 1) / F.col("budget")).cast("bigint")
+    )
+    per_budget = fanned.groupBy("budget").agg(
+        F.countDistinct("lang", "pack_id").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("used_tokens"),
+        F.sum((F.col("n_tokens") > F.col("budget")).cast("int"))
+        .cast("bigint")
+        .alias("n_overflow_docs"),
+    )
+    return per_budget.select(
+        "budget",
+        "n_packs",
+        "used_tokens",
+        (F.col("n_packs") * F.col("budget")).cast("bigint").alias("capacity"),
+        F.round(
+            F.lit(1.0)
+            - F.col("used_tokens").cast("double")
+            / (F.col("n_packs") * F.col("budget")).cast("double"),
+            6,
+        ).alias("waste_share"),
+        "n_overflow_docs",
+    ).orderBy("budget")
+
+
+PACK_EFFICIENCY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_NTOK} AS n_tokens FROM documents),
+cum AS (
+  SELECT lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks),
+fanned AS (
+  SELECT lang, n_tokens, cum, budget,
+         (cum - 1) // budget AS pack_id
+  FROM cum CROSS JOIN (VALUES {", ".join(f"({b})" for b in _PACK_BUDGETS)}) b(budget)),
+per_budget AS (
+  SELECT budget,
+         COUNT(DISTINCT (lang, pack_id)) AS n_packs,
+         SUM(n_tokens) AS used_tokens,
+         SUM(CASE WHEN n_tokens > budget THEN 1 ELSE 0 END) AS n_overflow_docs
+  FROM fanned GROUP BY budget)
+SELECT CAST(budget AS INT) AS budget,
+       CAST(n_packs AS BIGINT) AS n_packs,
+       CAST(used_tokens AS BIGINT) AS used_tokens,
+       CAST(n_packs * budget AS BIGINT) AS capacity,
+       ROUND(1.0 - CAST(used_tokens AS DOUBLE)
+                   / CAST(n_packs * budget AS DOUBLE), 6) AS waste_share,
+       CAST(n_overflow_docs AS BIGINT) AS n_overflow_docs
+FROM per_budget
+ORDER BY budget
+"""
+
+
+# --- cross-source duplicate leakage -----------------------------------------
+
+
+def pipeline_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate leakage: for every unordered source pair,
+    how many EXACT (identical md5) and NEAR (shingle-Jaccard >= 0.8 via
+    the production MinHash path) duplicate doc pairs span the two
+    sources — the audit that catches one crawl republishing another
+    (and eval sets leaking into training crawls).  Near includes exact
+    by definition; the exact column isolates verbatim republication
+    from near-verbatim (template/boilerplate) leakage.
+
+    Scale shape: the exact side is one md5-key shuffle + a digest
+    equi-join (candidate volume = true duplicate mass, never N^2); the
+    near side is the banded MinHash candidates + exact verify —
+    both production paths.  The source tags join back by doc id
+    (broadcast when the pair set is small) and the rollup is
+    |source-pairs| rows."""
+    from kmeans_mapreduce_spark.operators import dedup as DD
+
+    d = _docs(spark, sf_dir)
+    fps = d.select("doc_id", "source", TXT.fingerprint("text").alias("fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    exact = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.lit("exact").alias("kind"),
+    )
+    near = (
+        DD.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.8)
+        .select("id_a", "id_b", F.lit("near").alias("kind"))
+    )
+    src = d.select("doc_id", "source")
+    tagged = (
+        exact.unionByName(near)
+        .join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b"), "id_b")
+        .where(F.col("src_a") != F.col("src_b"))
+    )
+    return (
+        tagged.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.when(F.col("kind") == "exact", 1)).alias("n_exact"),
+            F.count(F.when(F.col("kind") == "near", 1)).alias("n_near"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+CROSS_SOURCE_SQL = (
+    _JACCARD_CTE
+    + """,
+src AS (SELECT doc_id, source FROM documents),
+fps AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+exact_p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'exact' AS kind
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+near_p AS (
+  SELECT id_a, id_b, 'near' AS kind FROM pairs WHERE jaccard >= 0.8),
+tagged AS (
+  SELECT kind, sa.source AS src_a, sb.source AS src_b
+  FROM (SELECT * FROM exact_p UNION ALL SELECT * FROM near_p) u
+  JOIN src sa ON sa.doc_id = u.id_a
+  JOIN src sb ON sb.doc_id = u.id_b
+  WHERE sa.source != sb.source)
+SELECT LEAST(src_a, src_b) AS source_a,
+       GREATEST(src_a, src_b) AS source_b,
+       CAST(COUNT(CASE WHEN kind = 'exact' THEN 1 END) AS BIGINT) AS n_exact,
+       CAST(COUNT(CASE WHEN kind = 'near' THEN 1 END) AS BIGINT) AS n_near
+FROM tagged
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+)
+
+
+# --- PQ quantization distortion ----------------------------------------------
+
+
+def embedding_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-error report with FIXED codebooks (the
+    ann_pq_fixed_topk recipe: first 16 integer-scaled vectors' slices
+    are the codewords): per subspace, the mean and max squared
+    quantization error over the corpus — the operating metric that
+    picks m (subspaces) and k (codes) before committing an ANN index
+    build.  Exact cross-engine: integer-valued doubles make every
+    distance and argmin exact, and the error sums stay < 2^53.
+
+    Scale shape: the codebook is a plan literal (KB-sized at any
+    corpus size); encode+distortion is one map stage over the scan
+    plus an 8-row aggregate."""
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 1000).cast("double"),
+        ).alias("v"),
+    )
+    book_rows = e.where(F.col("id") < 16).orderBy("id").collect()
+    assert len(book_rows) == 16, "need >= 16 corpus vectors for codewords"
+    sub = e.select(
+        "id",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(8)])
+        ).alias("j"),
+        "v",
+    ).select(
+        "id",
+        "j",
+        F.expr("slice(v, j*8 + 1, 8)").alias("s"),
+    )
+    # d2 to each of the 16 codewords of THIS row's subspace, via one
+    # literal array<array<array<double>>> indexed [j][code]
+    books_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(float(x))
+                            for x in list(r["v"])[j * 8 : (j + 1) * 8]
+                        ]
+                    )
+                    for r in book_rows
+                ]
+            )
+            for j in range(8)
+        ]
+    )
+    d2min = F.expr(
+        "array_min(transform(element_at(_B, j + 1), c -> "
+        "aggregate(zip_with(s, c, (x, y) -> (x-y)*(x-y)), 0D, (acc, t) -> acc + t)))"
+    )
+    return (
+        sub.withColumn("_B", books_lit)
+        .select("j", d2min.alias("d2"))
+        .groupBy("j")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("d2") / F.count("*"), 6).alias("mean_d2"),
+            F.max("d2").cast("bigint").alias("max_d2"),
+        )
+        .orderBy("j")
+    )
+
+
+def _pq_distortion_sql() -> str:
+    d2 = " + ".join(
+        f"(p.v[sub.j*8+{i}] - c.v[sub.j*8+{i}])"
+        f" * (p.v[sub.j*8+{i}] - c.v[sub.j*8+{i}])"
+        for i in range(1, 9)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x*1000)) AS v
+  FROM embeddings),
+p AS (SELECT * FROM e),
+cb AS (SELECT * FROM e WHERE id < 16),
+sub AS (SELECT unnest(range(8)) AS j),
+d AS (
+  SELECT p.id, sub.j, MIN({d2}) AS d2
+  FROM p CROSS JOIN sub JOIN cb c ON true
+  GROUP BY p.id, sub.j)
+SELECT CAST(j AS INT) AS j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(d2) / COUNT(*), 6) AS mean_d2,
+       CAST(MAX(d2) AS BIGINT) AS max_d2
+FROM d
+GROUP BY j
+ORDER BY j
+"""
+
+
+PQ_DISTORTION_SQL = _pq_distortion_sql()
