@@ -431,6 +431,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pack_efficiency": PQ11.pipeline_pack_efficiency,
     "pipeline_dedup_cross_source": PQ11.pipeline_dedup_cross_source,
     "embedding_pq_distortion": PQ11.embedding_pq_distortion,
+    # Round-7 batch 23: rank-based quality selection on the shared
+    # integer logit — prune-strength sweep + CCNet-style terciles
+    "pipeline_quality_prune_sweep": PQ11.pipeline_quality_prune_sweep,
+    "pipeline_quality_terciles": PQ11.pipeline_quality_terciles,
 }
 
 # ---------------------------------------------------------------------------
@@ -607,9 +611,11 @@ _R7_WINDOW = [
     "pipeline_pack_efficiency",
     "pipeline_dedup_cross_source",
     "embedding_pq_distortion",
-    # (e) stable driver-green fill
-    "dedup_minhash",
-    "dedup_components",
+    # (c continued) batch 23, new this round — the last two fill slots
+    # go too (dedup_minhash / dedup_components have standing driver
+    # greens from rounds 1-5)
+    "pipeline_quality_prune_sweep",
+    "pipeline_quality_terciles",
 ]
 assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 # Dict-merge keeps the window's insertion order for the first 50 keys;
@@ -637,6 +643,8 @@ ORACLES: dict[str, str] = {
     "pipeline_pack_efficiency": PQ11.PACK_EFFICIENCY_SQL,
     "pipeline_dedup_cross_source": PQ11.CROSS_SOURCE_SQL,
     "embedding_pq_distortion": PQ11.PQ_DISTORTION_SQL,
+    "pipeline_quality_prune_sweep": PQ11.PRUNE_SWEEP_SQL,
+    "pipeline_quality_terciles": PQ11.QUALITY_TERCILES_SQL,
     "q1_pricing_summary": R.Q1_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_local_supplier": R.Q5_SQL,

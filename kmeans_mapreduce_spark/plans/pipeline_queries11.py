@@ -694,3 +694,152 @@ ORDER BY j
 
 
 PQ_DISTORTION_SQL = _pq_distortion_sql()
+
+
+# --- rank-based quality selection --------------------------------------------
+
+_PRUNE_PCTS = [50, 70, 90]  # integer percents -> exact quotas
+
+
+def pipeline_quality_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-pruning sweep: for keep-fractions 50/70/90%, keep each
+    source's top docs by the integer quality logit (rank ties to the
+    lowest doc_id) and report the token cost — the filter-strength
+    decision table (prune harder = cleaner but smaller corpus), read
+    next to pipeline_dedup_yield_curve's dedup axis.
+
+    Exactness: quotas are integer arithmetic (ceil(pct*n/100) as
+    (pct*n + 99) // 100 — no double multiply whose last ulp could move
+    a ceil), ranks are deterministic via the doc_id tiebreak, and
+    min_z_kept exposes the effective cutoff per cell.
+
+    Scale shape: ONE rank window per source partition (the quality
+    score shuffle), fanned out to three quota filters as cheap
+    projections; rollup is |sources| x 3 rows."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries8 import quality_scored
+
+    scored = quality_scored(_docs(spark, sf_dir))
+    w = Window.partitionBy("source").orderBy(F.desc("z"), F.asc("doc_id"))
+    w_n = Window.partitionBy("source")
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(w_n)
+    )
+    fanned = ranked.select(
+        "source",
+        "n_tokens",
+        "z",
+        "rnk",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in _PRUNE_PCTS])).alias("keep_pct"),
+    ).withColumn(
+        "quota", F.expr("(keep_pct * n + 99) div 100")
+    )
+    kept = fanned.withColumn("is_kept", F.col("rnk") <= F.col("quota"))
+    return (
+        kept.groupBy("keep_pct", "source")
+        .agg(
+            F.first("n").cast("bigint").alias("n_docs"),
+            F.sum(F.col("is_kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(F.col("is_kept"), F.col("n_tokens")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.min(F.when(F.col("is_kept"), F.col("z"))).alias("min_z_kept"),
+        )
+        .withColumn(
+            "token_share_kept",
+            F.round(
+                F.col("tokens_kept").cast("double")
+                / F.col("tokens_total").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("keep_pct", "source")
+    )
+
+
+def _prune_sweep_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries8 import QC_SCORED_CTE
+
+    pcts = ", ".join(f"({p})" for p in _PRUNE_PCTS)
+    return (
+        QC_SCORED_CTE
+        + f""",
+ranked AS (
+  SELECT source, n_tokens, z,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, doc_id ASC)
+           AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored),
+fanned AS (
+  SELECT r.*, p.keep_pct, (p.keep_pct * r.n + 99) // 100 AS quota
+  FROM ranked r CROSS JOIN (VALUES {pcts}) p(keep_pct))
+SELECT CAST(keep_pct AS INT) AS keep_pct, source,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rnk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN rnk <= quota THEN n_tokens END) AS BIGINT)
+         AS tokens_kept,
+       CAST(MIN(CASE WHEN rnk <= quota THEN z END) AS BIGINT) AS min_z_kept,
+       ROUND(CAST(SUM(CASE WHEN rnk <= quota THEN n_tokens END) AS DOUBLE)
+             / CAST(SUM(n_tokens) AS DOUBLE), 6) AS token_share_kept
+FROM fanned
+GROUP BY keep_pct, source
+ORDER BY keep_pct, source
+"""
+    )
+
+
+PRUNE_SWEEP_SQL = _prune_sweep_sql()
+
+
+def pipeline_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: NTILE(3) per language over the
+    integer quality logit (head / middle / tail), with per-bucket doc
+    and token mass and the score range — the manifest that routes
+    head-bucket data to pretraining and tail to filtering review.
+
+    Deterministic: the NTILE order ties to doc_id, and both engines
+    share the standard NTILE fill rule (first n mod k buckets take the
+    extra row).  Scale shape: one rank window per lang partition, one
+    rollup on (lang, bucket)."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries8 import quality_scored
+
+    scored = quality_scored(_docs(spark, sf_dir))
+    w = Window.partitionBy("lang").orderBy(F.desc("z"), F.asc("doc_id"))
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _terciles_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries8 import QC_SCORED_CTE
+
+    return (
+        QC_SCORED_CTE
+        + """
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(z) AS BIGINT) AS z_min,
+       CAST(MAX(z) AS BIGINT) AS z_max
+FROM (
+  SELECT lang, n_tokens, z,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY z DESC, doc_id ASC)
+           AS bucket
+  FROM scored)
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+    )
+
+
+QUALITY_TERCILES_SQL = _terciles_sql()

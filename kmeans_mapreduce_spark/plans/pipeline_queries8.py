@@ -695,3 +695,53 @@ FROM scored
 GROUP BY source
 ORDER BY source
 """
+
+
+def quality_scored(d: DataFrame) -> DataFrame:
+    """[doc_id, source, lang, n_tokens, z] — the integer quality logit
+    shared by pipeline_quality_classifier and the rank-based selection
+    queries built on it (prune sweep, terciles).  Pure per-row Catalyst
+    arithmetic; exact cross-engine."""
+    toks = TXT.tokens("text")
+    sw = F.array(*[F.lit(w) for w in TXT.STOPWORDS_EN])
+    feats = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace("text", "[^.,;:!?]", "")).alias("punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias(
+            "stopwords"
+        ),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("digits"),
+    )
+    z = (
+        F.lit(_QC_W["bias"])
+        + F.col("n_tokens") * _QC_W["n_tokens"]
+        + F.col("punct") * _QC_W["punct"]
+        + F.col("stopwords") * _QC_W["stopwords"]
+        + F.col("digits") * _QC_W["digits"]
+    ).cast("bigint")
+    return feats.select("doc_id", "source", "lang", "n_tokens", z.alias("z"))
+
+
+# the same scored frame as a reusable oracle CTE (adds lang + n_tokens
+# to the classifier's internal shape)
+QC_SCORED_CTE = f"""
+WITH feats AS (
+  SELECT doc_id, source, lang,
+         {_NTOK_SQL} AS n_tokens,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len(list_filter({_TOKS_ALL}, t -> list_contains({_SW_LIST}, t)))
+           AS stopwords,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+  FROM documents),
+scored AS (
+  SELECT doc_id, source, lang, n_tokens,
+         CAST({_QC_W["bias"]}
+              + n_tokens * {_QC_W["n_tokens"]}
+              + punct * {_QC_W["punct"]}
+              + stopwords * {_QC_W["stopwords"]}
+              + digits * {_QC_W["digits"]} AS BIGINT) AS z
+  FROM feats)
+"""
