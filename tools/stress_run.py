@@ -67,9 +67,17 @@ PHASE_B = [
     "ann_pq_topk",
     "docs_ngram_novelty",
     "pipeline_bpe_train",
+    "pipeline_bpe_apply_fixed",
     "kmeans_fit_fixed",
     "kmeans_fit_native",
     "kmeans_fit_mllib",
+    # round-7 batch 22/23 heavies (documents/embeddings only; the
+    # exact-all-pairs eval queries — yield curve, minhash recall —
+    # stay out by design, same as dedup_ngram_jaccard)
+    "pipeline_dedup_cross_source",
+    "pipeline_pack_efficiency",
+    "pipeline_quality_prune_sweep",
+    "embedding_pq_distortion",
 ]
 
 
