@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 return 2
             dataset = dataset.rstrip("/") + "/" + pick_dataset(listing, args.choice)
 
+        # argument-combination errors are rejected BEFORE any work runs
+        # (no partial outputs on disk for a knowable-bad invocation)
+        if args.plots and args.engine != "native":
+            print("--plots requires --engine native", file=sys.stderr)
+            return 2
         if dataset.endswith(".parquet"):
             pts = spark.read.parquet(dataset).select("id", "features")
         else:
@@ -96,18 +101,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             pts = read_points_csv(spark, dataset, dim=args.dim)
         pts = pts.cache()
         n = pts.count()
-        dim = args.dim or len(pts.select("features").head()["features"])
-        # k validation = client.go:188-205 (reject, don't re-prompt)
+        # k validation = client.go:188-205 (reject, don't re-prompt);
+        # runs before dim inference so an empty dataset gets this
+        # message, not a head()-returned-None traceback
         if args.k is None or not 0 < args.k <= n:
             print(f"--k must satisfy 0 < k <= {n} (rows)", file=sys.stderr)
             return 2
+        dim = args.dim or len(pts.select("features").head()["features"])
 
         if args.engine == "mllib":
             _, assigned = fit_kmeans_mllib(
                 pts,
                 k=args.k,
                 seed=args.seed,
-                max_iter=args.max_iter or ITERATION_THRESHOLD,
+                max_iter=args.max_iter
+                if args.max_iter is not None
+                else ITERATION_THRESHOLD,
             )
             centroids = None
             message = "MLlib KMeans fit complete"
@@ -118,7 +127,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 dim=dim,
                 seed=args.seed,
                 tol=args.tol if args.tol is not None else DELTA_THRESHOLD,
-                max_iter=args.max_iter or ITERATION_THRESHOLD,
+                max_iter=args.max_iter
+                if args.max_iter is not None
+                else ITERATION_THRESHOLD,
                 cache_input=False,
             )
             assigned = assign_clusters_broadcast(pts, res.centroids)
@@ -134,9 +145,6 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             write_clusters_csv(assigned, args.out)
             print(f"wrote per-cluster CSV under {args.out}")
         if args.plots:
-            if centroids is None:
-                print("--plots requires --engine native", file=sys.stderr)
-                return 2
             from kmeans_mapreduce_spark.sources.plots import write_cluster_plots
 
             write_cluster_plots(assigned, centroids, dim, args.plots)

@@ -23,8 +23,7 @@ from kmeans_mapreduce_spark.plans.pipeline_queries import (
     _embs,
     _JACCARD_CTE,
 )
-
-_NTOK = f"CASE WHEN {_BLANK} THEN 0 ELSE len({_TOKS_ALL}) END"
+from kmeans_mapreduce_spark.plans.pipeline_queries8 import _NTOK_SQL as _NTOK
 
 
 # --- dedup threshold economics ---------------------------------------------
@@ -40,10 +39,17 @@ def pipeline_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     too high ships duplicates into training).
 
     Removal policy (exact, order-free): a doc is removed at threshold t
-    iff some LOWER-id doc is within Jaccard >= t of it — the greedy
-    keep-first pass, not transitive clustering (dedup_components owns
-    that).  Pair scores are rounded to 6dp on both engines before the
-    threshold compare, so bucket membership is engine-exact.
+    iff some LOWER-id doc is within Jaccard >= t of it.  This is the
+    PESSIMISTIC (upper) bound on a sequential greedy keep-first pass:
+    greedy compares only against already-KEPT docs (for A<B<C with
+    B~A, C~B, C!~A it keeps C), while this policy removes any
+    dominated doc — every greedy-removed doc has a lower-id neighbor,
+    so greedy's removal set is a subset.  The bound is the honest
+    order-free quantity for budgeting (the sequential pass is not
+    expressible without a driver loop); dedup_components owns the
+    transitive-clustering variant.  Pair scores are rounded to 6dp on
+    both engines before the threshold compare, so bucket membership is
+    engine-exact.
 
     Scale shape: the pair source here is the exact all-pairs baseline
     (bounded eval corpus BY DESIGN — the same posture as
@@ -143,6 +149,10 @@ def pipeline_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("available"),
         )
+        # available=0 (all-blank source) would make boost 0/0 — NaN in
+        # Spark, NULL in DuckDB; exclude identically on both sides
+        # (the pipeline_token_budget_epochs guard)
+        .where(F.col("available") > 0)
     )
     w_all = Window.partitionBy()
     dec = "decimal(38,18)"
@@ -186,7 +196,7 @@ powed AS (
          SUM(available) OVER () AS total,
          POW(CAST(available AS DOUBLE) / CAST(SUM(available) OVER () AS DOUBLE),
              {_TEMP_ALPHA}) AS p_alpha
-  FROM per_source),
+  FROM per_source WHERE available > 0),
 normed AS (
   SELECT *, SUM(CAST(p_alpha AS DECIMAL(38,18))) OVER () AS z FROM powed)
 SELECT source,
@@ -280,6 +290,7 @@ ORDER BY b.label
 # --- context-length planning ------------------------------------------------
 
 _LEN_BUCKETS = [1 << i for i in range(21)]  # 1 .. 2^20
+_LEN_OVERFLOW = 1 << 62  # > every real bucket, so it sorts last
 
 
 def pipeline_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,7 +312,9 @@ def pipeline_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.when(n <= 0, F.lit(0))
     for b in _LEN_BUCKETS:
         bucket = bucket.when(n <= b, F.lit(b))
-    bucket = bucket.otherwise(F.lit(-1)).cast("bigint")
+    # overflow sentinel sorts LAST (a -1 would sort first and fold the
+    # longest docs into every cumulative share, inflating "fits at N")
+    bucket = bucket.otherwise(F.lit(_LEN_OVERFLOW)).cast("bigint")
     per = (
         d.select(bucket.alias("len_bucket"), n.alias("n_tok"))
         .groupBy("len_bucket")
@@ -332,7 +345,7 @@ def pipeline_context_length_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET_CASE = (
     "CASE WHEN n_tok <= 0 THEN 0 "
     + " ".join(f"WHEN n_tok <= {b} THEN {b}" for b in _LEN_BUCKETS)
-    + " ELSE -1 END"
+    + f" ELSE {_LEN_OVERFLOW} END"
 )
 
 CONTEXT_LENGTH_SQL = f"""
@@ -443,7 +456,10 @@ def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id", "lang", TXT.token_count("text").alias("n_tokens")
-    )
+    # blank docs occupy no pack space AND would make cum=0 for a lang's
+    # leading docs, where Spark floor((cum-1)/b) = -1 diverges from the
+    # oracle's truncating (cum-1)//b = 0 — exclude them on both sides
+    ).where(F.col("n_tokens") > 0)
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -484,7 +500,9 @@ def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_EFFICIENCY_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, lang, {_NTOK} AS n_tokens FROM documents),
+  SELECT doc_id, lang, n_tokens
+  FROM (SELECT doc_id, lang, {_NTOK} AS n_tokens FROM documents)
+  WHERE n_tokens > 0),
 cum AS (
   SELECT lang, n_tokens,
          SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
