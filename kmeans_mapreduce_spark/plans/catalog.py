@@ -550,6 +550,15 @@ assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 #       the tail so later additions displace fill, not signal.
 #   +  dedup_simhash: gained an oracle after its rows-only r3 sampling;
 #      needs one oracle-backed driver row.
+#
+# ROUND-8 LEDGER: once this window is driver-recorded, EVERY catalog
+# query has at least one driver row (the 31 never-sampled are all in,
+# and batches 21-23 plus the three round-7 oracle queries debut here).
+# dedup_minhash / dedup_components rotated out to make room — their
+# standing greens are rounds 1-5.  Round-8 window composition: (b) any
+# round-7 reds first, (c) round-8 additions, (d) rows-only freshness
+# (kmeans_fit_native/mllib/lineitem, ann_pq_topk, pipeline_bpe_train),
+# then (e) oldest-driver-green fill.
 _R7_WINDOW = [
     # (a) batch 12 tail + batch 13
     "parts_brand_share_topn",
