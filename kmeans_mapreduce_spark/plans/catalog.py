@@ -435,6 +435,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # integer logit — prune-strength sweep + CCNet-style terciles
     "pipeline_quality_prune_sweep": PQ11.pipeline_quality_prune_sweep,
     "pipeline_quality_terciles": PQ11.pipeline_quality_terciles,
+    # Round-7 batch 24 (window already full — first in the round-8
+    # (a) queue): shard balance audit + SimHash Hamming histogram
+    "pipeline_shard_balance": PQ11.pipeline_shard_balance,
+    "dedup_simhash_histogram": PQ11.dedup_simhash_histogram,
 }
 
 # ---------------------------------------------------------------------------
@@ -552,13 +556,15 @@ assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 #      needs one oracle-backed driver row.
 #
 # ROUND-8 LEDGER: once this window is driver-recorded, EVERY catalog
-# query has at least one driver row (the 31 never-sampled are all in,
-# and batches 21-23 plus the three round-7 oracle queries debut here).
-# dedup_minhash / dedup_components rotated out to make room — their
-# standing greens are rounds 1-5.  Round-8 window composition: (b) any
-# round-7 reds first, (c) round-8 additions, (d) rows-only freshness
-# (kmeans_fit_native/mllib/lineitem, ann_pq_topk, pipeline_bpe_train),
-# then (e) oldest-driver-green fill.
+# query except batch 24 has at least one driver row (the 31
+# never-sampled are all in, and batches 21-23 plus the three round-7
+# oracle queries debut here).  dedup_minhash / dedup_components rotated
+# out to make room — their standing greens are rounds 1-5.  Round-8
+# window composition: (b) any round-7 reds first, (a) batch 24
+# (pipeline_shard_balance, dedup_simhash_histogram — added after the
+# round-7 window filled), (c) round-8 additions, (d) rows-only
+# freshness (kmeans_fit_native/mllib/lineitem, ann_pq_topk,
+# pipeline_bpe_train), then (e) oldest-driver-green fill.
 _R7_WINDOW = [
     # (a) batch 12 tail + batch 13
     "parts_brand_share_topn",
@@ -654,6 +660,8 @@ ORACLES: dict[str, str] = {
     "embedding_pq_distortion": PQ11.PQ_DISTORTION_SQL,
     "pipeline_quality_prune_sweep": PQ11.PRUNE_SWEEP_SQL,
     "pipeline_quality_terciles": PQ11.QUALITY_TERCILES_SQL,
+    "pipeline_shard_balance": PQ11.SHARD_BALANCE_SQL,
+    "dedup_simhash_histogram": PQ11.SIMHASH_HISTOGRAM_SQL,
     "q1_pricing_summary": R.Q1_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_local_supplier": R.Q5_SQL,

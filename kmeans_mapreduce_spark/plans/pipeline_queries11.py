@@ -861,3 +861,122 @@ ORDER BY lang, bucket
 
 
 QUALITY_TERCILES_SQL = _terciles_sql()
+
+
+# --- shard balance audit ------------------------------------------------------
+
+
+def pipeline_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard balance audit for the md5 shard layout
+    (pipeline_shuffle_shards' assignment, verbatim): per-shard doc and
+    TOKEN mass with shares — the check that no training shard is
+    starved or bloated before an export commits.  Token balance is the
+    number dataloaders feel; the shards manifest only tracked chars.
+
+    Scale shape: one map-side projection + one 8-bucket shuffle; the
+    share divisions run on the |shards|-row aggregate (exact long sums
+    cast to double)."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import _N_SHARDS
+
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _N_SHARDS)
+    per = (
+        d.select(shard.alias("shard"), TXT.token_count("text").alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_all).cast("double"),
+            6,
+        ).alias("doc_share"),
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w_all).cast("double"),
+            6,
+        ).alias("token_share"),
+    ).orderBy("shard")
+
+
+def _shard_balance_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
+        _MD5_ID,
+        _N_SHARDS,
+    )
+
+    return f"""
+WITH per AS (
+  SELECT CAST(('0x' || substr({_MD5_ID}, 1, 4))::BIGINT % {_N_SHARDS} AS INT)
+           AS shard,
+         {_NTOK} AS n_tok
+  FROM documents),
+agg AS (
+  SELECT shard, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+  FROM per GROUP BY shard)
+SELECT shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6)
+         AS doc_share,
+       ROUND(CAST(n_tokens AS DOUBLE)
+             / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+FROM agg
+ORDER BY shard
+"""
+
+
+SHARD_BALANCE_SQL = _shard_balance_sql()
+
+
+# --- SimHash Hamming-distance histogram ---------------------------------------
+
+
+def dedup_simhash_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram over the SimHash candidate pairs
+    (distance <= 6 over 60-bit signatures): how near-dup mass
+    distributes across distances — the tuning readout for picking
+    max_hamming (a fat tail at 5-6 says the threshold is doing work; an
+    empty one says it can tighten).  Adds an id checksum per distance
+    so the hash gate pins WHICH pairs, not just how many.
+
+    Same md5-derived machinery as dedup_simhash (fully reproducible in
+    SQL); one extra |pairs|-row rollup on top of the banded candidate
+    join."""
+    from kmeans_mapreduce_spark.operators import dedup as DD
+
+    pairs = DD.simhash_dedup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=6
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("bigint").alias("id_sum"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def _simhash_histogram_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries2 import SIMHASH_SQL
+
+    return f"""
+SELECT hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(id_a + id_b) AS BIGINT) AS id_sum
+FROM ({SIMHASH_SQL}) q
+GROUP BY hamming
+ORDER BY hamming
+"""
+
+
+SIMHASH_HISTOGRAM_SQL = _simhash_histogram_sql()
