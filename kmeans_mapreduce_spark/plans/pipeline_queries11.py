@@ -876,11 +876,10 @@ def pipeline_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side projection + one 8-bucket shuffle; the
     share divisions run on the |shards|-row aggregate (exact long sums
     cast to double)."""
-    from kmeans_mapreduce_spark.plans.pipeline_queries4 import _N_SHARDS
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import shard_expr
 
     d = _docs(spark, sf_dir)
-    h = F.md5(F.col("doc_id").cast("string"))
-    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _N_SHARDS)
+    shard, _ = shard_expr()
     per = (
         d.select(shard.alias("shard"), TXT.token_count("text").alias("n_tok"))
         .groupBy("shard")
@@ -908,15 +907,11 @@ def pipeline_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shard_balance_sql() -> str:
-    from kmeans_mapreduce_spark.plans.pipeline_queries4 import (
-        _MD5_ID,
-        _N_SHARDS,
-    )
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import SHARD_ID_SQL
 
     return f"""
 WITH per AS (
-  SELECT CAST(('0x' || substr({_MD5_ID}, 1, 4))::BIGINT % {_N_SHARDS} AS INT)
-           AS shard,
+  SELECT {SHARD_ID_SQL} AS shard,
          {_NTOK} AS n_tok
   FROM documents),
 agg AS (

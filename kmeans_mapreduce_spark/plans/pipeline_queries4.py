@@ -29,6 +29,24 @@ from kmeans_mapreduce_spark.plans.pipeline_queries import (
 _N_SHARDS = 8
 
 
+def shard_expr():
+    """(shard, sort_key) Spark expressions for the md5 shard layout —
+    THE single definition (pipeline_shard_balance audits the same
+    layout; a drifted copy would audit a layout nothing exports)."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _N_SHARDS),
+        h,
+    )
+
+
+# the same assignment as a SQL fragment (yields the shard id)
+SHARD_ID_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+    f" % {_N_SHARDS} AS INT)"
+)
+
+
 def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffling + shard assignment — the step that
     turns a curated corpus into N training shards with a reproducible,
@@ -50,8 +68,7 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     + sortWithinPartitions(sort_key) would stream the same order to
     parquet writers without any further shuffle."""
     d = _docs(spark, sf_dir)
-    h = F.md5(F.col("doc_id").cast("string"))
-    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _N_SHARDS)
+    shard, h = shard_expr()
     ranked = d.select(
         "doc_id",
         F.col("n_chars"),
@@ -77,7 +94,7 @@ _MD5_ID = "md5(CAST(doc_id AS VARCHAR))"
 SHUFFLE_SHARDS_SQL = f"""
 WITH ranked AS (
   SELECT doc_id, n_chars,
-         CAST(('0x' || substr({_MD5_ID}, 1, 4))::BIGINT % {_N_SHARDS} AS INT) AS shard,
+         {SHARD_ID_SQL} AS shard,
          {_MD5_ID} AS sort_key
   FROM documents
 ), pos AS (

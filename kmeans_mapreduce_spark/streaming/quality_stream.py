@@ -26,14 +26,19 @@ from kmeans_mapreduce_spark.streaming.matview_stream import (
     stream_refresh_matview,
 )
 
-QUALITY_MEASURES = {
-    "n_docs": F.count("*").cast("bigint"),
-    "n_kept": F.sum((F.col("z") > 0).cast("bigint")).cast("bigint"),
-    "n_tokens": F.sum("n_tokens").cast("bigint"),
-    "kept_id_sum": F.coalesce(
-        F.sum(F.when(F.col("z") > 0, F.col("doc_id"))), F.lit(0)
-    ).cast("bigint"),
-}
+def quality_measures() -> dict:
+    """The additive per-source measures, built lazily: constructing a
+    Column needs an active SparkSession, so a module-level dict would
+    make this module unimportable before the session exists (the
+    import-then-get_spark pattern every other module supports)."""
+    return {
+        "n_docs": F.count("*").cast("bigint"),
+        "n_kept": F.sum((F.col("z") > 0).cast("bigint")).cast("bigint"),
+        "n_tokens": F.sum("n_tokens").cast("bigint"),
+        "kept_id_sum": F.coalesce(
+            F.sum(F.when(F.col("z") > 0, F.col("doc_id"))), F.lit(0)
+        ).cast("bigint"),
+    }
 
 
 def stream_quality_counts(
@@ -48,6 +53,6 @@ def stream_quality_counts(
         scored,
         mv_dir,
         ["source"],
-        QUALITY_MEASURES,
+        quality_measures(),
         checkpoint_dir,
     )
