@@ -439,6 +439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) queue): shard balance audit + SimHash Hamming histogram
     "pipeline_shard_balance": PQ11.pipeline_shard_balance,
     "dedup_simhash_histogram": PQ11.dedup_simhash_histogram,
+    "pipeline_budget_downsample": PQ11.pipeline_budget_downsample,
 }
 
 # ---------------------------------------------------------------------------
@@ -561,8 +562,9 @@ assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 # oracle queries debut here).  dedup_minhash / dedup_components rotated
 # out to make room — their standing greens are rounds 1-5.  Round-8
 # window composition: (b) any round-7 reds first, (a) batch 24
-# (pipeline_shard_balance, dedup_simhash_histogram — added after the
-# round-7 window filled), (c) round-8 additions, (d) rows-only
+# (pipeline_shard_balance, dedup_simhash_histogram,
+# pipeline_budget_downsample — added after the round-7 window filled),
+# (c) round-8 additions, (d) rows-only
 # freshness (kmeans_fit_native/mllib/lineitem, ann_pq_topk,
 # pipeline_bpe_train), then (e) oldest-driver-green fill.
 _R7_WINDOW = [
@@ -662,6 +664,7 @@ ORACLES: dict[str, str] = {
     "pipeline_quality_terciles": PQ11.QUALITY_TERCILES_SQL,
     "pipeline_shard_balance": PQ11.SHARD_BALANCE_SQL,
     "dedup_simhash_histogram": PQ11.SIMHASH_HISTOGRAM_SQL,
+    "pipeline_budget_downsample": PQ11.BUDGET_DOWNSAMPLE_SQL,
     "q1_pricing_summary": R.Q1_SQL,
     "q3_shipping_priority": R.Q3_SQL,
     "q5_local_supplier": R.Q5_SQL,

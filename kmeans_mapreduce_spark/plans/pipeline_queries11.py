@@ -975,3 +975,101 @@ ORDER BY hamming
 
 
 SIMHASH_HISTOGRAM_SQL = _simhash_histogram_sql()
+
+
+# --- deterministic token-budget downsampling -----------------------------------
+
+
+def pipeline_budget_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each source to HALF its token mass, reproducibly: docs are
+    taken in md5-hash order (the shuffle-shards ordering — content-
+    independent, engine/partitioning/rerun-stable) until the next doc
+    would exceed the budget; whole docs only.  This is the "give me
+    exactly ~X tokens of this source" operation every training-data
+    team runs between planning (pipeline_token_budget_epochs /
+    pipeline_sample_temperature decide X) and packing.
+
+    All-integer: budget = available div 2, the keep rule is an
+    inclusive-cumsum compare, and kept_id_sum pins WHICH docs were
+    kept, not just how many.  Scale shape: one hash shuffle per source
+    partition for the rank window + cumsum (the distributed prefix-sum
+    layout pipeline_seq_packing documents), then a |sources|-row
+    rollup."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries4 import shard_expr
+
+    d = _docs(spark, sf_dir)
+    _, h = shard_expr()  # md5(doc_id) — the canonical shuffle order
+    toks = d.select(
+        "doc_id",
+        "source",
+        TXT.token_count("text").alias("n_tok"),
+        h.alias("sort_key"),
+    )
+    w_src = Window.partitionBy("source")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("sort_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = toks.withColumn(
+        "budget", F.expr("sum(n_tok) over (partition by source) div 2")
+    ).withColumn("cum", F.sum("n_tok").over(w_cum))
+    kept = staged.withColumn("is_kept", F.col("cum") <= F.col("budget"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("budget").cast("bigint").alias("budget"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_kept").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("is_kept"), F.col("n_tok")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_kept"), F.col("doc_id"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+        .withColumn(
+            "utilization",
+            F.when(
+                F.col("budget") > 0,
+                F.round(
+                    F.col("tokens_kept").cast("double")
+                    / F.col("budget").cast("double"),
+                    6,
+                ),
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+BUDGET_DOWNSAMPLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_NTOK} AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents),
+staged AS (
+  SELECT *,
+         SUM(n_tok) OVER (PARTITION BY source) // 2 AS budget,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY sort_key, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks)
+SELECT source,
+       CAST(ANY_VALUE(budget) AS BIGINT) AS budget,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN cum <= budget THEN n_tok END), 0)
+            AS BIGINT) AS tokens_kept,
+       CAST(COALESCE(SUM(CASE WHEN cum <= budget THEN doc_id END), 0)
+            AS BIGINT) AS kept_id_sum,
+       CASE WHEN ANY_VALUE(budget) > 0 THEN
+         ROUND(CAST(COALESCE(SUM(CASE WHEN cum <= budget THEN n_tok END), 0)
+                    AS DOUBLE) / CAST(ANY_VALUE(budget) AS DOUBLE), 6)
+       END AS utilization
+FROM staged
+GROUP BY source
+ORDER BY source
+"""
