@@ -447,6 +447,17 @@ def kmeans_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     try:
+        # The exact-oracle contract needs every quantized coordinate
+        # >= 0 (floor-division == truncating // only on non-negatives).
+        # Check it instead of assuming the data bound; this one-row agg
+        # also warms the cache before the iteration loop.
+        min_q = pts.agg(F.min(F.array_min("v")).alias("m")).collect()[0]["m"]
+        if min_q is None or min_q < 0:
+            raise ValueError(
+                f"kmeans_fit_fixed: quantized coordinate {min_q} < 0 — "
+                f"_INT_OFFSET={_INT_OFFSET} too small for this corpus; the "
+                "integer-division oracle would diverge (floor vs trunc)"
+            )
         cents = [
             list(r["v"])
             for r in pts.where(F.col("vec_id") < K).orderBy("vec_id").collect()

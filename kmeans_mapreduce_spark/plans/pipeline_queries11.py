@@ -474,7 +474,10 @@ def pipeline_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(b) for b in _PACK_BUDGETS])
         ).alias("budget"),
     ).withColumn(
-        "pack_id", F.floor((F.col("cum") - 1) / F.col("budget")).cast("bigint")
+        # exact integer division matching the oracle's `//` — double
+        # division + floor is exact only while budgets are powers of two
+        # and cum < 2^53; `div` holds for any future budget
+        "pack_id", F.expr("(cum - 1) div budget").cast("bigint")
     )
     per_budget = fanned.groupBy("budget").agg(
         F.countDistinct("lang", "pack_id").alias("n_packs"),
@@ -538,9 +541,13 @@ def pipeline_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many EXACT (identical md5) and NEAR (shingle-Jaccard >= 0.8 via
     the production MinHash path) duplicate doc pairs span the two
     sources — the audit that catches one crawl republishing another
-    (and eval sets leaking into training crawls).  Near includes exact
-    by definition; the exact column isolates verbatim republication
-    from near-verbatim (template/boilerplate) leakage.
+    (and eval sets leaking into training crawls).  Both sides run over
+    the same domain — docs with >= 2 tokens (the shingle path's
+    domain) — so near includes exact and n_near >= n_exact holds;
+    without the restriction, blank/1-token docs would pair up
+    quadratically as "exact" while the near path cannot see them.
+    The exact column isolates verbatim republication from
+    near-verbatim (template/boilerplate) leakage.
 
     Scale shape: the exact side is one md5-key shuffle + a digest
     equi-join (candidate volume = true duplicate mass, never N^2); the
@@ -551,7 +558,11 @@ def pipeline_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmeans_mapreduce_spark.operators import dedup as DD
 
     d = _docs(spark, sf_dir)
-    fps = d.select("doc_id", "source", TXT.fingerprint("text").alias("fp"))
+    # restrict the exact side to the shingle path's domain (>= 2
+    # tokens) so the two counts are comparable — see docstring
+    fps = d.where(F.size(TXT.tokens("text")) >= 2).select(
+        "doc_id", "source", TXT.fingerprint("text").alias("fp")
+    )
     a, b = fps.alias("a"), fps.alias("b")
     exact = a.join(
         b,
@@ -590,7 +601,11 @@ CROSS_SOURCE_SQL = (
     _JACCARD_CTE
     + """,
 src AS (SELECT doc_id, source FROM documents),
-fps AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+-- exact side restricted to the shingle path's domain (>= 2 tokens):
+-- `s` in the Jaccard CTE is exactly that set of doc_ids
+fps AS (
+  SELECT d.doc_id, d.source, md5(d.text) AS fp
+  FROM documents d JOIN s USING (doc_id)),
 exact_p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'exact' AS kind
   FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
