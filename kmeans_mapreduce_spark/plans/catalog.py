@@ -245,6 +245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #  km_two_iterations is oracle-pinned by compare.py + plan tests)
     "km_two_iterations": KQ.km_two_iterations,
     "kmeans_fit_fixed": KQ.kmeans_fit_fixed,
+    "kmeans_fit_invariants": KQ.kmeans_fit_invariants,
     "kmeans_fit_native": kmeans_fit_native,
     "kmeans_fit_mllib": kmeans_fit_mllib,
     "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
@@ -650,6 +651,7 @@ ORACLES: dict[str, str] = {
     "km_reshape_2d": KQ.KM_RESHAPE_SQL,
     "km_two_iterations": KQ.KM_TWO_ITER_SQL,
     "kmeans_fit_fixed": KQ.KM_FIT_FIXED_SQL,
+    "kmeans_fit_invariants": KQ.KM_FIT_INVARIANTS_SQL,
     "pipeline_bpe_apply_fixed": PQ7.BPE_APPLY_FIXED_SQL,
     "dedup_minhash_recall": PQ10.MINHASH_RECALL_SQL,
     "pipeline_dedup_yield_curve": PQ11.YIELD_CURVE_SQL,

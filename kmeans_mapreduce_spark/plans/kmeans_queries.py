@@ -583,3 +583,137 @@ def _fit_fixed_sql(n_iter: int = N_FIT_ITER) -> str:
 
 
 KM_FIT_FIXED_SQL = _fit_fixed_sql()
+
+
+# --- trained-fit invariants as driver-visible data --------------------------
+#
+# The trained paths (kmeans_fit_native/mllib, farthest-point init) are
+# rows-only in the driver gate because their outputs are seed/iteration
+# sensitive.  Their CONTRACTS, however, are deterministic booleans —
+# Lloyd's monotone-descent guarantee, the stop rule, partition-sum
+# bookkeeping, seeded-init reproducibility — so this query computes the
+# invariant checks IN the engine (distributed aggregates; driver state
+# is k x d centroids and a per-iteration scalar history) and returns one
+# (check_name, ok) row per invariant.  The oracle is the trivial
+# all-true VALUES table: a driver hash-match certifies the engine
+# computed TRUE for every contract, every round, without needing a
+# bit-exact oracle for the float-valued model itself.
+
+_INVARIANT_CHECKS = (
+    "cluster_ids_in_range",
+    "converged_within_max_iter",
+    "init_seed_reproducible",
+    "one_more_step_non_increasing",
+    "sizes_sum_to_n",
+    "stop_rule_honored",
+    "wssse_monotone",
+)
+
+
+def kmeans_fit_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the native Lloyd loop's contract invariants end-to-end
+    (reference master.go:123-236 semantics) as driver-checkable rows:
+
+    - cluster_ids_in_range: every final assignment id is in [0, K)
+    - converged_within_max_iter: the reference stop rule fires before
+      the 100-iteration cap on this corpus
+    - init_seed_reproducible: two farthest-point inits with the same
+      seed produce identical centroids (distributed max_by is
+      deterministic, not a tie-broken race)
+    - one_more_step_non_increasing: one extra full Lloyd step
+      (assign + recenter, composed from the public operators) does not
+      increase WSSSE — the monotone-descent guarantee holds across the
+      fit/operator boundary, not just inside the fit loop
+    - sizes_sum_to_n: final cluster sizes sum to |corpus|
+    - stop_rule_honored: converged implies mean movement < tol, else
+      iterations == max_iter
+    - wssse_monotone: the per-iteration WSSSE history never increases
+      (rel tol 1e-9 for float accumulation)
+
+    Scale shape: each check is a distributed aggregate over the cached
+    points (k-free or k x (d+1) shuffles — the fit loop's own posture);
+    driver state is bounded by k x d + iteration count."""
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        DELTA_THRESHOLD,
+        ITERATION_THRESHOLD,
+        _dist2_to_centroids,
+        assign_clusters_broadcast,
+        farthest_point_init,
+        fit_kmeans_native,
+    )
+
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM).cache()
+    try:
+        init = [
+            list(r["features"])
+            for r in pts.where(F.col("id") < K).orderBy("id").collect()
+        ]
+        res = fit_kmeans_native(
+            pts,
+            k=K,
+            dim=DIM,
+            initial_centroids=init,
+            track_wssse=True,
+            cache_input=False,
+        )
+        n_total = pts.count()
+
+        def _wssse(cents: list[list[float]]) -> float:
+            return float(
+                pts.agg(
+                    F.sum(F.array_min(_dist2_to_centroids("features", cents)))
+                ).collect()[0][0]
+            )
+
+        assigned = assign_clusters_broadcast(pts, res.centroids)
+        size_rows = (
+            assigned.groupBy("cluster_id").agg(F.count("*").alias("cnt")).collect()
+        )
+        # one extra full Lloyd step via the public operators
+        stats = (
+            assigned.select("cluster_id", F.posexplode("features").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = [list(c) for c in res.centroids]  # empty keeps old
+        for r in stats:
+            nxt[r["cluster_id"]][r["pos"]] = r["s"] / r["n"]
+        w_final, w_next = _wssse(res.centroids), _wssse(nxt)
+
+        hist = res.wssse_history
+        init_a = farthest_point_init(pts, K, seed=7)
+        init_b = farthest_point_init(pts, K, seed=7)
+
+        ok = {
+            "cluster_ids_in_range": all(
+                0 <= r["cluster_id"] < K for r in size_rows
+            ),
+            "converged_within_max_iter": bool(res.converged),
+            "init_seed_reproducible": init_a == init_b,
+            "one_more_step_non_increasing": w_next <= w_final * (1 + 1e-9),
+            "sizes_sum_to_n": sum(r["cnt"] for r in size_rows) == n_total,
+            "stop_rule_honored": (
+                res.delta < DELTA_THRESHOLD
+                if res.converged
+                else res.iterations == ITERATION_THRESHOLD
+            ),
+            "wssse_monotone": all(
+                hist[i + 1] <= hist[i] * (1 + 1e-9)
+                for i in range(len(hist) - 1)
+            ),
+        }
+    finally:
+        pts.unpersist()
+    assert set(ok) == set(_INVARIANT_CHECKS)
+    return spark.createDataFrame(
+        [(name, bool(ok[name])) for name in sorted(ok)],
+        "check_name string, ok boolean",
+    )
+
+
+KM_FIT_INVARIANTS_SQL = (
+    "SELECT check_name, ok FROM (VALUES "
+    + ", ".join(f"('{c}', true)" for c in sorted(_INVARIANT_CHECKS))
+    + ") t(check_name, ok) ORDER BY check_name"
+)
