@@ -6,9 +6,13 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas functions over ``mapInPandas`` so each task streams record
 batches without materializing a partition in memory.
 
-The container has no image/audio codecs, so the actual decode is STUBBED
-(deterministic fake, clearly marked) — but the Spark-side plumbing
-(schemas, batch iteration, partition independence) is real and tested.
+The container has no image/audio codec libraries, so most formats are
+STUBBED (deterministic fake, clearly marked) — but ONE format is decoded
+for real: binary PPM (P6), parsed by a dependency-free pure-Python
+decoder (`_decode_ppm`).  Rows whose mime is ``image/x-portable-pixmap``
+flow through genuine bytes -> header parse -> pixel extraction in both
+``decode_media`` and ``resize_media``; everything else keeps the fake
+path, and `_decode_real` remains the hook for PIL/av on a real cluster.
 """
 
 from __future__ import annotations
@@ -53,11 +57,138 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, mime: str = "image
 
 
 def _decode_real(payload: bytes, mime: str):
-    """Real decoder hook — requires PIL/av/soundfile, absent here."""
+    """Real decoder hook for codec-library formats (JPEG/PNG/audio/video)
+    — requires PIL/av/soundfile, absent here.  PPM does NOT go through
+    this hook: it has a real dependency-free decoder (`_decode_ppm`)."""
     raise NotImplementedError(
-        "media codecs are not installed in this environment; "
+        "media codec libraries are not installed in this environment; "
         "swap in PIL.Image.open / av.open here on a real cluster"
     )
+
+
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize raw interleaved RGB bytes as a binary PPM (P6) image.
+
+    Pure Python, no dependencies — the P6 container is a text header
+    (magic, dims, maxval) followed by width*height*3 raw bytes."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"P6 payload needs {3 * width * height} bytes for "
+            f"{width}x{height}, got {len(pixels)}"
+        )
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL binary-PPM (P6) decoder: bytes -> (width, height, rgb bytes).
+
+    Full format handling, not a happy-path slice: '#' comments anywhere
+    whitespace is legal, any ASCII whitespace between header tokens,
+    exactly ONE whitespace byte after maxval before the raster (per the
+    netpbm spec — a raster may legitimately begin with a byte that looks
+    like whitespace), maxval validation, and a raster length check.
+    Raises ValueError on anything malformed."""
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    pos, tokens = 2, []
+    n = len(payload)
+    while len(tokens) < 3:
+        if pos >= n:
+            raise ValueError("truncated P6 header")
+        b = payload[pos : pos + 1]
+        if b in b" \t\r\n\x0b\x0c":
+            pos += 1
+        elif b == b"#":  # comment runs to end of line
+            while pos < n and payload[pos : pos + 1] not in b"\r\n":
+                pos += 1
+        elif b.isdigit():
+            start = pos
+            while pos < n and payload[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"unexpected byte {b!r} in P6 header")
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"non-positive dimensions {width}x{height}")
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    raster = payload[pos : pos + 3 * width * height]
+    if len(raster) != 3 * width * height:
+        raise ValueError(
+            f"raster has {len(raster)} bytes, need {3 * width * height}"
+        )
+    return width, height, raster
+
+
+def _ppm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real decode -> DECODED_SCHEMA fields.  The 8-dim feature is exact
+    integer statistics of the DECODED pixels (all representable as
+    doubles): [sum_r, sum_g, sum_b, first_byte, last_byte, n_pixels,
+    min_byte, max_byte] — parse-offset sensitive on purpose (an
+    off-by-one in the header scan shifts first/last/sums and breaks the
+    oracle hash)."""
+    import numpy as np
+
+    width, height, raster = _decode_ppm(payload)
+    arr = np.frombuffer(raster, dtype=np.uint8)
+    ch = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    feature = [
+        float(ch[0]),
+        float(ch[1]),
+        float(ch[2]),
+        float(arr[0]),
+        float(arr[-1]),
+        float(width * height),
+        float(arr.min()),
+        float(arr.max()),
+    ]
+    return len(payload), width, height, feature
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media table of REAL binary-PPM images, deterministically
+    derived from a text column: dims come from the text's byte length
+    (w = 4 + n % 13, h = 4 + (n // 13) % 11) and pixel byte i is
+    (media_id*7 + i) % 256 — a generative formula both engines can
+    recompute, while the payload itself is a genuine, parseable P6 file
+    (header + raster) so the decode boundary is exercised for real.
+
+    Arrow-batched mapInPandas: synthesis is per-batch, partition
+    independent — the same shape a real "fetch bytes from blob store"
+    stage has at 100 TB."""
+    import pandas as pd
+
+    import numpy as np
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            payloads = []
+            for mid, n in zip(batch["media_id"], batch["_n"]):
+                w = 4 + int(n) % 13
+                h = 4 + (int(n) // 13) % 11
+                px = ((int(mid) * 7 + np.arange(3 * w * h)) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_ppm(w, h, px.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].values,
+                    "payload": payloads,
+                    "mime": PPM_MIME,
+                }
+            )
+
+    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def _decode_fake(payload: bytes):
@@ -79,8 +210,11 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """media[media_id, payload, mime] -> DECODED_SCHEMA via mapInPandas.
 
     Arrow-batched: each task receives an iterator of pandas batches;
-    per-batch work never holds the whole partition.  This is the exact
-    shape a real decoder plugs into — only _decode_fake changes.
+    per-batch work never holds the whole partition.  Dispatch is per
+    row on mime: PPM payloads go through the REAL pure-Python decoder
+    (`_decode_ppm` — header parse, raster extraction, pixel stats);
+    codec-library formats keep the deterministic fake unless
+    ``use_real_codec`` routes them to the PIL/av hook.
     """
     import pandas as pd
 
@@ -88,7 +222,12 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
         for batch in batches:
             if use_real_codec:
                 _decode_real(b"", "")  # raises NotImplementedError by design
-            decoded = [_decode_fake(bytes(p)) for p in batch["payload"]]
+            decoded = [
+                _ppm_stats(bytes(p))
+                if m == PPM_MIME
+                else _decode_fake(bytes(p))
+                for p, m in zip(batch["payload"], batch["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"].values,
@@ -121,10 +260,15 @@ def resize_media(df: DataFrame, max_side: int = 32, use_real_codec: bool = False
 
     A real pipeline chains decode -> resize -> feature-extract inside
     ONE task (no shuffle between stages: mapInPandas composes in the
-    same whole-stage pipeline); the fake decoder mirrors that by
-    deriving the thumbnail dims from the decoded dims and pooling the
-    8-dim feature down to 4.  Swap _decode_fake for the PIL path on a
-    real cluster (same schema contract)."""
+    same whole-stage pipeline).  PPM rows do exactly that for real:
+    parse the raster, nearest-neighbor downscale it (integer index
+    math: src row of thumb row i is i*h // th — deterministic, no
+    float), and re-extract exact pixel sums from the THUMB pixels
+    ([sum_r, sum_g, sum_b, sum_all] as the 4-dim thumb_feature).
+    Other mimes keep the fake decoder (thumb dims from decoded dims,
+    8-dim feature pooled to 4).  Swap _decode_real in for the PIL path
+    on a real cluster (same schema contract)."""
+    import numpy as np
     import pandas as pd
 
     def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -132,13 +276,35 @@ def resize_media(df: DataFrame, max_side: int = 32, use_real_codec: bool = False
             if use_real_codec:
                 _decode_real(b"", "")  # raises NotImplementedError by design
             out = {k: [] for k in RESIZED_SCHEMA.fieldNames()}
-            for mid, payload in zip(batch["media_id"], batch["payload"]):
-                n, w, h, feature = _decode_fake(bytes(payload))
-                scale = max_side / max(w, h)
-                tw, th = max(1, int(w * scale)), max(1, int(h * scale))
-                pooled = [
-                    (feature[2 * i] + feature[2 * i + 1]) / 2.0 for i in range(4)
-                ]
+            for mid, payload, mime in zip(
+                batch["media_id"], batch["payload"], batch["mime"]
+            ):
+                if mime == PPM_MIME:
+                    w, h, raster = _decode_ppm(bytes(payload))
+                    side = max(w, h)
+                    tw = max(1, (w * max_side) // side)
+                    th = max(1, (h * max_side) // side)
+                    img = np.frombuffer(raster, dtype=np.uint8).reshape(
+                        h, w, 3
+                    )
+                    sy = (np.arange(th) * h) // th
+                    sx = (np.arange(tw) * w) // tw
+                    thumb = img[sy][:, sx]
+                    ch = thumb.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    pooled = [
+                        float(ch[0]),
+                        float(ch[1]),
+                        float(ch[2]),
+                        float(ch.sum()),
+                    ]
+                else:
+                    n, w, h, feature = _decode_fake(bytes(payload))
+                    scale = max_side / max(w, h)
+                    tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+                    pooled = [
+                        (feature[2 * i] + feature[2 * i + 1]) / 2.0
+                        for i in range(4)
+                    ]
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -43,6 +43,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries8 as PQ8
 from kmeans_mapreduce_spark.plans import pipeline_queries9 as PQ9
 from kmeans_mapreduce_spark.plans import pipeline_queries10 as PQ10
 from kmeans_mapreduce_spark.plans import pipeline_queries11 as PQ11
+from kmeans_mapreduce_spark.plans import pipeline_queries12 as PQ12
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,6 +303,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_events_orders": R.asof_events_orders,
     "asof_tolerance_purchase_click": R.asof_tolerance_purchase_click,
     "mm_image_tiles": PQ7.mm_image_tiles,
+    "mm_decode_ppm": PQ12.mm_decode_ppm,
+    "mm_resize_ppm": PQ12.mm_resize_ppm,
+    "mm_tiles_ppm": PQ12.mm_tiles_ppm,
     "pipeline_mixture_schedule": PQ7.pipeline_mixture_schedule,
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
@@ -696,6 +700,9 @@ ORACLES: dict[str, str] = {
     "asof_events_orders": R.ASOF_SQL,
     "asof_tolerance_purchase_click": R.ASOF_TOLERANCE_SQL,
     "mm_image_tiles": PQ7.MM_TILES_SQL,
+    "mm_decode_ppm": PQ12.MM_DECODE_PPM_SQL,
+    "mm_resize_ppm": PQ12.MM_RESIZE_PPM_SQL,
+    "mm_tiles_ppm": PQ12.MM_TILES_PPM_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,

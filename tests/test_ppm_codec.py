@@ -1,0 +1,127 @@
+"""Real PPM (P6) codec tests: hand-computed fixtures, format edge
+cases, and the decode -> resize -> tiles pipeline over genuine bytes.
+
+The pure-Python parser (operators/multimodal._decode_ppm) is the one
+REAL codec in the repo — everything here pins it against byte-level
+fixtures computed by hand, independent of the encoder."""
+
+from __future__ import annotations
+
+import pytest
+
+from kmeans_mapreduce_spark.operators import multimodal as MM
+from kmeans_mapreduce_spark.operators.multimodal import (
+    PPM_MIME,
+    _decode_ppm,
+    _ppm_stats,
+    encode_ppm,
+)
+
+# 2x2 image, pixels (r,g,b): (10,20,30) (40,50,60) / (70,80,90) (1,2,3)
+_PIXELS = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 1, 2, 3])
+_PLAIN = b"P6\n2 2\n255\n" + _PIXELS
+
+
+def test_decode_hand_fixture():
+    w, h, raster = _decode_ppm(_PLAIN)
+    assert (w, h) == (2, 2)
+    assert raster == _PIXELS
+
+
+def test_decode_header_variants():
+    # comments anywhere whitespace is legal, CRLF, multi-space runs
+    variants = [
+        b"P6 2 2 255\n" + _PIXELS,
+        b"P6\n# a comment\n2 2\n255\n" + _PIXELS,
+        b"P6\n2 # trailing comment\n2\n255\n" + _PIXELS,
+        b"P6\r\n2\t2\r\n255 " + _PIXELS,
+        b"P6\n#c1\n#c2\n  2\n\n2\n255\n" + _PIXELS,
+    ]
+    for payload in variants:
+        w, h, raster = _decode_ppm(payload)
+        assert (w, h, raster) == (2, 2, _PIXELS), payload[:20]
+
+
+def test_decode_raster_offset_is_exactly_one_byte():
+    # a raster may START with a whitespace-looking byte (0x0A = 10):
+    # the parser must consume exactly ONE separator, not skip into the
+    # raster — this is the classic P6 off-by-N bug
+    px = bytes([10, 10, 10]) * 4  # every byte looks like '\n'
+    w, h, raster = _decode_ppm(b"P6\n2 2\n255\n" + px)
+    assert raster == px
+
+
+def test_decode_rejects_malformed():
+    for bad in [
+        b"P5\n2 2\n255\n" + _PIXELS,  # wrong magic (P5 is grayscale)
+        b"P6\n2 2\n65535\n" + _PIXELS * 2,  # 16-bit maxval unsupported
+        b"P6\n2 2\n255\n" + _PIXELS[:-1],  # truncated raster
+        b"P6\n2 2\n",  # truncated header
+        b"P6\n2 -2\n255\n" + _PIXELS,  # negative dim ('-' not a digit)
+        b"P6\n0 2\n255\n",  # zero dim
+    ]:
+        with pytest.raises(ValueError):
+            _decode_ppm(bad)
+
+
+def test_encode_decode_roundtrip():
+    for w, h in [(1, 1), (3, 5), (16, 14)]:
+        px = bytes((i * 37) % 256 for i in range(3 * w * h))
+        assert _decode_ppm(encode_ppm(w, h, px)) == (w, h, px)
+    with pytest.raises(ValueError):
+        encode_ppm(2, 2, b"short")
+
+
+def test_stats_hand_computed():
+    n_bytes, w, h, feat = _ppm_stats(_PLAIN)
+    assert n_bytes == len(_PLAIN) and (w, h) == (2, 2)
+    # [sum_r, sum_g, sum_b, first, last, n_px, min, max]
+    assert feat == [
+        float(10 + 40 + 70 + 1),
+        float(20 + 50 + 80 + 2),
+        float(30 + 60 + 90 + 3),
+        10.0,
+        3.0,
+        4.0,
+        1.0,
+        90.0,
+    ]
+
+
+def test_decode_media_dispatches_on_mime(spark):
+    rows = [
+        (1, bytearray(_PLAIN), PPM_MIME),
+        (2, bytearray(b"not an image, goes through the fake path"), "image/fake"),
+    ]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in MM.decode_media(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)  # REAL parse
+    assert out[1]["feature"][0] == 121.0
+    assert out[2]["width"] == 64 + (len(rows[1][1]) % 64)  # fake path
+
+
+def test_resize_nearest_neighbor_hand_computed(spark):
+    # 4x2 image downscaled to max_side=2 -> thumb 2x1 (integer math:
+    # tw = 4*2//4 = 2, th = max(1, 2*2//4) = 1); NN picks source rows
+    # sy = 0*2//1 = 0 and cols sx = (0*4//2, 1*4//2) = (0, 2)
+    px = bytes(range(24))  # pixel (y,x) byte = 3*(y*4+x)+c
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_ppm(4, 2, px)), PPM_MIME)], MM.MEDIA_SCHEMA
+    )
+    r = MM.resize_media(df, max_side=2).collect()[0]
+    assert (r["thumb_width"], r["thumb_height"]) == (2, 1)
+    # thumb pixels = source (0,0) and (0,2): bytes 0,1,2 and 6,7,8
+    assert r["thumb_feature"] == [0.0 + 6, 1.0 + 7, 2.0 + 8, 24.0]
+
+
+def test_attach_ppm_payload_is_genuine_p6(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _docs
+
+    media = MM.attach_ppm_payload(_docs(spark, sf_dir).limit(5), "doc_id", "text")
+    for r in media.collect():
+        w, h, raster = _decode_ppm(bytes(r["payload"]))  # parses for real
+        assert 4 <= w <= 16 and 4 <= h <= 14
+        # content follows the generative formula the oracles recompute
+        mid = r["media_id"]
+        assert raster[0] == (mid * 7) % 256
+        assert raster[-1] == (mid * 7 + 3 * w * h - 1) % 256
