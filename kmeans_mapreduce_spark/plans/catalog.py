@@ -640,9 +640,84 @@ _R7_WINDOW = [
     "pipeline_quality_terciles",
 ]
 assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+
+# ROUND-8 DRIVER WINDOW.  Round 7 recorded every _R7_WINDOW row green
+# (45 oracle + 5 by-design rows-only).  Composition per the ledger:
+#   (a) batch 24 debut — the ONLY queries with no driver row after r7
+#       (judge pre-verified green in the r7 vanilla sweep); recording
+#       them makes every pre-round-8 catalog query driver-covered;
+#   (c) new this round: kmeans_fit_invariants (trained-fit contracts as
+#       an exact all-true oracle) and the real-codec PPM family
+#       (mm_decode_ppm / mm_resize_ppm / mm_tiles_ppm);
+#   (b) changed this round (round-7 ADVICE fixes): kmeans_fit_fixed
+#       (offset guard), pipeline_pack_efficiency (integer div),
+#       pipeline_dedup_cross_source (exact-side domain);
+#   (d) rows-only freshness re-samples (trained/seed-sensitive paths,
+#       each shadowed by a green exact-oracle sibling in this window);
+#   (e) oldest-driver-green fill: the 35 round-2-vintage rows — the
+#       stalest standing greens in the ledger — so freshness rotates
+#       through the whole catalog.
+_R8_WINDOW = [
+    # (a) batch 24 debut
+    "pipeline_shard_balance",
+    "dedup_simhash_histogram",
+    "pipeline_budget_downsample",
+    # (c) new this round
+    "kmeans_fit_invariants",
+    "mm_decode_ppm",
+    "mm_resize_ppm",
+    "mm_tiles_ppm",
+    # (b) changed this round
+    "kmeans_fit_fixed",
+    "pipeline_pack_efficiency",
+    "pipeline_dedup_cross_source",
+    # (d) rows-only freshness re-samples
+    "kmeans_fit_native",
+    "kmeans_fit_mllib",
+    "kmeans_fit_lineitem",
+    "ann_pq_topk",
+    "pipeline_bpe_train",
+    # (e) oldest-green fill (round-2 vintage, in catalog order)
+    "km_two_iterations",
+    "ingest_typed_projection",
+    "km_assign",
+    "km_recenter",
+    "km_farthest",
+    "km_delta",
+    "km_avg_pairwise",
+    "km_avg_point_dist",
+    "km_reshape_2d",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_semi_urgent_customers",
+    "join_anti_no_urgent",
+    "window_top_orders",
+    "window_running_total",
+    "window_ntile_customers",
+    "agg_rollup_orders",
+    "agg_cube_lineitem",
+    "agg_distinct_customers",
+    "agg_salted_user_rollup",
+    "agg_pivot_status",
+    "agg_unpivot_lineitem",
+    "q6_forecast_revenue",
+    "agg_grouping_sets_orders",
+    "string_part_names",
+    "subq_small_quantity_revenue",
+    "join_outer_nation_activity",
+    "window_order_gaps",
+    "topk_orders_global",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_nations",
+    "join_range_quantity_bands",
+    "asof_events_orders",
+]
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R7_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R8_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,

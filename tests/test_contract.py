@@ -23,31 +23,29 @@ def test_catalog_shapes():
         "pipeline_bpe_train",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — round 7: the 31 never-driver-sampled queries (batch
-    # 12-16 tails + batches 18-20 + the round-5 overflow), the oracle
-    # upgrades, the round-7 additions, and the rows-only freshness
-    # re-samples must all be inside
+    # entries — round 8: the batch-24 debut (the last queries with no
+    # driver row), the round-8 additions (fit invariants + real-codec
+    # PPM family), the ADVICE-changed queries, and the rows-only
+    # freshness re-samples must all be inside
     first50 = list(qs)[:50]
-    from kmeans_mapreduce_spark.plans.catalog import _R7_WINDOW
+    from kmeans_mapreduce_spark.plans.catalog import _R8_WINDOW
 
-    assert first50 == _R7_WINDOW, "driver window drifted from the ledger"
+    assert first50 == _R8_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (a) judge-flagged never-sampled priorities (VERDICT r5 §next)
-        "users_longest_streaks",
-        "pipeline_dsir_select",
-        "dedup_bloom_probe",
-        "events_watermark_audit",
-        "ann_lsh_recall",
-        "pipeline_span_corruption",
-        "mm_image_tiles",
-        "pipeline_token_budget_epochs",
-        # oracle upgrade + round-7 additions
-        "dedup_simhash",
+        # (a) batch-24 debut (VERDICT r7 §next #1)
+        "pipeline_shard_balance",
+        "dedup_simhash_histogram",
+        "pipeline_budget_downsample",
+        # (c) round-8 additions
+        "kmeans_fit_invariants",
+        "mm_decode_ppm",
+        "mm_resize_ppm",
+        "mm_tiles_ppm",
+        # (b) changed this round (round-7 ADVICE fixes)
         "kmeans_fit_fixed",
-        "pipeline_bpe_apply_fixed",
-        "dedup_minhash_recall",
-        "pipeline_dedup_yield_curve",
-        # rows-only freshness re-samples
+        "pipeline_pack_efficiency",
+        "pipeline_dedup_cross_source",
+        # (d) rows-only freshness re-samples
         "kmeans_fit_native",
         "pipeline_bpe_train",
     ):
