@@ -91,6 +91,69 @@ class StreamingKMeansModel:
         self.batches_seen += 1
 
 
+def drain_stream_kmeans(
+    src: DataFrame,
+    to_points,
+    initial_centroids: Centroids,
+    decay: float = 1.0,
+    checkpoint: str | None = None,
+    expected_rows: int | None = None,
+    timeout_sec: float = 600.0,
+) -> StreamingKMeansModel:
+    """Drive the incremental model over ANY streaming DataFrame until
+    drained: file streams, rate sources, or the synthetic_points
+    DataSource's streamReader all plug in here.
+
+    ``to_points(df) -> DataFrame[id, features]`` adapts the raw source
+    schema; the model object is driver state exactly like the batch
+    loop's centroid list (and like reference master.go's Config).
+
+    Default drain is Trigger.AvailableNow (the reference's until-Last
+    framing).  Python DataSourceStreamReader sources fall back to a
+    SINGLE batch under availableNow (latestOffset is consulted once —
+    same caveat as tests/test_synthetic_source.py), so for bounded
+    replay sources pass ``expected_rows``: the stream is then paced
+    with a short processingTime trigger and stopped once the model's
+    weight mass reaches the target (requires decay == 1.0, where
+    weights sum to exactly the rows folded)."""
+    model = StreamingKMeansModel(
+        [list(c) for c in initial_centroids], decay=decay
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        pts = to_points(batch_df)
+        if pts.isEmpty():
+            return
+        model.update(pts)
+
+    writer = src.writeStream.foreachBatch(fold)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if expected_rows is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return model
+    if decay != 1.0:
+        raise ValueError(
+            "expected_rows pacing needs decay=1.0 (weight mass == rows)"
+        )
+    import time
+
+    q = writer.trigger(processingTime="250 milliseconds").start()
+    try:
+        deadline = time.time() + timeout_sec
+        while sum(model.weights) < expected_rows:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"stream drained {sum(model.weights):.0f} of "
+                    f"{expected_rows} rows in {timeout_sec}s"
+                )
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    return model
+
+
 def run_streaming_kmeans(
     spark: SparkSession,
     points_dir: str,
@@ -101,34 +164,17 @@ def run_streaming_kmeans(
     checkpoint: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> StreamingKMeansModel:
-    """Drive the incremental model over a file stream until drained
-    (Trigger.AvailableNow — the reference's until-Last framing).
-
-    ``to_points(df) -> DataFrame[id, features]`` adapts the raw source
-    schema; the model object is driver state exactly like the batch
-    loop's centroid list (and like reference master.go's Config)."""
-    model = StreamingKMeansModel(
-        [list(c) for c in initial_centroids], decay=decay
-    )
+    """File-stream face of `drain_stream_kmeans`: drain a parquet
+    directory micro-batch by micro-batch (maxFilesPerTrigger controls
+    the batch size)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(points_dir)
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        pts = to_points(batch_df)
-        if pts.isEmpty():
-            return
-        model.update(pts)
-
-    q = (
-        src.writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            checkpoint or f"{points_dir}/_skm_ckpt",
-        )
-        .trigger(availableNow=True)
-        .start()
+    return drain_stream_kmeans(
+        src,
+        to_points,
+        initial_centroids,
+        decay=decay,
+        checkpoint=checkpoint or f"{points_dir}/_skm_ckpt",
     )
-    q.awaitTermination()
-    return model

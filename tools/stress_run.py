@@ -24,6 +24,20 @@ ever caught by running, not by reading plans:
   dedup_minhash_recall ground truth) — the production paths those
   baselines exist to verify ARE in the list.
 
+  Phase C — the STREAMING folds at the same 100x point, because
+  state-store growth and per-batch cache leaks are exactly the
+  failure class plan-shape tests cannot see:
+    * stream_dedup_corpus drains the 50k-doc stress corpus through
+      the persisted signature index in multi-file micro-batches;
+      recorded state = index rows/bytes (must stay ~300 B/doc);
+    * streaming K-Means drains the SAME 2M x 16 synthetic points
+      Phase A fits, but via the DataSource's streamReader in
+      partition-granular micro-batches; recorded state = the k x d
+      driver model (weights must sum to the row count);
+    * the quality-accounting MV fold drains the stress documents;
+      recorded state = |sources| MV rows, with the replay guard's
+      batch_id advancing once per micro-batch.
+
 Run this EXCLUSIVELY (no concurrent Spark JVM on the box): the
 round-5 contaminated-baseline incident is why.  Results go to stdout
 as one JSON line; copy the table into SCALE_RUN.md with an explicit
@@ -79,6 +93,142 @@ PHASE_B = [
     "pipeline_quality_prune_sweep",
     "embedding_pq_distortion",
 ]
+
+# Phase C streaming workloads (names usable as subset args too)
+PHASE_C = ["stream_dedup_corpus", "stream_kmeans_2m", "stream_quality_mv"]
+
+
+def phase_c(spark, results: dict, names: list[str]) -> int:
+    """Drive the streaming folds over the stress corpus; record wall
+    clock AND the terminal state sizes (the thing that must stay
+    bounded on a long-lived stream)."""
+    rc = 0
+    base = Path(STRESS_DIR) / "streaming"
+    docs_dir = f"{STRESS_DIR}/documents.parquet"
+
+    if "stream_dedup_corpus" in names:
+        from kmeans_mapreduce_spark.streaming.dedup_corpus import (
+            stream_dedup_corpus,
+        )
+
+        acc, idx, ckpt = (
+            str(base / "accepted"),
+            str(base / "sig_index"),
+            str(base / "dedup_ckpt"),
+        )
+        t0 = time.time()
+        try:
+            # 32 part files / 8 per trigger = 4 multi-file micro-batches
+            stream_dedup_corpus(
+                spark, docs_dir, acc, idx, ckpt, max_files_per_trigger=8
+            )
+            accepted = spark.read.parquet(acc).count()
+            index = spark.read.parquet(idx)
+            idx_rows = index.count()
+            idx_bytes = sum(
+                f.stat().st_size
+                for f in Path(idx).rglob("*.parquet")
+            )
+            results["stream_dedup_corpus"] = {
+                "sec": round(time.time() - t0, 1),
+                "accepted": accepted,
+                "index_rows": idx_rows,
+                "index_bytes_per_doc": round(idx_bytes / max(1, idx_rows)),
+            }
+            print(f"C dedup: {results['stream_dedup_corpus']}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            results["stream_dedup_corpus"] = {"error": str(exc)[:300]}
+            print(f"C dedup: ERROR {exc}", file=sys.stderr)
+
+    if "stream_kmeans_2m" in names:
+        from kmeans_mapreduce_spark.streaming.kmeans_stream import (
+            drain_stream_kmeans,
+        )
+
+        t0 = time.time()
+        try:
+            # same 2M x 16 source as Phase A, streamed 16 partitions
+            # per micro-batch (= 4 batches of 500k rows)
+            opts = {
+                "n": SYN_N,
+                "dim": SYN_DIM,
+                "k": SYN_K,
+                "seed": 7,
+                "partitions": 64,
+                "parts_per_batch": 16,
+            }
+            batch = spark.read.format("synthetic_points")
+            stream = spark.readStream.format("synthetic_points")
+            for k, v in opts.items():
+                batch = batch.option(k, v)
+                stream = stream.option(k, v)
+            init = [
+                list(r["features"])
+                for r in batch.load().where(F.col("id") < SYN_K).collect()
+            ]
+            model = drain_stream_kmeans(
+                stream.load(),
+                lambda df: df.select("id", "features"),
+                init,
+                checkpoint=str(base / "skm_ckpt"),
+                # Python stream sources single-batch under availableNow;
+                # pace explicitly until all 2M rows folded
+                expected_rows=SYN_N,
+            )
+            results["stream_kmeans_2m"] = {
+                "sec": round(time.time() - t0, 1),
+                "batches": model.batches_seen,
+                "weight_sum": int(sum(model.weights)),
+                "state_floats": len(model.centroids)
+                * (len(model.centroids[0]) + 1),
+            }
+            print(f"C kmeans: {results['stream_kmeans_2m']}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            results["stream_kmeans_2m"] = {"error": str(exc)[:300]}
+            print(f"C kmeans: ERROR {exc}", file=sys.stderr)
+
+    if "stream_quality_mv" in names:
+        from kmeans_mapreduce_spark.sources.matview import (
+            _read_manifest,
+            read_matview,
+        )
+        from kmeans_mapreduce_spark.streaming.quality_stream import (
+            stream_quality_counts,
+        )
+
+        mv, ckpt = str(base / "quality_mv"), str(base / "quality_ckpt")
+        t0 = time.time()
+        try:
+            schema = spark.read.parquet(docs_dir).schema
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 8)
+                .parquet(docs_dir)
+            )
+            q = stream_quality_counts(src, mv, ckpt)
+            q.awaitTermination()
+            view = read_matview(spark, mv)
+            totals = view.agg(
+                F.sum("n_docs").alias("d"), F.sum("n_kept").alias("k")
+            ).collect()[0]
+            results["stream_quality_mv"] = {
+                "sec": round(time.time() - t0, 1),
+                "mv_rows": view.count(),
+                "n_docs": int(totals["d"]),
+                "n_kept": int(totals["k"]),
+                "batches_folded": int(
+                    _read_manifest(spark, mv).get("batch_id", -1)
+                )
+                + 1,
+            }
+            print(f"C quality: {results['stream_quality_mv']}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            results["stream_quality_mv"] = {"error": str(exc)[:300]}
+            print(f"C quality: ERROR {exc}", file=sys.stderr)
+    return rc
 
 
 def build_stress_dir(spark) -> None:
@@ -163,7 +313,7 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs = e.queries()
-    names = subset or PHASE_B
+    names = [n for n in (subset or PHASE_B) if n not in PHASE_C]
     for name in names:
         t0 = time.time()
         try:
@@ -174,6 +324,13 @@ def main() -> int:
             rc = 1
             results[name] = {"error": str(exc)[:300]}
             print(f"B {name}: ERROR {exc}", file=sys.stderr)
+
+    # --- Phase C: streaming folds over the stress corpus ------------------
+    c_names = (
+        [n for n in subset if n in PHASE_C] if subset else list(PHASE_C)
+    )
+    if c_names:
+        rc = phase_c(spark, results, c_names) or rc
     print(json.dumps({"stress": results}))
     if "--keep" not in sys.argv:
         shutil.rmtree(STRESS_DIR, ignore_errors=True)
