@@ -154,3 +154,34 @@ def bfs_hops(
         dist = _truncate(dist.unionByName(frontier), checkpoint_dir)
     edges.unpersist()
     return dist
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over a directed edge list.
+
+    Canonicalizes to an undirected a<b edge set once (symmetrize +
+    distinct, one shuffle), then enumerates a<b<c via the standard
+    two-join wedge closure.  Every join keys on a node id, so with
+    degree bounded by k (a k-NN graph) intermediate wedge counts are
+    O(N*k^2), never O(N^2).  At 100 TB the canonical edge frame is
+    bucketed by its join key so both joins co-locate.
+
+    Returns (vec_id, triangles) — one row per node that participates
+    in at least one triangle."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("triangles"))
+    )

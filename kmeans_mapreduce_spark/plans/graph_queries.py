@@ -150,24 +150,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the edge frame would be bucketed by src so both joins
     co-locate; node-degree skew is capped by construction (k<=3 here).
     """
-    e = _knn_edges(spark, sf_dir)
-    und = (
-        e.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
+    from kmeans_mapreduce_spark.operators.graph import triangle_counts
+
+    per_node = triangle_counts(_knn_edges(spark, sf_dir))
+    # every node's count is 3x its triangle membership, so the global
+    # total is sum/3 — one tiny agg over the per-node frame
+    total = per_node.agg(
+        F.expr("sum(triangles) div 3").alias("total_triangles")
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tris = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
-    per_node = (
-        tris.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("triangles"))
-    )
-    total = tris.agg(F.count("*").alias("total_triangles"))
     return (
         per_node.crossJoin(F.broadcast(total))
         .orderBy(F.desc("triangles"), "vec_id")

@@ -175,6 +175,64 @@ def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_edges_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    k_cells: int | None = None,
+    k_neighbors: int = 3,
+) -> DataFrame:
+    """`knn_graph_cells` at the PRODUCTION cell-count knob: k_cells
+    defaults to round(sqrt(N)), the within-cell density setting the
+    fixture's 4 cells deliberately violate (4 cells over N vectors
+    means N^2/4 candidate pairs; sqrt(N) cells bound the within-cell
+    join at ~N^1.5 total candidates with ~sqrt(N) rows per cell).
+
+    Differences from the oracle-backed fixture query, both forced by
+    scale: cell centroids ride a broadcast RELATION (a sqrt(N) x d
+    literal plan would blow up codegen), and centroids are the first
+    k_cells vectors by id — the same deterministic recipe, production
+    count.  Returns directed edges (src, dst) like graph_queries'
+    _knn_edges.  No SQL oracle: this is the scale-harness path; the
+    4-cell fixture pins the semantics."""
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        assign_clusters_broadcast,
+    )
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("features")
+    )
+    if k_cells is None:
+        k_cells = max(1, round(e.count() ** 0.5))
+    cents = [
+        list(r["features"])
+        for r in e.orderBy("vec_id").limit(k_cells).collect()
+    ]
+    assigned = assign_clusters_broadcast(e, cents).select(
+        "vec_id", F.col("features").alias("v"), F.col("cluster_id").alias("cell")
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("src"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select("src", "dst")
+    )
+
+
 KNN_GRAPH_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 4),

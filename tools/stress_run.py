@@ -97,6 +97,84 @@ PHASE_B = [
 # Phase C streaming workloads (names usable as subset args too)
 PHASE_C = ["stream_dedup_corpus", "stream_kmeans_2m", "stream_quality_mv"]
 
+# Phase D: the k-NN graph family at the PRODUCTION k_cells knob.
+# Phase B runs graph_pagerank_vectors / graph_triangle_count through
+# the 4-cell oracle fixture, where within-cell joins go dense at 20k
+# vectors (the r7 stress outliers: 110s / 84s); the documented fix —
+# k_cells ~ sqrt(N) — was argued in a docstring but never executed.
+# These entries run the same operators over knn_edges_scaled (sqrt(N)
+# cells ~ 141 at 20k vectors) so the claim is measured, not argued.
+PHASE_D = ["graph_pagerank_sqrtcells", "graph_triangle_sqrtcells"]
+
+
+def phase_d(spark, results: dict, names: list[str]) -> int:
+    from kmeans_mapreduce_spark.operators.graph import (
+        pagerank,
+        triangle_counts,
+    )
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _embs
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import (
+        knn_edges_scaled,
+    )
+
+    rc = 0
+    t0 = time.time()
+    edges = knn_edges_scaled(spark, STRESS_DIR).cache()
+    n_edges = edges.count()
+    build_sec = round(time.time() - t0, 1)
+    print(f"D knn build (sqrt-N cells): {n_edges} edges {build_sec}s", file=sys.stderr)
+    try:
+        if "graph_pagerank_sqrtcells" in names:
+            t0 = time.time()
+            try:
+                nodes = _embs(spark, STRESS_DIR).select(
+                    F.col("vec_id").alias("node")
+                )
+                nrows = pagerank(nodes, edges).count()
+                results["graph_pagerank_sqrtcells"] = {
+                    "sec": round(time.time() - t0, 1),
+                    "rows": nrows,
+                    "edges": n_edges,
+                    "knn_build_sec": build_sec,
+                }
+                print(
+                    f"D pagerank: {results['graph_pagerank_sqrtcells']}",
+                    file=sys.stderr,
+                )
+            except Exception as exc:  # noqa: BLE001
+                rc = 1
+                results["graph_pagerank_sqrtcells"] = {"error": str(exc)[:300]}
+                print(f"D pagerank: ERROR {exc}", file=sys.stderr)
+        if "graph_triangle_sqrtcells" in names:
+            t0 = time.time()
+            try:
+                row = (
+                    triangle_counts(edges)
+                    .agg(
+                        F.count("*").alias("nodes"),
+                        F.expr("sum(triangles) div 3").alias("total"),
+                    )
+                    .collect()[0]
+                )
+                results["graph_triangle_sqrtcells"] = {
+                    "sec": round(time.time() - t0, 1),
+                    "nodes_in_triangles": row["nodes"],
+                    "total_triangles": row["total"],
+                    "edges": n_edges,
+                    "knn_build_sec": build_sec,
+                }
+                print(
+                    f"D triangles: {results['graph_triangle_sqrtcells']}",
+                    file=sys.stderr,
+                )
+            except Exception as exc:  # noqa: BLE001
+                rc = 1
+                results["graph_triangle_sqrtcells"] = {"error": str(exc)[:300]}
+                print(f"D triangles: ERROR {exc}", file=sys.stderr)
+    finally:
+        edges.unpersist()
+    return rc
+
 
 def phase_c(spark, results: dict, names: list[str]) -> int:
     """Drive the streaming folds over the stress corpus; record wall
@@ -313,7 +391,9 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs = e.queries()
-    names = [n for n in (subset or PHASE_B) if n not in PHASE_C]
+    names = [
+        n for n in (subset or PHASE_B) if n not in PHASE_C and n not in PHASE_D
+    ]
     for name in names:
         t0 = time.time()
         try:
@@ -331,6 +411,13 @@ def main() -> int:
     )
     if c_names:
         rc = phase_c(spark, results, c_names) or rc
+
+    # --- Phase D: k-NN graph at the production k_cells knob ---------------
+    d_names = (
+        [n for n in subset if n in PHASE_D] if subset else list(PHASE_D)
+    )
+    if d_names:
+        rc = phase_d(spark, results, d_names) or rc
     print(json.dumps({"stress": results}))
     if "--keep" not in sys.argv:
         shutil.rmtree(STRESS_DIR, ignore_errors=True)
