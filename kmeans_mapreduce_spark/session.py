@@ -119,3 +119,26 @@ def close_named_session(name: str) -> bool:
     SparkContext stays up; only the session state becomes collectable.
     Returns whether the name existed."""
     return _SESSION_REGISTRY.pop(name, None) is not None
+
+
+def quiet_audited_window_warnings(spark: SparkSession) -> None:
+    """Silence Spark's "No Partition Defined for Window operation"
+    WARN for harness runs.
+
+    Every unpartitioned window in this repo runs over a BOUNDED
+    aggregate — |shards|-, |sources|-, |stages|- or top-k-row frames
+    (e.g. global rank over 25 nations, RFM terciles over per-customer
+    aggregates, shard-balance audit over 8 shards) — never the corpus;
+    each site documents this where it appears.  The warning is correct
+    advice in general and deliberately accepted at these row counts, so
+    the harness runners drop it to keep compare/stress stderr clean
+    rather than re-litigating the audited sites every round.  Scoped to
+    the one logger (log4j2 Configurator), not a global level change."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - log4j internals are best-effort
+        pass

@@ -88,6 +88,11 @@ def run(sf_dir: str, only: list[str] | None = None, vanilla: bool = False) -> in
         from kmeans_mapreduce_spark.session import get_spark
 
         spark = get_spark("compare-harness")
+    from kmeans_mapreduce_spark.session import quiet_audited_window_warnings
+
+    # the unpartitioned-window WARN is audited (bounded aggregates only;
+    # see the helper's docstring) — keep sweep stderr clean
+    quiet_audited_window_warnings(spark)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     con = duckdb.connect()

@@ -50,6 +50,9 @@ subset = [a for a in args if "/" not in a]
 
 spark = get_spark("catalog-sf01")
 spark.conf.set("spark.sql.shuffle.partitions", "64")
+from kmeans_mapreduce_spark.session import quiet_audited_window_warnings  # noqa: E402
+
+quiet_audited_window_warnings(spark)  # audited bounded-aggregate windows
 qs = e.queries()
 if subset:
     unknown = sorted(set(subset) - set(qs))

@@ -346,6 +346,9 @@ def main() -> int:
     subset = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark("stress-x100")
     spark.conf.set("spark.sql.shuffle.partitions", "64")
+    from kmeans_mapreduce_spark.session import quiet_audited_window_warnings
+
+    quiet_audited_window_warnings(spark)  # audited bounded-aggregate windows
     results = {}
     rc = 0
 
