@@ -306,6 +306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_ppm": PQ12.mm_decode_ppm,
     "mm_resize_ppm": PQ12.mm_resize_ppm,
     "mm_tiles_ppm": PQ12.mm_tiles_ppm,
+    "pq_train_invariants": PQ12.pq_train_invariants,
     "pipeline_mixture_schedule": PQ7.pipeline_mixture_schedule,
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
@@ -664,6 +665,7 @@ _R8_WINDOW = [
     "pipeline_budget_downsample",
     # (c) new this round
     "kmeans_fit_invariants",
+    "pq_train_invariants",
     "mm_decode_ppm",
     "mm_resize_ppm",
     "mm_tiles_ppm",
@@ -712,7 +714,6 @@ _R8_WINDOW = [
     "set_intersect_nations",
     "set_union_nations",
     "join_range_quantity_bands",
-    "asof_events_orders",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 # Dict-merge keeps the window's insertion order for the first 50 keys;
@@ -778,6 +779,7 @@ ORACLES: dict[str, str] = {
     "mm_decode_ppm": PQ12.MM_DECODE_PPM_SQL,
     "mm_resize_ppm": PQ12.MM_RESIZE_PPM_SQL,
     "mm_tiles_ppm": PQ12.MM_TILES_PPM_SQL,
+    "pq_train_invariants": PQ12.PQ_TRAIN_INVARIANTS_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.operators import multimodal as MM
-from kmeans_mapreduce_spark.plans.pipeline_queries import _docs
+from kmeans_mapreduce_spark.plans.pipeline_queries import _docs, _embs
 
 # dims formula shared with operators/multimodal.attach_ppm_payload
 _DIMS_CTE = """
@@ -150,4 +150,170 @@ SELECT media_id,
 FROM d
 ORDER BY media_id
 """
+)
+
+
+# --- PQ training contract as driver-visible data -----------------------------
+#
+# Same pattern as kmeans_queries.kmeans_fit_invariants: the trained PQ
+# path (ann_pq_topk) is rows-only in the driver gate because float
+# Lloyd training is seed/iteration sensitive, but its CONTRACTS are
+# deterministic booleans — per-subspace monotone descent, codebook
+# shape, code range.  Compute the checks IN the engine, return
+# (check_name, ok) rows, oracle = the trivial all-true VALUES table.
+
+_PQ_CHECKS = (
+    "pq_codebook_shape",
+    "pq_codes_in_range",
+    "pq_distortion_improves_on_init",
+    "pq_one_more_step_non_increasing",
+)
+_PQ_M, _PQ_K, _PQ_DIM = 8, 16, 64
+
+
+def pq_train_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the joint-Lloyd PQ trainer's contract end-to-end:
+
+    - pq_codebook_shape: m x k_codes x (dim/m) books come back
+    - pq_codes_in_range: every emitted code is in [0, k_codes)
+    - pq_distortion_improves_on_init: total reconstruction distortion
+      of the trained books <= the first-k init books' (monotone descent
+      transitively, computed from scratch on the corpus both times)
+    - pq_one_more_step_non_increasing: one extra recenter step composed
+      from the PUBLIC ops (encode -> per-(j,code) means) does not
+      increase distortion — Lloyd's guarantee holds across the
+      train/encode operator boundary, per subspace jointly
+
+    Scale shape: distortion is one exploded map + a scalar agg (the
+    m-fold row fan-out carries dim/m-sized slices — same bytes as the
+    input); the recenter is a (j, code)-keyed partial agg; driver state
+    is the m x k x (dim/m) codebook."""
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+
+    embs = (
+        _embs(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .cache()
+    )
+    sub = _PQ_DIM // _PQ_M
+    try:
+        first_rows = [
+            list(r["v"]) for r in embs.orderBy("id").limit(_PQ_K).collect()
+        ]
+        init_books = [
+            [first_rows[c][j * sub : (j + 1) * sub] for c in range(_PQ_K)]
+            for j in range(_PQ_M)
+        ]
+        books = SIM.pq_train(
+            embs, dim=_PQ_DIM, m=_PQ_M, k_codes=_PQ_K, max_iter=3, init="first"
+        )
+
+        exp = embs.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[F.slice("v", j * sub + 1, sub) for j in range(_PQ_M)]
+                )
+            ).alias("j", "features"),
+        ).cache()
+
+        def _distortion(bks: list[list[list[float]]]) -> float:
+            from pyspark.sql import types as T
+
+            cent_schema = T.StructType(
+                [
+                    T.StructField(
+                        "_C",
+                        T.ArrayType(
+                            T.ArrayType(T.ArrayType(T.DoubleType()))
+                        ),
+                    )
+                ]
+            )
+            cent_df = spark.createDataFrame([(bks,)], cent_schema)
+            d2min = F.expr(
+                "array_min(transform(element_at(_C, j + 1), c -> "
+                "aggregate(zip_with(features, c, (x, y) -> (x-y)*(x-y)), "
+                "0D, (s, v) -> s+v)))"
+            )
+            return float(
+                exp.crossJoin(F.broadcast(cent_df))
+                .agg(F.sum(d2min))
+                .collect()[0][0]
+            )
+
+        codes = SIM.pq_encode(embs, books).select(
+            "id", F.explode(F.col("codes")).alias("code")
+        )
+        code_bounds = codes.agg(
+            F.min("code").alias("lo"), F.max("code").alias("hi")
+        ).collect()[0]
+
+        # one extra recenter composed from public ops: re-assign via
+        # encode semantics, then per-(j, code) means (empty keeps old)
+        from pyspark.sql import types as T
+
+        cent_schema = T.StructType(
+            [
+                T.StructField(
+                    "_C",
+                    T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+                )
+            ]
+        )
+        cent_df = spark.createDataFrame([(books,)], cent_schema)
+        assign = F.expr(
+            "element_at(transform(array(transform(element_at(_C, j + 1), c -> "
+            "aggregate(zip_with(features, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v))), "
+            "ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
+        )
+        stats = (
+            exp.crossJoin(F.broadcast(cent_df))
+            .withColumn("code", assign)
+            .groupBy("j", "code")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("features")[i]).alias(f"s{i}") for i in range(sub)],
+            )
+            .collect()
+        )
+        nxt = [[list(c) for c in bk] for bk in books]
+        for r in stats:
+            nxt[r["j"]][r["code"]] = [r[f"s{i}"] / r["n"] for i in range(sub)]
+
+        d_init, d_fit, d_next = (
+            _distortion(init_books),
+            _distortion(books),
+            _distortion(nxt),
+        )
+        exp.unpersist()
+
+        ok = {
+            "pq_codebook_shape": (
+                len(books) == _PQ_M
+                and all(len(bk) == _PQ_K for bk in books)
+                and all(len(c) == sub for bk in books for c in bk)
+            ),
+            "pq_codes_in_range": (
+                code_bounds["lo"] >= 0 and code_bounds["hi"] < _PQ_K
+            ),
+            "pq_distortion_improves_on_init": d_fit <= d_init * (1 + 1e-9),
+            "pq_one_more_step_non_increasing": d_next <= d_fit * (1 + 1e-9),
+        }
+    finally:
+        embs.unpersist()
+    assert set(ok) == set(_PQ_CHECKS)
+    return spark.createDataFrame(
+        [(name, bool(ok[name])) for name in sorted(ok)],
+        "check_name string, ok boolean",
+    )
+
+
+PQ_TRAIN_INVARIANTS_SQL = (
+    "SELECT check_name, ok FROM (VALUES "
+    + ", ".join(f"('{c}', true)" for c in sorted(_PQ_CHECKS))
+    + ") t(check_name, ok) ORDER BY check_name"
 )

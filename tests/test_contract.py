@@ -38,6 +38,7 @@ def test_catalog_shapes():
         "pipeline_budget_downsample",
         # (c) round-8 additions
         "kmeans_fit_invariants",
+        "pq_train_invariants",
         "mm_decode_ppm",
         "mm_resize_ppm",
         "mm_tiles_ppm",
