@@ -307,6 +307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize_ppm": PQ12.mm_resize_ppm,
     "mm_tiles_ppm": PQ12.mm_tiles_ppm,
     "pq_train_invariants": PQ12.pq_train_invariants,
+    "bpe_train_invariants": PQ12.bpe_train_invariants,
     "pipeline_mixture_schedule": PQ7.pipeline_mixture_schedule,
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
@@ -666,6 +667,7 @@ _R8_WINDOW = [
     # (c) new this round
     "kmeans_fit_invariants",
     "pq_train_invariants",
+    "bpe_train_invariants",
     "mm_decode_ppm",
     "mm_resize_ppm",
     "mm_tiles_ppm",
@@ -713,7 +715,6 @@ _R8_WINDOW = [
     "set_except_nations",
     "set_intersect_nations",
     "set_union_nations",
-    "join_range_quantity_bands",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 # Dict-merge keeps the window's insertion order for the first 50 keys;
@@ -780,6 +781,7 @@ ORACLES: dict[str, str] = {
     "mm_resize_ppm": PQ12.MM_RESIZE_PPM_SQL,
     "mm_tiles_ppm": PQ12.MM_TILES_PPM_SQL,
     "pq_train_invariants": PQ12.PQ_TRAIN_INVARIANTS_SQL,
+    "bpe_train_invariants": PQ12.BPE_TRAIN_INVARIANTS_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,

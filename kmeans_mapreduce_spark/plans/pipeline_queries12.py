@@ -317,3 +317,110 @@ PQ_TRAIN_INVARIANTS_SQL = (
     + ", ".join(f"('{c}', true)" for c in sorted(_PQ_CHECKS))
     + ") t(check_name, ok) ORDER BY check_name"
 )
+
+
+# --- BPE training contract as driver-visible data ----------------------------
+
+_BPE_CHECKS = (
+    "bpe_encode_matches_train_fold",
+    "bpe_freqs_non_increasing",
+    "bpe_n_merges_trained",
+    "bpe_selected_is_argmax",
+    "bpe_token_count_strictly_decreases",
+)
+_BPE_N_MERGES = 8
+
+
+def bpe_train_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the distributed BPE trainer's contract end-to-end — the
+    last rows-only family (pipeline_bpe_train) gets its driver-visible
+    contract query, completing the invariants trio with
+    kmeans_fit_invariants and pq_train_invariants:
+
+    - bpe_n_merges_trained: the corpus yields the full merge budget
+    - bpe_selected_is_argmax: REPLAY the vocab fold from scratch and,
+      at every round, independently recompute the top pair (freq desc,
+      left asc, right asc) — it must equal the trained merge exactly
+      (pair AND weighted frequency); this is the greedy-BPE selection
+      rule certified per round, not just the final table's shape
+    - bpe_freqs_non_increasing: merge frequencies never increase with
+      rank (a theorem for BPE: a merge only lowers old pair counts and
+      creates new pairs bounded by its own frequency)
+    - bpe_encode_matches_train_fold: bpe_encode applied to the distinct
+      words with the trained table reproduces the training loop's final
+      symbol state word-for-word (the train/apply operator boundary)
+    - bpe_token_count_strictly_decreases: the weighted symbol count
+      drops every round (every selected merge fires at least once)
+
+    Scale shape: every check runs on the DISTINCT-WORD frame (the
+    corpus collapses once, same as training); each replay round is one
+    pair-count partial agg + one fold projection with the training
+    loop's own lineage truncation."""
+    from kmeans_mapreduce_spark.operators import bpe as BPE
+
+    merges, final_vocab = BPE.bpe_train(_docs(spark, sf_dir), n_merges=_BPE_N_MERGES)
+
+    vocab = BPE.word_counts(_docs(spark, sf_dir), "text").withColumn(
+        "symbols", BPE._chars(F.col("word"))
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    argmax_ok, decrease_ok = True, True
+    prev_tokens = vocab.agg(
+        F.sum(F.col("wc") * F.size("symbols"))
+    ).collect()[0][0]
+    for m in merges:
+        top = (
+            BPE._pair_counts(vocab)
+            .orderBy(F.desc("freq"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if (
+            not top
+            or (top[0]["left"], top[0]["right"], top[0]["freq"])
+            != (m.left, m.right, m.freq)
+        ):
+            argmax_ok = False
+            break
+        vocab = vocab.withColumn(
+            "symbols", BPE._apply_merge(F.col("symbols"), m.left, m.right)
+        ).localCheckpoint(eager=True)
+        cur_tokens = vocab.agg(
+            F.sum(F.col("wc") * F.size("symbols"))
+        ).collect()[0][0]
+        if cur_tokens >= prev_tokens:
+            decrease_ok = False
+        prev_tokens = cur_tokens
+
+    enc = BPE.bpe_encode(
+        final_vocab.select("word", "wc"), merges, checkpoint_every=0
+    ).select("word", "pieces")
+    mismatches = (
+        final_vocab.select("word", "symbols")
+        .join(enc, "word")
+        .where(F.col("symbols") != F.col("pieces"))
+        .count()
+    )
+
+    ok = {
+        "bpe_encode_matches_train_fold": mismatches == 0,
+        "bpe_freqs_non_increasing": all(
+            merges[i].freq >= merges[i + 1].freq
+            for i in range(len(merges) - 1)
+        ),
+        "bpe_n_merges_trained": len(merges) == _BPE_N_MERGES,
+        "bpe_selected_is_argmax": argmax_ok,
+        "bpe_token_count_strictly_decreases": decrease_ok,
+    }
+    assert set(ok) == set(_BPE_CHECKS)
+    return spark.createDataFrame(
+        [(name, bool(ok[name])) for name in sorted(ok)],
+        "check_name string, ok boolean",
+    )
+
+
+BPE_TRAIN_INVARIANTS_SQL = (
+    "SELECT check_name, ok FROM (VALUES "
+    + ", ".join(f"('{c}', true)" for c in sorted(_BPE_CHECKS))
+    + ") t(check_name, ok) ORDER BY check_name"
+)

@@ -39,6 +39,7 @@ def test_catalog_shapes():
         # (c) round-8 additions
         "kmeans_fit_invariants",
         "pq_train_invariants",
+        "bpe_train_invariants",
         "mm_decode_ppm",
         "mm_resize_ppm",
         "mm_tiles_ppm",
