@@ -93,6 +93,8 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     Raises ValueError on anything malformed."""
     if payload[:2] != b"P6":
         raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+    if payload[2:3] not in (b" ", b"\t", b"\r", b"\n", b"\x0b", b"\x0c", b"#"):
+        raise ValueError("P6 magic must be whitespace/comment-delimited")
     pos, tokens = 2, []
     n = len(payload)
     while len(tokens) < 3:
@@ -116,7 +118,12 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"non-positive dimensions {width}x{height}")
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
-    pos += 1  # exactly one whitespace byte separates maxval from raster
+    # exactly ONE whitespace byte separates maxval from the raster — and
+    # it must actually BE whitespace, else the 'separator' we'd consume
+    # is the first raster byte and the whole raster shifts by one
+    if payload[pos : pos + 1] not in b" \t\r\n\x0b\x0c":
+        raise ValueError("maxval must be followed by one whitespace byte")
+    pos += 1
     raster = payload[pos : pos + 3 * width * height]
     if len(raster) != 3 * width * height:
         raise ValueError(

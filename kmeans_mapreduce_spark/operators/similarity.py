@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.distance import cosine_similarity, dot
@@ -382,6 +382,49 @@ def stream_append_ivf_index(
 
 # --- product quantization (PQ) ----------------------------------------------
 
+# Shared PQ broadcast-codebook plumbing: the per-subspace squared
+# distances to every codeword of THIS row's subspace, with the books
+# riding a broadcast 1-row relation `_C` (array[m][k][sub]) and the
+# row providing `j` (subspace index) and `features` (the sub-slice).
+# One definition, used by the trainer, the encoder-side invariant
+# checks, and any distortion report — so a tie-break or layout change
+# cannot silently diverge between trainer and verifier.
+_PQ_D2S = (
+    "transform(element_at(_C, j + 1), c -> "
+    "aggregate(zip_with(features, c, (x, y) -> (x-y)*(x-y)), "
+    "0D, (s, v) -> s+v))"
+)
+
+
+def pq_books_df(spark, books: list[list[list[float]]]) -> DataFrame:
+    """The broadcast-side 1-row codebook relation (column `_C`)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "_C", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+            )
+        ]
+    )
+    return spark.createDataFrame([(books,)], schema)
+
+
+def pq_assign_expr() -> Column:
+    """argmin code over this row's subspace codebook (ties -> lowest
+    code, the fit_kmeans_native rule)."""
+    return F.expr(
+        f"element_at(transform(array({_PQ_D2S}), "
+        "ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
+    )
+
+
+def pq_min_d2_expr() -> Column:
+    """squared distance to this row's nearest codeword (the per-row
+    reconstruction-distortion term)."""
+    return F.expr(f"array_min({_PQ_D2S})")
+
+
 def pq_train(
     points: DataFrame,
     dim: int,
@@ -423,7 +466,6 @@ def pq_train(
         compute_delta,
         farthest_point_init,
     )
-    from pyspark.sql import types as T
 
     spark = points.sparkSession
     sub = dim // m
@@ -456,26 +498,16 @@ def pq_train(
                 for j in range(m)
             ]
         books = [[list(c) for c in bk] for bk in books]
-        cent_schema = T.StructType(
-            [
-                T.StructField(
-                    "_C",
-                    T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
-                )
-            ]
-        )
         # same argmin/tie expression as the single-space loop, with the
-        # subspace's codebook picked out of the broadcast by j
-        assign = F.expr(
-            "element_at(transform(array(transform(element_at(_C, j + 1), c -> "
-            "aggregate(zip_with(features, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v))), "
-            "ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
-        )
+        # subspace's codebook picked out of the broadcast by j — the
+        # SHARED definition (pq_assign_expr) so trainer and verifiers
+        # can never disagree on the rule
+        assign = pq_assign_expr()
         sums = [F.sum(F.col("features")[i]).alias(f"s{i}") for i in range(sub)]
         active = set(range(m))
         iters = [0] * m
         while active:
-            cent_df = spark.createDataFrame([(books,)], cent_schema)
+            cent_df = pq_books_df(spark, books)
             # No active-set filter: the plan stays bit-identical every
             # iteration (codegen cache); frozen subspaces recompute the
             # same stats, which the update loop below simply ignores.

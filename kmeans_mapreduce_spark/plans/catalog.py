@@ -450,198 +450,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # ---------------------------------------------------------------------------
-# ROUND-5 DRIVER WINDOW (reorders the first 50 entries; everything else
-# keeps its historical position above — the full catalog is still swept
-# by tools/compare.py and the pytest plan tests every round).
-#
-# Composition per the rotation policy: (b) the 8 round-4 driver reds —
-# all one root cause, the `_events` conf-guard crash fixed this round
-# (plans/relational.py:_events) — go first so the fix gets driver
-# evidence; then (a) the never-driver-recorded round-4 analytics batches
-# in ascending batch order (batch 6 → 13).  Remaining never-recorded
-# tail for round 6: users_longest_streaks, events_forecast_backtest,
-# orders_new_vs_returning, orders_hist2d_price_quantity,
-# events_variant_props, lineitem_returns_by_brand,
-# docs_dup_rate_by_source, customers_abc_classes,
-# parts_price_positioning.
-_R5_WINDOW = [
-    # (b) changed this round — the 8 r4 reds, all `_events` dependents
-    "events_funnel",
-    "events_retention_cohorts",
-    "sketch_rollup_weekly_users",
-    "scd2_user_value_history",
-    "events_ohlc_rollup",
-    "events_gapfill_locf",
-    "events_concurrency_sweep",
-    "events_anomaly_mad",
-    # (a) never driver-recorded — batch 6
-    "lm_bigram_logprob",
-    "sketch_countmin_tokens",
-    "sample_weighted_bychars",
-    "docs_pmi_pairs",
-    "embedding_pca_power",
-    "events_ewma",
-    "ab_test_ztest",
-    "attribution_last_touch",
-    "stats_chi2_independence",
-    "graph_triangle_count",
-    # (a) batch 7
-    "orders_pareto_frontier",
-    "events_markov_transitions",
-    "events_autocorr_daily",
-    "events_rolling_corr",
-    "hist_equidepth_prices",
-    "docs_vocab_coverage",
-    "events_dow_seasonality",
-    "orders_mom_growth",
-    "sessions_overlap_pairs",
-    # (a) batch 8
-    "events_user_lifecycle",
-    "events_engagement_gini",
-    "customers_rfm_segments",
-    "events_stickiness_dau_mau",
-    "sessions_bounce_rate",
-    # (a) batch 9
-    "suppliers_nation_hhi",
-    "orders_priority_mix_shift",
-    "nations_trade_balance",
-    "sketch_quantile_rollup",
-    # (a) batch 10
-    "mm_audio_windows",
-    "events_ks_two_sample",
-    "orders_benford_digits",
-    "docs_oov_rate",
-    # (a) batch 11
-    "events_top_paths",
-    "cohort_ltv_curves",
-    "events_peak_detection",
-    # (a) batch 12 + 13 — displaced first if round-5 adds new queries
-    "customers_repurchase_intervals",
-    "sessions_duration_stats",
-    "lineitem_shipping_lead_time",
-    # (c) new in round 5 — fixed-codebook PQ (exact ADC oracle), n-gram
-    # window decontamination, canonicalized dedup, distributed BPE
-    # training (rows-only, reference-impl-pinned).  Round-6 queue
-    # (never driver-sampled): parts_brand_share_topn,
-    # events_hourly_heatmap, parts_market_basket,
-    # events_conversion_latency, asof_tolerance_purchase_click,
-    # mm_image_tiles and pipeline_mixture_schedule (new in r5, didn't
-    # fit), the batch-14/15/16 tail listed above, plus batch 18
-    # (pipeline_dsir_select, dedup_bloom_probe,
-    # pipeline_curriculum_stages, embedding_int8_quant,
-    # privacy_k_anonymity, pipeline_quality_classifier), batch 19
-    # (docs_ngram_novelty, pipeline_token_budget_epochs,
-    # text_zipf_fit), and batch 20 (events_watermark_audit,
-    # dp_noisy_counts, ann_lsh_recall, pipeline_preference_pairs,
-    # text_tokenizer_fertility, pipeline_span_corruption).
-    "ann_pq_fixed_topk",
-    "pipeline_ngram_contamination",
-    "dedup_canonical_exact",
-    "pipeline_bpe_train",
-]
-assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+# WINDOW HISTORY: the per-round 50-entry driver windows (_R5_WINDOW,
+# _R7_WINDOW, ...) are superseded lists — the full ledgers live in git
+# history and each round's VERDICT/CORRECTNESS artifacts.  Only the
+# CURRENT round's window is kept in code (the dict-reorder below plus
+# the contract test pin).
 
-# ---------------------------------------------------------------------------
-# ROUND-7 DRIVER WINDOW (round 6 recorded nothing, so this window
-# completes the full-catalog rotation the round-5 ledger planned).
-# Composition per the rotation policy:
-#   (a) ALL 31 never-driver-sampled queries (batch 12-16 tails, the
-#       round-5 additions that didn't fit, batches 18-20) — after this
-#       window every catalog query has at least one driver-recorded row;
-#   (b) changed this round: pipeline_token_budget_epochs (exact integer
-#       div + available>0 guard) and mm_image_tiles (degenerate-dims
-#       sequence guard) — both already in (a);
-#   (c) new this round: kmeans_fit_fixed (the flagship Lloyd loop
-#       end-to-end under an exact integer-quantized oracle),
-#       pipeline_bpe_apply_fixed (the merge fold under a fixed table),
-#       dedup_minhash_recall (the banding recall contract);
-#   (d) rows-only re-samples so their row-count checks stay fresh:
-#       kmeans_fit_native/mllib/lineitem, ann_pq_topk,
-#       pipeline_bpe_train;
-#   (e) stable driver-green fill (heavy/core representatives), kept at
-#       the tail so later additions displace fill, not signal.
-#   +  dedup_simhash: gained an oracle after its rows-only r3 sampling;
-#      needs one oracle-backed driver row.
-#
-# ROUND-8 LEDGER: once this window is driver-recorded, EVERY catalog
-# query except batch 24 has at least one driver row (the 31
-# never-sampled are all in, and batches 21-23 plus the three round-7
-# oracle queries debut here).  dedup_minhash / dedup_components rotated
-# out to make room — their standing greens are rounds 1-5.  Round-8
-# window composition: (b) any round-7 reds first, (a) batch 24
-# (pipeline_shard_balance, dedup_simhash_histogram,
-# pipeline_budget_downsample — added after the round-7 window filled),
-# (c) round-8 additions, (d) rows-only
-# freshness (kmeans_fit_native/mllib/lineitem, ann_pq_topk,
-# pipeline_bpe_train), then (e) oldest-driver-green fill.
-_R7_WINDOW = [
-    # (a) batch 12 tail + batch 13
-    "parts_brand_share_topn",
-    "events_hourly_heatmap",
-    "parts_market_basket",
-    "events_conversion_latency",
-    # (a) batch 14
-    "users_longest_streaks",
-    "events_forecast_backtest",
-    "orders_new_vs_returning",
-    "orders_hist2d_price_quantity",
-    "events_variant_props",
-    # (a) batch 15 + 16
-    "lineitem_returns_by_brand",
-    "docs_dup_rate_by_source",
-    "customers_abc_classes",
-    "parts_price_positioning",
-    # (a) round-5 additions that never fit a window
-    "asof_tolerance_purchase_click",
-    "mm_image_tiles",
-    "pipeline_mixture_schedule",
-    # (a) batch 18
-    "pipeline_dsir_select",
-    "dedup_bloom_probe",
-    "pipeline_curriculum_stages",
-    "embedding_int8_quant",
-    "privacy_k_anonymity",
-    "pipeline_quality_classifier",
-    # (a) batch 19
-    "docs_ngram_novelty",
-    "pipeline_token_budget_epochs",
-    "text_zipf_fit",
-    # (a) batch 20
-    "events_watermark_audit",
-    "dp_noisy_counts",
-    "ann_lsh_recall",
-    "pipeline_preference_pairs",
-    "text_tokenizer_fertility",
-    "pipeline_span_corruption",
-    # oracle upgrade needing a driver row
-    "dedup_simhash",
-    # (c) new this round
-    "kmeans_fit_fixed",
-    "pipeline_bpe_apply_fixed",
-    "dedup_minhash_recall",
-    # (d) rows-only freshness re-samples
-    "kmeans_fit_native",
-    "kmeans_fit_mllib",
-    "kmeans_fit_lineitem",
-    "ann_pq_topk",
-    "pipeline_bpe_train",
-    # (c continued) batch 21, new this round — displaces five fill slots
-    "pipeline_dedup_yield_curve",
-    "pipeline_sample_temperature",
-    "embedding_norm_outliers",
-    "pipeline_context_length_plan",
-    "text_unigram_kl_sources",
-    # (c continued) batch 22, new this round — displaces three more
-    "pipeline_pack_efficiency",
-    "pipeline_dedup_cross_source",
-    "embedding_pq_distortion",
-    # (c continued) batch 23, new this round — the last two fill slots
-    # go too (dedup_minhash / dedup_components have standing driver
-    # greens from rounds 1-5)
-    "pipeline_quality_prune_sweep",
-    "pipeline_quality_terciles",
-]
-assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 
 # ROUND-8 DRIVER WINDOW.  Round 7 recorded every _R7_WINDOW row green
 # (45 oracle + 5 by-design rows-only).  Composition per the ledger:

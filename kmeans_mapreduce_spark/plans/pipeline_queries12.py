@@ -211,6 +211,10 @@ def pq_train_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             embs, dim=_PQ_DIM, m=_PQ_M, k_codes=_PQ_K, max_iter=3, init="first"
         )
 
+        # SHARED codebook plumbing (SIM.pq_books_df / pq_assign_expr /
+        # pq_min_d2_expr): the verifier uses the trainer's own argmin
+        # and broadcast layout definitions, so a tie-break or layout
+        # change cannot silently certify a different rule
         exp = embs.select(
             "id",
             F.posexplode(
@@ -219,77 +223,51 @@ def pq_train_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("j", "features"),
         ).cache()
+        try:
 
-        def _distortion(bks: list[list[list[float]]]) -> float:
-            from pyspark.sql import types as T
-
-            cent_schema = T.StructType(
-                [
-                    T.StructField(
-                        "_C",
-                        T.ArrayType(
-                            T.ArrayType(T.ArrayType(T.DoubleType()))
-                        ),
-                    )
-                ]
-            )
-            cent_df = spark.createDataFrame([(bks,)], cent_schema)
-            d2min = F.expr(
-                "array_min(transform(element_at(_C, j + 1), c -> "
-                "aggregate(zip_with(features, c, (x, y) -> (x-y)*(x-y)), "
-                "0D, (s, v) -> s+v)))"
-            )
-            return float(
-                exp.crossJoin(F.broadcast(cent_df))
-                .agg(F.sum(d2min))
-                .collect()[0][0]
-            )
-
-        codes = SIM.pq_encode(embs, books).select(
-            "id", F.explode(F.col("codes")).alias("code")
-        )
-        code_bounds = codes.agg(
-            F.min("code").alias("lo"), F.max("code").alias("hi")
-        ).collect()[0]
-
-        # one extra recenter composed from public ops: re-assign via
-        # encode semantics, then per-(j, code) means (empty keeps old)
-        from pyspark.sql import types as T
-
-        cent_schema = T.StructType(
-            [
-                T.StructField(
-                    "_C",
-                    T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+            def _distortion(bks: list[list[list[float]]]) -> float:
+                cent_df = SIM.pq_books_df(spark, bks)
+                return float(
+                    exp.crossJoin(F.broadcast(cent_df))
+                    .agg(F.sum(SIM.pq_min_d2_expr()))
+                    .collect()[0][0]
                 )
-            ]
-        )
-        cent_df = spark.createDataFrame([(books,)], cent_schema)
-        assign = F.expr(
-            "element_at(transform(array(transform(element_at(_C, j + 1), c -> "
-            "aggregate(zip_with(features, c, (x, y) -> (x-y)*(x-y)), 0D, (s, v) -> s+v))), "
-            "ds -> cast(array_position(ds, array_min(ds)) - 1 as int)), 1)"
-        )
-        stats = (
-            exp.crossJoin(F.broadcast(cent_df))
-            .withColumn("code", assign)
-            .groupBy("j", "code")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("features")[i]).alias(f"s{i}") for i in range(sub)],
-            )
-            .collect()
-        )
-        nxt = [[list(c) for c in bk] for bk in books]
-        for r in stats:
-            nxt[r["j"]][r["code"]] = [r[f"s{i}"] / r["n"] for i in range(sub)]
 
-        d_init, d_fit, d_next = (
-            _distortion(init_books),
-            _distortion(books),
-            _distortion(nxt),
-        )
-        exp.unpersist()
+            codes = SIM.pq_encode(embs, books).select(
+                "id", F.explode(F.col("codes")).alias("code")
+            )
+            code_bounds = codes.agg(
+                F.min("code").alias("lo"), F.max("code").alias("hi")
+            ).collect()[0]
+
+            # one extra recenter composed from public ops: re-assign via
+            # encode semantics, then per-(j, code) means (empty keeps old)
+            stats = (
+                exp.crossJoin(F.broadcast(SIM.pq_books_df(spark, books)))
+                .withColumn("code", SIM.pq_assign_expr())
+                .groupBy("j", "code")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.col("features")[i]).alias(f"s{i}")
+                        for i in range(sub)
+                    ],
+                )
+                .collect()
+            )
+            nxt = [[list(c) for c in bk] for bk in books]
+            for r in stats:
+                nxt[r["j"]][r["code"]] = [
+                    r[f"s{i}"] / r["n"] for i in range(sub)
+                ]
+
+            d_init, d_fit, d_next = (
+                _distortion(init_books),
+                _distortion(books),
+                _distortion(nxt),
+            )
+        finally:
+            exp.unpersist()
 
         ok = {
             "pq_codebook_shape": (
@@ -392,9 +370,12 @@ def bpe_train_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             decrease_ok = False
         prev_tokens = cur_tokens
 
-    enc = BPE.bpe_encode(
-        final_vocab.select("word", "wc"), merges, checkpoint_every=0
-    ).select("word", "pieces")
+    # default chunked checkpointing: nesting all 8 folds in one
+    # projection costs super-linear Catalyst analysis (bpe.py docstring:
+    # 13.5s -> 0.3s at sf0.1 when chunked every 4)
+    enc = BPE.bpe_encode(final_vocab.select("word", "wc"), merges).select(
+        "word", "pieces"
+    )
     mismatches = (
         final_vocab.select("word", "symbols")
         .join(enc, "word")

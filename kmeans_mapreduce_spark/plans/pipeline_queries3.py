@@ -198,39 +198,53 @@ def knn_edges_scaled(
         assign_clusters_broadcast,
     )
 
-    e = _embs(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("features")
-    )
-    if k_cells is None:
-        k_cells = max(1, round(e.count() ** 0.5))
-    cents = [
-        list(r["features"])
-        for r in e.orderBy("vec_id").limit(k_cells).collect()
-    ]
-    assigned = assign_clusters_broadcast(e, cents).select(
-        "vec_id", F.col("features").alias("v"), F.col("cluster_id").alias("cell")
-    )
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("src"), F.col("v").alias("va")
-    )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("src") != F.col("dst"))
+    # the frame is read three ways (count, centroid top-k, self-join) —
+    # cache for the build, then hand back a MATERIALIZED edge frame
+    # (localCheckpoint) so the cache can be released before returning
+    e = (
+        _embs(spark, sf_dir)
         .select(
-            "src",
-            "dst",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("score"),
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("features"),
         )
+        .cache()
     )
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k_neighbors)
-        .select("src", "dst")
-    )
+    try:
+        if k_cells is None:
+            k_cells = max(1, round(e.count() ** 0.5))
+        cents = [
+            list(r["features"])
+            for r in e.orderBy("vec_id").limit(k_cells).collect()
+        ]
+        assigned = assign_clusters_broadcast(e, cents).select(
+            "vec_id",
+            F.col("features").alias("v"),
+            F.col("cluster_id").alias("cell"),
+        )
+        a = assigned.select(
+            "cell", F.col("vec_id").alias("src"), F.col("v").alias("va")
+        )
+        b = assigned.select(
+            "cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb")
+        )
+        pairs = (
+            a.join(b, "cell")
+            .where(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                cosine_similarity(F.col("va"), F.col("vb")).alias("score"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_neighbors)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()
 
 
 KNN_GRAPH_SQL = f"""

@@ -143,6 +143,14 @@ def drain_stream_kmeans(
     try:
         deadline = time.time() + timeout_sec
         while sum(model.weights) < expected_rows:
+            # a dead query would otherwise sleep out the whole timeout
+            # and mask its real exception behind a TimeoutError
+            if not q.isActive:
+                exc = q.exception()
+                raise RuntimeError(
+                    f"stream died after {sum(model.weights):.0f} of "
+                    f"{expected_rows} rows: {exc}"
+                )
             if time.time() > deadline:
                 raise TimeoutError(
                     f"stream drained {sum(model.weights):.0f} of "

@@ -59,6 +59,11 @@ def test_decode_rejects_malformed():
         b"P6\n2 2\n",  # truncated header
         b"P6\n2 -2\n255\n" + _PIXELS,  # negative dim ('-' not a digit)
         b"P6\n0 2\n255\n",  # zero dim
+        # maxval followed by a non-whitespace raster byte: consuming it
+        # as the separator would shift the raster by one (regression for
+        # the blind pos += 1)
+        b"P6\n2 2\n255" + bytes([65] * 12) + b"x",
+        b"P62 2\n255\n" + _PIXELS,  # magic not whitespace-delimited
     ]:
         with pytest.raises(ValueError):
             _decode_ppm(bad)

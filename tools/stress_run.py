@@ -119,60 +119,59 @@ def phase_d(spark, results: dict, names: list[str]) -> int:
 
     rc = 0
     t0 = time.time()
-    edges = knn_edges_scaled(spark, STRESS_DIR).cache()
+    # knn_edges_scaled returns a MATERIALIZED (localCheckpoint) frame —
+    # both consumers below read the checkpoint blocks, no extra cache
+    edges = knn_edges_scaled(spark, STRESS_DIR)
     n_edges = edges.count()
     build_sec = round(time.time() - t0, 1)
     print(f"D knn build (sqrt-N cells): {n_edges} edges {build_sec}s", file=sys.stderr)
-    try:
-        if "graph_pagerank_sqrtcells" in names:
-            t0 = time.time()
-            try:
-                nodes = _embs(spark, STRESS_DIR).select(
-                    F.col("vec_id").alias("node")
+    if "graph_pagerank_sqrtcells" in names:
+        t0 = time.time()
+        try:
+            nodes = _embs(spark, STRESS_DIR).select(
+                F.col("vec_id").alias("node")
+            )
+            nrows = pagerank(nodes, edges).count()
+            results["graph_pagerank_sqrtcells"] = {
+                "sec": round(time.time() - t0, 1),
+                "rows": nrows,
+                "edges": n_edges,
+                "knn_build_sec": build_sec,
+            }
+            print(
+                f"D pagerank: {results['graph_pagerank_sqrtcells']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            results["graph_pagerank_sqrtcells"] = {"error": str(exc)[:300]}
+            print(f"D pagerank: ERROR {exc}", file=sys.stderr)
+    if "graph_triangle_sqrtcells" in names:
+        t0 = time.time()
+        try:
+            row = (
+                triangle_counts(edges)
+                .agg(
+                    F.count("*").alias("nodes"),
+                    F.expr("sum(triangles) div 3").alias("total"),
                 )
-                nrows = pagerank(nodes, edges).count()
-                results["graph_pagerank_sqrtcells"] = {
-                    "sec": round(time.time() - t0, 1),
-                    "rows": nrows,
-                    "edges": n_edges,
-                    "knn_build_sec": build_sec,
-                }
-                print(
-                    f"D pagerank: {results['graph_pagerank_sqrtcells']}",
-                    file=sys.stderr,
-                )
-            except Exception as exc:  # noqa: BLE001
-                rc = 1
-                results["graph_pagerank_sqrtcells"] = {"error": str(exc)[:300]}
-                print(f"D pagerank: ERROR {exc}", file=sys.stderr)
-        if "graph_triangle_sqrtcells" in names:
-            t0 = time.time()
-            try:
-                row = (
-                    triangle_counts(edges)
-                    .agg(
-                        F.count("*").alias("nodes"),
-                        F.expr("sum(triangles) div 3").alias("total"),
-                    )
-                    .collect()[0]
-                )
-                results["graph_triangle_sqrtcells"] = {
-                    "sec": round(time.time() - t0, 1),
-                    "nodes_in_triangles": row["nodes"],
-                    "total_triangles": row["total"],
-                    "edges": n_edges,
-                    "knn_build_sec": build_sec,
-                }
-                print(
-                    f"D triangles: {results['graph_triangle_sqrtcells']}",
-                    file=sys.stderr,
-                )
-            except Exception as exc:  # noqa: BLE001
-                rc = 1
-                results["graph_triangle_sqrtcells"] = {"error": str(exc)[:300]}
-                print(f"D triangles: ERROR {exc}", file=sys.stderr)
-    finally:
-        edges.unpersist()
+                .collect()[0]
+            )
+            results["graph_triangle_sqrtcells"] = {
+                "sec": round(time.time() - t0, 1),
+                "nodes_in_triangles": row["nodes"],
+                "total_triangles": row["total"],
+                "edges": n_edges,
+                "knn_build_sec": build_sec,
+            }
+            print(
+                f"D triangles: {results['graph_triangle_sqrtcells']}",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            results["graph_triangle_sqrtcells"] = {"error": str(exc)[:300]}
+            print(f"D triangles: ERROR {exc}", file=sys.stderr)
     return rc
 
 
@@ -182,6 +181,11 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
     bounded on a long-lived stream)."""
     rc = 0
     base = Path(STRESS_DIR) / "streaming"
+    # always start from clean streaming state: a --keep rerun would
+    # otherwise find committed checkpoints (no new batches fold ->
+    # the kmeans pacing times out) and report the PREVIOUS run's
+    # accepted/index/MV contents as fresh results
+    shutil.rmtree(base, ignore_errors=True)
     docs_dir = f"{STRESS_DIR}/documents.parquet"
 
     if "stream_dedup_corpus" in names:
