@@ -531,6 +531,22 @@ _R8_WINDOW = [
     "set_union_nations",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+# ROUND-9 LEDGER (write the _R9_WINDOW from this once round 8 records):
+# no never-driver-sampled queries remain — every catalog query has at
+# least one driver row after this window.  Compose round 9 as:
+#   (b) any round-8 reds first;
+#   (c) round-9 new/changed queries;
+#   (d) rows-only freshness (kmeans_fit_native/mllib/lineitem,
+#       ann_pq_topk, pipeline_bpe_train — each certified by its green
+#       *_invariants sibling);
+#   (e) oldest-green fill, starting with the 12 remaining round-2
+#       vintage rows (join_range_quantity_bands, asof_events_orders,
+#       events_json_extract, events_tumbling_window,
+#       events_sliding_window, events_session_window,
+#       agg_percentiles_lineitem, date_orders_seasonality,
+#       subq_exists_parts, subq_scalar_threshold, window_value_funcs,
+#       window_range_frame), then round-3 vintage in catalog order
+#       (recompute from CORRECTNESS_r0*.json latest-round map).
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
 QUERIES = {**{n: QUERIES[n] for n in _R8_WINDOW}, **QUERIES}
