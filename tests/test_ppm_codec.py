@@ -130,3 +130,46 @@ def test_attach_ppm_payload_is_genuine_p6(spark, sf_dir):
         mid = r["media_id"]
         assert raster[0] == (mid * 7) % 256
         assert raster[-1] == (mid * 7 + 3 * w * h - 1) % 256
+
+
+# --- hypothesis: parser robustness over generated headers -------------------
+
+from hypothesis import given, settings, strategies as st
+
+_ws = st.sampled_from([b" ", b"\t", b"\r", b"\n", b"\x0b", b"\x0c"])
+
+
+@st.composite
+def _sep(draw):
+    """1-3 whitespace bytes, optionally carrying a comment."""
+    parts = [draw(_ws)]
+    if draw(st.booleans()):
+        comment = draw(
+            st.binary(min_size=0, max_size=8).filter(
+                lambda b: b"\n" not in b and b"\r" not in b
+            )
+        )
+        parts += [b"#", comment, b"\n"]
+    parts += [draw(_ws)] * draw(st.integers(0, 2))
+    return b"".join(parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    s1=_sep(),
+    s2=_sep(),
+    s3=_sep(),
+    last=_ws,
+    data=st.data(),
+)
+def test_decode_generated_headers(w, h, s1, s2, s3, last, data):
+    px = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+    )))
+    payload = (
+        b"P6" + s1 + str(w).encode() + s2 + str(h).encode() + s3
+        + b"255" + last + px
+    )
+    assert _decode_ppm(payload) == (w, h, px)
