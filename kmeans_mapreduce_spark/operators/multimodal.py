@@ -431,3 +431,46 @@ def image_tiles(df: DataFrame, patch: int = 16) -> DataFrame:
             ).alias("tile_h"),
         )
     )
+
+
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+)
+
+
+def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Corpus-wide pixel-value histogram over REAL decoded rasters
+    (PPM rows only): each task decodes its media payloads, bins every
+    pixel byte (256 // n_buckets wide buckets, vectorized bincount),
+    and emits ONE partial histogram per Arrow batch — textbook
+    map-side combine: the shuffle carries n_buckets rows per batch no
+    matter how many pixels were decoded.  The final groupBy-sum is a
+    16-row aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    width = 256 // n_buckets
+
+    def hist_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            counts = np.zeros(n_buckets, dtype=np.int64)
+            for payload, mime in zip(batch["payload"], batch["mime"]):
+                if mime != PPM_MIME:
+                    continue
+                _, _, raster = _decode_ppm(bytes(payload))
+                arr = np.frombuffer(raster, dtype=np.uint8)
+                counts += np.bincount(arr // width, minlength=n_buckets)
+            yield pd.DataFrame(
+                {"bucket": np.arange(n_buckets), "n_px": counts}
+            )
+
+    partial = df.mapInPandas(hist_batches, schema=HIST_SCHEMA)
+    return (
+        partial.groupBy("bucket")
+        .agg(F.sum("n_px").alias("n_px"))
+        .where(F.col("n_px") > 0)
+        .orderBy("bucket")
+    )

@@ -308,6 +308,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_tiles_ppm": PQ12.mm_tiles_ppm,
     "pq_train_invariants": PQ12.pq_train_invariants,
     "bpe_train_invariants": PQ12.bpe_train_invariants,
+    "graph_knn_indegree_profile": PQ12.graph_knn_indegree_profile,
+    "events_session_gap_sensitivity": PQ12.events_session_gap_sensitivity,
+    "mm_ppm_pixel_histogram": PQ12.mm_ppm_pixel_histogram,
     "pipeline_mixture_schedule": PQ7.pipeline_mixture_schedule,
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
@@ -485,6 +488,9 @@ _R8_WINDOW = [
     "mm_decode_ppm",
     "mm_resize_ppm",
     "mm_tiles_ppm",
+    "graph_knn_indegree_profile",
+    "events_session_gap_sensitivity",
+    "mm_ppm_pixel_histogram",
     # (b) changed this round
     "kmeans_fit_fixed",
     "pipeline_pack_efficiency",
@@ -526,9 +532,6 @@ _R8_WINDOW = [
     "join_outer_nation_activity",
     "window_order_gaps",
     "topk_orders_global",
-    "set_except_nations",
-    "set_intersect_nations",
-    "set_union_nations",
 ]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 # ROUND-9 LEDGER (write the _R9_WINDOW from this once round 8 records):
@@ -539,8 +542,9 @@ assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 #   (d) rows-only freshness (kmeans_fit_native/mllib/lineitem,
 #       ann_pq_topk, pipeline_bpe_train — each certified by its green
 #       *_invariants sibling);
-#   (e) oldest-green fill, starting with the 12 remaining round-2
-#       vintage rows (join_range_quantity_bands, asof_events_orders,
+#   (e) oldest-green fill, starting with the 15 remaining round-2
+#       vintage rows (set_except/intersect/union_nations,
+#       join_range_quantity_bands, asof_events_orders,
 #       events_json_extract, events_tumbling_window,
 #       events_sliding_window, events_session_window,
 #       agg_percentiles_lineitem, date_orders_seasonality,
@@ -612,6 +616,9 @@ ORACLES: dict[str, str] = {
     "mm_tiles_ppm": PQ12.MM_TILES_PPM_SQL,
     "pq_train_invariants": PQ12.PQ_TRAIN_INVARIANTS_SQL,
     "bpe_train_invariants": PQ12.BPE_TRAIN_INVARIANTS_SQL,
+    "graph_knn_indegree_profile": PQ12.KNN_INDEGREE_SQL,
+    "events_session_gap_sensitivity": PQ12.SESSION_GAP_SENSITIVITY_SQL,
+    "mm_ppm_pixel_histogram": PQ12.MM_PIXEL_HISTOGRAM_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,

@@ -405,3 +405,157 @@ BPE_TRAIN_INVARIANTS_SQL = (
     + ", ".join(f"('{c}', true)" for c in sorted(_BPE_CHECKS))
     + ") t(check_name, ok) ORDER BY check_name"
 )
+
+
+# --- batch 26: hubness, session sensitivity, real-decode histogram ----------
+
+
+def graph_knn_indegree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the corpus k-NN graph: the in-degree
+    distribution (how many vectors chose each vector as a top-3
+    neighbor), INCLUDING never-chosen vectors at in-degree 0.  High-
+    hubness nodes distort ANN recall and embedding-based curation
+    (hub docs get over-selected as "representatives"); anti-hubs are
+    the candidates no dedup/selection pass ever sees — this histogram
+    is the standard readout before trusting a k-NN graph downstream.
+
+    Scale shape: one count-by-neighbor aggregate over the (bounded,
+    N*k-row) edge frame, a left join back to the node set (both sides
+    keyed on vec_id), and a |distinct-degrees|-row rollup."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import (
+        knn_graph_cells,
+    )
+
+    g = knn_graph_cells(spark, sf_dir)
+    deg = g.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count("*").alias("d")
+    )
+    nodes = _embs(spark, sf_dir).select("vec_id")
+    prof = nodes.join(deg, "vec_id", "left").select(
+        F.coalesce(F.col("d"), F.lit(0)).cast("int").alias("indegree")
+    )
+    return (
+        prof.groupBy("indegree")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("indegree")
+    )
+
+
+def _indegree_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import KNN_GRAPH_SQL
+
+    return f"""
+WITH knn AS ({KNN_GRAPH_SQL}),
+deg AS (SELECT neighbor_id AS vec_id, COUNT(*) AS d FROM knn GROUP BY neighbor_id),
+prof AS (
+  SELECT CAST(COALESCE(deg.d, 0) AS INT) AS indegree
+  FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.vec_id)
+SELECT indegree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM prof GROUP BY indegree ORDER BY indegree
+"""
+
+
+KNN_INDEGREE_SQL = _indegree_sql()
+
+_SESSION_GAPS_S = (900, 1800, 3600)  # 15 min / 30 min / 60 min
+
+
+def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization sensitivity sweep: session counts under three
+    inactivity-gap thresholds, from ONE window pass (the yield-curve
+    pattern applied to sessionize).  Picking the gap is the perennial
+    product-analytics knob; this emits the whole curve — sessions,
+    events/session — so the choice is data-driven instead of folklore.
+
+    Scale shape: the lag window is computed once (one user-keyed
+    shuffle + sort); the threshold fan-out is a 3x explode over the
+    already-tiny (user, gap) projection and the rollup is 3 rows.
+    Integer microsecond arithmetic end-to-end — exact on both engines."""
+    from kmeans_mapreduce_spark.plans.relational import _events
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros("ts")
+    gap = (us - F.lag(us).over(w)).alias("gap")
+    fanned = ev.select(gap).select(
+        "gap",
+        F.explode(
+            F.array(*[F.lit(s) for s in _SESSION_GAPS_S])
+        ).alias("gap_s"),
+    )
+    # bigint before the scale-up: 3600 * 1_000_000 overflows int32
+    # under ANSI mode
+    new_session = F.when(
+        F.col("gap").isNull()
+        | (F.col("gap") > F.col("gap_s").cast("bigint") * F.lit(1_000_000)),
+        1,
+    ).otherwise(0)
+    return (
+        fanned.select("gap_s", new_session.alias("ns"))
+        .groupBy("gap_s")
+        .agg(
+            F.sum("ns").cast("bigint").alias("n_sessions"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            (F.col("gap_s") / 60).cast("int").alias("gap_minutes"),
+            "n_sessions",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_sessions"), 6
+            ).alias("events_per_session"),
+        )
+        .orderBy("gap_minutes")
+    )
+
+
+SESSION_GAP_SENSITIVITY_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events),
+fanned AS (
+  SELECT gap, g.gap_s
+  FROM lagged CROSS JOIN (VALUES {", ".join(f"({s})" for s in _SESSION_GAPS_S)}) g(gap_s)),
+rolled AS (
+  SELECT gap_s,
+         SUM(CASE WHEN gap IS NULL
+                  OR gap > CAST(gap_s AS BIGINT) * 1000000
+             THEN 1 ELSE 0 END) AS n_sessions,
+         COUNT(*) AS n_events
+  FROM fanned GROUP BY gap_s)
+SELECT CAST(gap_s // 60 AS INT) AS gap_minutes,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(n_events AS DOUBLE) / n_sessions, 6) AS events_per_session
+FROM rolled
+ORDER BY gap_minutes
+"""
+
+
+def mm_ppm_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide pixel-value histogram (16 buckets) over REAL decoded
+    rasters — the aggregate face of the PPM codec: every payload's
+    raster is parsed and binned inside the tasks (map-side combine:
+    each Arrow batch ships 16 partial rows however many pixels it
+    decoded), so the shuffle is 16 rows x partitions at ANY corpus
+    size.  The oracle re-derives every bucket count from the
+    generative pixel formula — a decode that dropped, duplicated or
+    shifted one byte anywhere in the corpus moves a bucket count."""
+    media = MM.attach_ppm_payload(_docs(spark, sf_dir), "doc_id", "text")
+    return MM.ppm_pixel_histogram(media, n_buckets=16)
+
+
+MM_PIXEL_HISTOGRAM_SQL = (
+    _DIMS_CTE
+    + """
+SELECT CAST(((media_id * 7 + u.i) % 256) // 16 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM d, UNNEST(range(0, 3 * w * h)) AS u(i)
+GROUP BY 1
+HAVING COUNT(*) > 0
+ORDER BY bucket
+"""
+)

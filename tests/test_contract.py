@@ -40,6 +40,9 @@ def test_catalog_shapes():
         "kmeans_fit_invariants",
         "pq_train_invariants",
         "bpe_train_invariants",
+        "graph_knn_indegree_profile",
+        "events_session_gap_sensitivity",
+        "mm_ppm_pixel_histogram",
         "mm_decode_ppm",
         "mm_resize_ppm",
         "mm_tiles_ppm",
