@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,8 +60,9 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, mime: str = "image
 
 def _decode_real(payload: bytes, mime: str):
     """Real decoder hook for codec-library formats (JPEG/PNG/audio/video)
-    — requires PIL/av/soundfile, absent here.  PPM does NOT go through
-    this hook: it has a real dependency-free decoder (`_decode_ppm`)."""
+    — requires PIL/av/soundfile, absent here.  The netpbm formats do
+    NOT go through this hook: they have real dependency-free decoders
+    (`_decode_ppm` / `_decode_pgm`)."""
     raise NotImplementedError(
         "media codec libraries are not installed in this environment; "
         "swap in PIL.Image.open / av.open here on a real cluster"
@@ -67,6 +70,22 @@ def _decode_real(payload: bytes, mime: str):
 
 
 PPM_MIME = "image/x-portable-pixmap"
+PGM_MIME = "image/x-portable-graymap"
+# bytes per pixel for each supported binary-netpbm magic: P6 is
+# interleaved RGB, P5 is single-channel grayscale
+_PNM_CHANNELS = {b"P6": 3, b"P5": 1}
+
+
+def _encode_pnm(magic: bytes, width: int, height: int, pixels: bytes) -> bytes:
+    ch = _PNM_CHANNELS[magic]
+    if len(pixels) != ch * width * height:
+        raise ValueError(
+            f"{magic.decode()} payload needs {ch * width * height} bytes "
+            f"for {width}x{height}, got {len(pixels)}"
+        )
+    return (
+        magic + f"\n{width} {height}\n255\n".encode("ascii") + pixels
+    )
 
 
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
@@ -74,32 +93,40 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
 
     Pure Python, no dependencies — the P6 container is a text header
     (magic, dims, maxval) followed by width*height*3 raw bytes."""
-    if len(pixels) != 3 * width * height:
+    return _encode_pnm(b"P6", width, height, pixels)
+
+
+def encode_pgm(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize raw grayscale bytes as a binary PGM (P5) image —
+    same header grammar as P6, width*height raw bytes."""
+    return _encode_pnm(b"P5", width, height, pixels)
+
+
+def _decode_pnm(payload: bytes, magic: bytes) -> tuple[int, int, bytes]:
+    """REAL binary-netpbm decoder: bytes -> (width, height, raster).
+
+    Shared header scan for the P6 (PPM, 3 bytes/px) and P5 (PGM,
+    1 byte/px) arms.  Full format handling, not a happy-path slice:
+    '#' comments anywhere whitespace is legal, any ASCII whitespace
+    between header tokens, exactly ONE whitespace byte after maxval
+    before the raster (per the netpbm spec — a raster may legitimately
+    begin with a byte that looks like whitespace), maxval validation,
+    and a raster length check.  Raises ValueError on anything
+    malformed."""
+    ch = _PNM_CHANNELS[magic]
+    if payload[:2] != magic:
         raise ValueError(
-            f"P6 payload needs {3 * width * height} bytes for "
-            f"{width}x{height}, got {len(pixels)}"
+            f"not a {magic.decode()} netpbm (magic {payload[:2]!r})"
         )
-    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
-
-
-def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL binary-PPM (P6) decoder: bytes -> (width, height, rgb bytes).
-
-    Full format handling, not a happy-path slice: '#' comments anywhere
-    whitespace is legal, any ASCII whitespace between header tokens,
-    exactly ONE whitespace byte after maxval before the raster (per the
-    netpbm spec — a raster may legitimately begin with a byte that looks
-    like whitespace), maxval validation, and a raster length check.
-    Raises ValueError on anything malformed."""
-    if payload[:2] != b"P6":
-        raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
     if payload[2:3] not in (b" ", b"\t", b"\r", b"\n", b"\x0b", b"\x0c", b"#"):
-        raise ValueError("P6 magic must be whitespace/comment-delimited")
+        raise ValueError(
+            f"{magic.decode()} magic must be whitespace/comment-delimited"
+        )
     pos, tokens = 2, []
     n = len(payload)
     while len(tokens) < 3:
         if pos >= n:
-            raise ValueError("truncated P6 header")
+            raise ValueError(f"truncated {magic.decode()} header")
         b = payload[pos : pos + 1]
         if b in b" \t\r\n\x0b\x0c":
             pos += 1
@@ -112,7 +139,9 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
                 pos += 1
             tokens.append(int(payload[start:pos]))
         else:
-            raise ValueError(f"unexpected byte {b!r} in P6 header")
+            raise ValueError(
+                f"unexpected byte {b!r} in {magic.decode()} header"
+            )
     width, height, maxval = tokens
     if width <= 0 or height <= 0:
         raise ValueError(f"non-positive dimensions {width}x{height}")
@@ -124,12 +153,22 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     if payload[pos : pos + 1] not in b" \t\r\n\x0b\x0c":
         raise ValueError("maxval must be followed by one whitespace byte")
     pos += 1
-    raster = payload[pos : pos + 3 * width * height]
-    if len(raster) != 3 * width * height:
+    raster = payload[pos : pos + ch * width * height]
+    if len(raster) != ch * width * height:
         raise ValueError(
-            f"raster has {len(raster)} bytes, need {3 * width * height}"
+            f"raster has {len(raster)} bytes, need {ch * width * height}"
         )
     return width, height, raster
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """P6 arm: bytes -> (width, height, interleaved RGB raster)."""
+    return _decode_pnm(payload, b"P6")
+
+
+def _decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
+    """P5 arm: bytes -> (width, height, grayscale raster)."""
+    return _decode_pnm(payload, b"P5")
 
 
 def _ppm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
@@ -139,8 +178,6 @@ def _ppm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
     min_byte, max_byte] — parse-offset sensitive on purpose (an
     off-by-one in the header scan shifts first/last/sums and breaks the
     oracle hash)."""
-    import numpy as np
-
     width, height, raster = _decode_ppm(payload)
     arr = np.frombuffer(raster, dtype=np.uint8)
     ch = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
@@ -157,20 +194,48 @@ def _ppm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
     return len(payload), width, height, feature
 
 
-def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Build a media table of REAL binary-PPM images, deterministically
-    derived from a text column: dims come from the text's byte length
-    (w = 4 + n % 13, h = 4 + (n // 13) % 11) and pixel byte i is
-    (media_id*7 + i) % 256 — a generative formula both engines can
-    recompute, while the payload itself is a genuine, parseable P6 file
-    (header + raster) so the decode boundary is exercised for real.
+def _pgm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """P5 sibling of `_ppm_stats`, same 8-slot feature contract: the
+    single gray channel's sum sits in slot 0 and slots 1-2 are 0.0
+    (grayscale has no G/B planes — zeros, not a tripled sum, so a
+    mixed-mime aggregate over slot sums stays honest)."""
+    width, height, raster = _decode_pgm(payload)
+    arr = np.frombuffer(raster, dtype=np.uint8)
+    feature = [
+        float(arr.sum(dtype=np.int64)),
+        0.0,
+        0.0,
+        float(arr[0]),
+        float(arr[-1]),
+        float(width * height),
+        float(arr.min()),
+        float(arr.max()),
+    ]
+    return len(payload), width, height, feature
+
+
+# per-mime REAL decoders — the dispatch `decode_media` consults before
+# falling back to the deterministic fake
+_REAL_STATS = {PPM_MIME: _ppm_stats, PGM_MIME: _pgm_stats}
+
+
+def _attach_pnm(
+    df: DataFrame, id_col: str, text_col: str, mixed: bool
+) -> DataFrame:
+    """Shared synthesis for `attach_ppm_payload` / `attach_pnm_mixed_payload`:
+    dims come from the text's byte length (w = 4 + n % 13,
+    h = 4 + (n // 13) % 11) and raster byte i is (media_id*7 + i) % 256
+    — a generative formula both engines can recompute, while the
+    payload itself is a genuine, parseable netpbm file (header +
+    raster) so the decode boundary is exercised for real.  With
+    ``mixed``, odd media_ids get grayscale P5 (w*h raster bytes, same
+    byte formula), even ones RGB P6 — so one frame drives BOTH real
+    decoder arms through the per-row mime dispatch.
 
     Arrow-batched mapInPandas: synthesis is per-batch, partition
     independent — the same shape a real "fetch bytes from blob store"
     stage has at 100 TB."""
     import pandas as pd
-
-    import numpy as np
 
     src = df.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -179,23 +244,44 @@ def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for batch in batches:
-            payloads = []
+            payloads, mimes = [], []
             for mid, n in zip(batch["media_id"], batch["_n"]):
                 w = 4 + int(n) % 13
                 h = 4 + (int(n) // 13) % 11
-                px = ((int(mid) * 7 + np.arange(3 * w * h)) % 256).astype(
+                gray = mixed and int(mid) % 2 == 1
+                n_px = (1 if gray else 3) * w * h
+                px = ((int(mid) * 7 + np.arange(n_px)) % 256).astype(
                     np.uint8
                 )
-                payloads.append(encode_ppm(w, h, px.tobytes()))
+                if gray:
+                    payloads.append(encode_pgm(w, h, px.tobytes()))
+                    mimes.append(PGM_MIME)
+                else:
+                    payloads.append(encode_ppm(w, h, px.tobytes()))
+                    mimes.append(PPM_MIME)
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"].values,
                     "payload": payloads,
-                    "mime": PPM_MIME,
+                    "mime": mimes,
                 }
             )
 
     return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Media table of REAL binary-PPM (P6) images — see `_attach_pnm`."""
+    return _attach_pnm(df, id_col, text_col, mixed=False)
+
+
+def attach_pnm_mixed_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Media table mixing P5 (odd media_ids) and P6 (even) payloads —
+    exercises `decode_media`'s per-row mime dispatch with two REAL
+    decoder arms in one frame.  See `_attach_pnm`."""
+    return _attach_pnm(df, id_col, text_col, mixed=True)
 
 
 def _decode_fake(payload: bytes):
@@ -218,10 +304,11 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
 
     Arrow-batched: each task receives an iterator of pandas batches;
     per-batch work never holds the whole partition.  Dispatch is per
-    row on mime: PPM payloads go through the REAL pure-Python decoder
-    (`_decode_ppm` — header parse, raster extraction, pixel stats);
-    codec-library formats keep the deterministic fake unless
-    ``use_real_codec`` routes them to the PIL/av hook.
+    row on mime: netpbm payloads go through the REAL pure-Python
+    decoders (`_REAL_STATS` — P6/PPM and P5/PGM header parse, raster
+    extraction, pixel stats); codec-library formats keep the
+    deterministic fake unless ``use_real_codec`` routes them to the
+    PIL/av hook.
     """
     import pandas as pd
 
@@ -230,9 +317,7 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
             if use_real_codec:
                 _decode_real(b"", "")  # raises NotImplementedError by design
             decoded = [
-                _ppm_stats(bytes(p))
-                if m == PPM_MIME
-                else _decode_fake(bytes(p))
+                _REAL_STATS.get(m, _decode_fake)(bytes(p))
                 for p, m in zip(batch["payload"], batch["mime"])
             ]
             yield pd.DataFrame(
@@ -275,7 +360,6 @@ def resize_media(df: DataFrame, max_side: int = 32, use_real_codec: bool = False
     Other mimes keep the fake decoder (thumb dims from decoded dims,
     8-dim feature pooled to 4).  Swap _decode_real in for the PIL path
     on a real cluster (same schema contract)."""
-    import numpy as np
     import pandas as pd
 
     def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -286,22 +370,27 @@ def resize_media(df: DataFrame, max_side: int = 32, use_real_codec: bool = False
             for mid, payload, mime in zip(
                 batch["media_id"], batch["payload"], batch["mime"]
             ):
-                if mime == PPM_MIME:
-                    w, h, raster = _decode_ppm(bytes(payload))
+                if mime in (PPM_MIME, PGM_MIME):
+                    n_ch = 3 if mime == PPM_MIME else 1
+                    w, h, raster = _decode_pnm(
+                        bytes(payload), b"P6" if n_ch == 3 else b"P5"
+                    )
                     side = max(w, h)
                     tw = max(1, (w * max_side) // side)
                     th = max(1, (h * max_side) // side)
                     img = np.frombuffer(raster, dtype=np.uint8).reshape(
-                        h, w, 3
+                        h, w, n_ch
                     )
                     sy = (np.arange(th) * h) // th
                     sx = (np.arange(tw) * w) // tw
                     thumb = img[sy][:, sx]
-                    ch = thumb.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    ch = thumb.reshape(-1, n_ch).sum(axis=0, dtype=np.int64)
+                    # grayscale: single-channel sum in slot 0, zeros for
+                    # the missing G/B planes (same contract as _pgm_stats)
                     pooled = [
                         float(ch[0]),
-                        float(ch[1]),
-                        float(ch[2]),
+                        float(ch[1]) if n_ch == 3 else 0.0,
+                        float(ch[2]) if n_ch == 3 else 0.0,
                         float(ch.sum()),
                     ]
                 else:
@@ -449,7 +538,6 @@ def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
     map-side combine: the shuffle carries n_buckets rows per batch no
     matter how many pixels were decoded.  The final groupBy-sum is a
     16-row aggregate."""
-    import numpy as np
     import pandas as pd
 
     width = 256 // n_buckets

@@ -233,7 +233,12 @@ def knn_edges_scaled(
             .select(
                 "src",
                 "dst",
-                cosine_similarity(F.col("va"), F.col("vb")).alias("score"),
+                # same 6-dp rounding before ranking as the oracle-pinned
+                # fixture (knn_graph_cells) — one ranking rule for both
+                # paths, so near-tie neighbors rank identically
+                F.round(
+                    cosine_similarity(F.col("va"), F.col("vb")), 6
+                ).alias("score"),
             )
         )
         w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))

@@ -116,15 +116,31 @@ def drain_stream_kmeans(
     with a short processingTime trigger and stopped once the model's
     weight mass reaches the target (requires decay == 1.0, where
     weights sum to exactly the rows folded)."""
+    import threading
+
     model = StreamingKMeansModel(
         [list(c) for c in initial_centroids], decay=decay
     )
+    # foreachBatch runs on the streaming thread while the pacing loop
+    # below reads model.weights from the caller's thread — serialize
+    # both through one lock rather than leaning on the GIL.
+    model_lock = threading.Lock()
+    # foreachBatch is AT-LEAST-ONCE: after a failure the last
+    # uncommitted micro-batch is replayed with the SAME batch_id.  The
+    # fold is not idempotent (weights accumulate), so skip ids already
+    # folded by this run; cross-run replay against a stale checkpoint
+    # is caught by the mass-overshoot check in the pacing loop.
+    folded_ids: set[int] = set()
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in folded_ids:
+            return
         pts = to_points(batch_df)
         if pts.isEmpty():
             return
-        model.update(pts)
+        with model_lock:
+            model.update(pts)
+            folded_ids.add(batch_id)
 
     writer = src.writeStream.foreachBatch(fold)
     if checkpoint is not None:
@@ -142,18 +158,33 @@ def drain_stream_kmeans(
     q = writer.trigger(processingTime="250 milliseconds").start()
     try:
         deadline = time.time() + timeout_sec
-        while sum(model.weights) < expected_rows:
+        while True:
+            with model_lock:
+                mass = sum(model.weights)
+            if mass > expected_rows:
+                # with decay=1.0 the weight mass equals the rows folded;
+                # overshoot means rows were folded twice — e.g. a fresh
+                # model driven against a checkpoint whose committed
+                # offsets no longer match the source (stale checkpoint).
+                # Erroring beats returning a silently corrupted model.
+                raise RuntimeError(
+                    f"folded {mass:.0f} rows but expected exactly "
+                    f"{expected_rows} — a micro-batch was double-folded "
+                    "(stale checkpoint replay?); model state is invalid"
+                )
+            if mass >= expected_rows:
+                break
             # a dead query would otherwise sleep out the whole timeout
             # and mask its real exception behind a TimeoutError
             if not q.isActive:
                 exc = q.exception()
                 raise RuntimeError(
-                    f"stream died after {sum(model.weights):.0f} of "
+                    f"stream died after {mass:.0f} of "
                     f"{expected_rows} rows: {exc}"
                 )
             if time.time() > deadline:
                 raise TimeoutError(
-                    f"stream drained {sum(model.weights):.0f} of "
+                    f"stream drained {mass:.0f} of "
                     f"{expected_rows} rows in {timeout_sec}s"
                 )
             time.sleep(0.25)
