@@ -179,7 +179,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_percentile_customers": RX3.window_percentile_customers,
     "events_gapfill_locf": AN.events_gapfill_locf,
     "dedup_semantic_clusters": PQ3.dedup_semantic_clusters,
-    "knn_graph_cells": PQ3.knn_graph_cells,
+    # oracle pins the 4-cell fixture; the operator default is ceil(sqrt(N))
+    "knn_graph_cells": PQ3.knn_graph_cells_fixture,
     "pipeline_lang_rebalance": PQ3.pipeline_lang_rebalance,
     "text_pii_scrub": PQ3.text_pii_scrub,
     "embedding_dim_stats": PQ3.embedding_dim_stats,
@@ -247,6 +248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "km_two_iterations": KQ.km_two_iterations,
     "kmeans_fit_fixed": KQ.kmeans_fit_fixed,
     "kmeans_fit_invariants": KQ.kmeans_fit_invariants,
+    "mllib_fit_invariants": KQ.mllib_fit_invariants,
     "kmeans_fit_native": kmeans_fit_native,
     "kmeans_fit_mllib": kmeans_fit_mllib,
     "kmeans_fit_lineitem": KQ.kmeans_fit_lineitem,
@@ -311,6 +313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_knn_indegree_profile": PQ12.graph_knn_indegree_profile,
     "events_session_gap_sensitivity": PQ12.events_session_gap_sensitivity,
     "mm_ppm_pixel_histogram": PQ12.mm_ppm_pixel_histogram,
+    "mm_decode_pnm_mixed": PQ12.mm_decode_pnm_mixed,
     "pipeline_mixture_schedule": PQ7.pipeline_mixture_schedule,
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
@@ -460,100 +463,92 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the contract test pin).
 
 
-# ROUND-8 DRIVER WINDOW.  Round 7 recorded every _R7_WINDOW row green
-# (45 oracle + 5 by-design rows-only).  Composition per the ledger:
-#   (a) batch 24 debut — the ONLY queries with no driver row after r7
-#       (judge pre-verified green in the r7 vanilla sweep); recording
-#       them makes every pre-round-8 catalog query driver-covered;
-#   (c) new this round: kmeans_fit_invariants (trained-fit contracts as
-#       an exact all-true oracle) and the real-codec PPM family
-#       (mm_decode_ppm / mm_resize_ppm / mm_tiles_ppm);
-#   (b) changed this round (round-7 ADVICE fixes): kmeans_fit_fixed
-#       (offset guard), pipeline_pack_efficiency (integer div),
-#       pipeline_dedup_cross_source (exact-side domain);
+# ROUND-9 DRIVER WINDOW.  Round 8 recorded every _R8_WINDOW row green
+# (45 oracle + 5 by-design rows-only), completing 239/239 cumulative
+# driver coverage — from here the window is pure freshness rotation.
+# Composition per the ledger:
+#   (b) round-8 reds: none;
+#   (c) new this round: mllib_fit_invariants (the last two rows-only
+#       paths get an in-engine contract certificate) and
+#       mm_decode_pnm_mixed (P5/P6 mixed-mime real-codec dispatch);
+#       changed this round: set_except_nations (non-empty predicate —
+#       the 0-row green was vacuous), the k-NN graph family (cell
+#       assignment unified on the broadcast-centroid relation;
+#       k_cells now defaults to ceil(sqrt(N)) with the 4-cell fixture
+#       pinned at the oracle call sites), and the mm_* real-codec
+#       family (decode dispatch generalized to the P5/P6 table);
 #   (d) rows-only freshness re-samples (trained/seed-sensitive paths,
-#       each shadowed by a green exact-oracle sibling in this window);
-#   (e) oldest-driver-green fill: the 35 round-2-vintage rows — the
-#       stalest standing greens in the ledger — so freshness rotates
-#       through the whole catalog.
-_R8_WINDOW = [
-    # (a) batch 24 debut
-    "pipeline_shard_balance",
-    "dedup_simhash_histogram",
-    "pipeline_budget_downsample",
+#       each shadowed by a green *_invariants sibling in this window);
+#   (e) oldest-driver-green fill: all 14 remaining round-2-vintage
+#       rows (set_except is in (c)), then round-3 vintage in catalog
+#       order (18 of 40 — the rest queue for round 10).
+_R9_WINDOW = [
     # (c) new this round
-    "kmeans_fit_invariants",
-    "pq_train_invariants",
-    "bpe_train_invariants",
+    "mllib_fit_invariants",
+    "mm_decode_pnm_mixed",
+    # (c) changed this round
+    "set_except_nations",
+    "knn_graph_cells",
+    "graph_knn_indegree_profile",
+    "graph_pagerank_vectors",
+    "graph_bfs_reach",
+    "graph_triangle_count",
     "mm_decode_ppm",
     "mm_resize_ppm",
     "mm_tiles_ppm",
-    "graph_knn_indegree_profile",
-    "events_session_gap_sensitivity",
     "mm_ppm_pixel_histogram",
-    # (b) changed this round
-    "kmeans_fit_fixed",
-    "pipeline_pack_efficiency",
-    "pipeline_dedup_cross_source",
-    # (d) rows-only freshness re-samples
+    "mm_decode",
+    # (d) rows-only freshness (certified by invariants siblings above)
     "kmeans_fit_native",
     "kmeans_fit_mllib",
     "kmeans_fit_lineitem",
     "ann_pq_topk",
     "pipeline_bpe_train",
-    # (e) oldest-green fill (round-2 vintage, in catalog order)
-    "km_two_iterations",
-    "ingest_typed_projection",
-    "km_assign",
-    "km_recenter",
-    "km_farthest",
-    "km_delta",
-    "km_avg_pairwise",
-    "km_avg_point_dist",
-    "km_reshape_2d",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "join_semi_urgent_customers",
-    "join_anti_no_urgent",
-    "window_top_orders",
-    "window_running_total",
-    "window_ntile_customers",
-    "agg_rollup_orders",
-    "agg_cube_lineitem",
-    "agg_distinct_customers",
-    "agg_salted_user_rollup",
-    "agg_pivot_status",
-    "agg_unpivot_lineitem",
-    "q6_forecast_revenue",
-    "agg_grouping_sets_orders",
-    "string_part_names",
-    "subq_small_quantity_revenue",
-    "join_outer_nation_activity",
-    "window_order_gaps",
-    "topk_orders_global",
+    # (e) oldest-green fill: round-2 vintage (catalog order)
+    "set_intersect_nations",
+    "set_union_nations",
+    "join_range_quantity_bands",
+    "asof_events_orders",
+    "events_json_extract",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "agg_percentiles_lineitem",
+    "date_orders_seasonality",
+    "subq_exists_parts",
+    "subq_scalar_threshold",
+    "window_value_funcs",
+    "window_range_frame",
+    # (e) oldest-green fill: round-3 vintage (catalog order)
+    "dedup_components",
+    "ann_ivf_topk",
+    "text_bm25_rank",
+    "events_sessionize",
+    "agg_approx_stats",
+    "q22_dormant_customers",
+    "dedup_latest_event",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "sample_train_split",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_brute_topk",
+    "mm_metadata",
 ]
-assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
-# ROUND-9 LEDGER (write the _R9_WINDOW from this once round 8 records):
-# no never-driver-sampled queries remain — every catalog query has at
-# least one driver row after this window.  Compose round 9 as:
-#   (b) any round-8 reds first;
-#   (c) round-9 new/changed queries;
-#   (d) rows-only freshness (kmeans_fit_native/mllib/lineitem,
-#       ann_pq_topk, pipeline_bpe_train — each certified by its green
-#       *_invariants sibling);
-#   (e) oldest-green fill, starting with the 15 remaining round-2
-#       vintage rows (set_except/intersect/union_nations,
-#       join_range_quantity_bands, asof_events_orders,
-#       events_json_extract, events_tumbling_window,
-#       events_sliding_window, events_session_window,
-#       agg_percentiles_lineitem, date_orders_seasonality,
-#       subq_exists_parts, subq_scalar_threshold, window_value_funcs,
-#       window_range_frame), then round-3 vintage in catalog order
-#       (recompute from CORRECTNESS_r0*.json latest-round map).
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+# ROUND-10 LEDGER (write the _R10_WINDOW from this once round 9
+# records): compose as (b) any round-9 reds -> (c) round-10 new/changed
+# -> (d) rows-only freshness -> (e) oldest-green fill with the 22
+# remaining round-3-vintage rows (recompute the latest-round map from
+# CORRECTNESS_r0*.json — the 18 sampled this round move to round 9),
+# then round-4 vintage in catalog order.
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R8_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R9_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,
@@ -567,6 +562,7 @@ ORACLES: dict[str, str] = {
     "km_two_iterations": KQ.KM_TWO_ITER_SQL,
     "kmeans_fit_fixed": KQ.KM_FIT_FIXED_SQL,
     "kmeans_fit_invariants": KQ.KM_FIT_INVARIANTS_SQL,
+    "mllib_fit_invariants": KQ.MLLIB_FIT_INVARIANTS_SQL,
     "pipeline_bpe_apply_fixed": PQ7.BPE_APPLY_FIXED_SQL,
     "dedup_minhash_recall": PQ10.MINHASH_RECALL_SQL,
     "pipeline_dedup_yield_curve": PQ11.YIELD_CURVE_SQL,
@@ -619,6 +615,7 @@ ORACLES: dict[str, str] = {
     "graph_knn_indegree_profile": PQ12.KNN_INDEGREE_SQL,
     "events_session_gap_sensitivity": PQ12.SESSION_GAP_SENSITIVITY_SQL,
     "mm_ppm_pixel_histogram": PQ12.MM_PIXEL_HISTOGRAM_SQL,
+    "mm_decode_pnm_mixed": PQ12.MM_DECODE_PNM_MIXED_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,

@@ -28,7 +28,9 @@ _BFS_MAX_HOPS = 4
 
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = knn_graph_cells(spark, sf_dir)
+    # pinned 4-cell fixture: these queries' DuckDB oracles re-derive the
+    # edge set from 4 cells; the operator's own default is ceil(sqrt(N))
+    g = knn_graph_cells(spark, sf_dir, k_cells=4)
     return g.select(F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst"))
 
 

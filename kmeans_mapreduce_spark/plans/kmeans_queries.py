@@ -717,3 +717,123 @@ KM_FIT_INVARIANTS_SQL = (
     + ", ".join(f"('{c}', true)" for c in sorted(_INVARIANT_CHECKS))
     + ") t(check_name, ok) ORDER BY check_name"
 )
+
+
+_MLLIB_INVARIANT_CHECKS = (
+    "lineitem_ids_in_range",
+    "lineitem_k_clusters",
+    "lineitem_sizes_sum_to_n",
+    "mllib_ids_in_range",
+    "mllib_k_clusters",
+    "mllib_seed_reproducible",
+    "mllib_sizes_sum_to_n",
+    "mllib_wssse_not_worse_than_native",
+)
+
+
+def mllib_fit_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`kmeans_fit_invariants` sibling for the two remaining rows-only
+    fits — the MLlib fast path (catalog `kmeans_fit_mllib`) and the
+    lineitem-featurized fit (catalog `kmeans_fit_lineitem`) — so every
+    seed/iteration-sensitive path has an in-engine contract certificate:
+
+    - mllib_k_clusters / mllib_ids_in_range / mllib_sizes_sum_to_n:
+      the catalog-config MLlib fit (k=10, seed=42) returns exactly k
+      centers, assigns every point an id in [0, k), and its cluster
+      sizes account for the whole corpus
+    - mllib_seed_reproducible: two k=4 fits with the same seed land on
+      the same centroids (1e-9 max-abs tolerance — same-session
+      aggregation order, not a bit-exactness claim across JVMs)
+    - mllib_wssse_not_worse_than_native: on the SAME corpus and k,
+      MLlib (k-means|| init, its own stop rule) must not end with
+      higher WSSSE than the native loop's deterministic first-K-ids
+      init — both costs computed by the SAME in-engine aggregate over
+      each model's final centroids, so the comparison is init/loop
+      quality, not cost-function skew
+    - lineitem_k_clusters / lineitem_ids_in_range /
+      lineitem_sizes_sum_to_n: the public lineitem query's 4-row
+      output is structurally sound and its sizes sum to |lineitem|
+
+    Scale shape: every check is a distributed aggregate over the cached
+    points (the fits' own k x (d+1) posture); driver state is k x d
+    centroid lists and the tiny per-cluster size rows."""
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        _dist2_to_centroids,
+        fit_kmeans_mllib,
+        fit_kmeans_native,
+    )
+
+    pts = points_from_embeddings(spark, sf_dir, dim=DIM).cache()
+    try:
+        n_total = pts.count()
+        # catalog-config structural contract (k=10, seed=42)
+        _, assigned10 = fit_kmeans_mllib(pts, k=10, seed=42)
+        sizes10 = (
+            assigned10.groupBy("cluster_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        # k=4 pair: seed reproducibility + the native comparison
+        model_a, _ = fit_kmeans_mllib(pts, k=K, seed=7)
+        model_b, _ = fit_kmeans_mllib(pts, k=K, seed=7)
+        cents_a = [[float(x) for x in c] for c in model_a.clusterCenters()]
+        cents_b = [[float(x) for x in c] for c in model_b.clusterCenters()]
+        max_dev = max(
+            abs(x - y)
+            for ca, cb in zip(cents_a, cents_b)
+            for x, y in zip(ca, cb)
+        )
+        init = [
+            list(r["features"])
+            for r in pts.where(F.col("id") < K).orderBy("id").collect()
+        ]
+        res = fit_kmeans_native(
+            pts, k=K, dim=DIM, initial_centroids=init, cache_input=False
+        )
+
+        def _wssse(cents: list[list[float]]) -> float:
+            return float(
+                pts.agg(
+                    F.sum(F.array_min(_dist2_to_centroids("features", cents)))
+                ).collect()[0][0]
+            )
+
+        w_mllib, w_native = _wssse(cents_a), _wssse(res.centroids)
+        li_rows = kmeans_fit_lineitem(spark, sf_dir).collect()
+        li_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+        ok = {
+            "lineitem_ids_in_range": all(
+                0 <= r["cluster_id"] < 4 for r in li_rows
+            ),
+            "lineitem_k_clusters": len(
+                {r["cluster_id"] for r in li_rows}
+            ) == 4,
+            "lineitem_sizes_sum_to_n": sum(
+                r["size"] for r in li_rows
+            ) == li_n,
+            "mllib_ids_in_range": all(
+                0 <= r["cluster_id"] < 10 for r in sizes10
+            ),
+            "mllib_k_clusters": len(cents_a) == K
+            and len({r["cluster_id"] for r in sizes10}) == 10,
+            "mllib_seed_reproducible": max_dev < 1e-9,
+            "mllib_sizes_sum_to_n": sum(r["cnt"] for r in sizes10)
+            == n_total,
+            "mllib_wssse_not_worse_than_native": w_mllib
+            <= w_native * (1 + 1e-6),
+        }
+    finally:
+        pts.unpersist()
+    assert set(ok) == set(_MLLIB_INVARIANT_CHECKS)
+    return spark.createDataFrame(
+        [(name, bool(ok[name])) for name in sorted(ok)],
+        "check_name string, ok boolean",
+    )
+
+
+MLLIB_FIT_INVARIANTS_SQL = (
+    "SELECT check_name, ok FROM (VALUES "
+    + ", ".join(f"('{c}', true)" for c in sorted(_MLLIB_INVARIANT_CHECKS))
+    + ") t(check_name, ok) ORDER BY check_name"
+)

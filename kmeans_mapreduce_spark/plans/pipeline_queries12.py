@@ -426,7 +426,9 @@ def graph_knn_indegree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_graph_cells,
     )
 
-    g = knn_graph_cells(spark, sf_dir)
+    # pinned 4-cell fixture — the oracle re-derives the edge set from 4
+    # cells (the operator's own default is ceil(sqrt(N)))
+    g = knn_graph_cells(spark, sf_dir, k_cells=4)
     deg = g.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
         F.count("*").alias("d")
     )
@@ -557,5 +559,55 @@ FROM d, UNNEST(range(0, 3 * w * h)) AS u(i)
 GROUP BY 1
 HAVING COUNT(*) > 0
 ORDER BY bucket
+"""
+)
+
+
+def mm_decode_pnm_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format REAL decode: odd doc_ids carry grayscale P5 (PGM)
+    payloads, even ones RGB P6 (PPM) — one frame drives BOTH real
+    decoder arms of decode_media's per-row mime dispatch
+    (operators/multimodal._REAL_STATS), so the dispatch itself is
+    oracle-verified, not just each codec in isolation.  Reported
+    per image: dispatched mime, parsed dims, total byte count
+    (header + channel-dependent raster length), exact pixel sum and
+    the first/last raster bytes — any arm decoding with the wrong
+    channel count or header offset shifts these and breaks the hash."""
+    media = MM.attach_pnm_mixed_payload(_docs(spark, sf_dir), "doc_id", "text")
+    dec = MM.decode_media(media)
+    return dec.select(
+        "media_id",
+        "mime",
+        "width",
+        "height",
+        "n_bytes",
+        (F.col("feature")[0] + F.col("feature")[1] + F.col("feature")[2])
+        .cast("bigint")
+        .alias("pix_sum"),
+        F.col("feature")[3].cast("int").alias("first_px"),
+        F.col("feature")[4].cast("int").alias("last_px"),
+    )
+
+
+MM_DECODE_PNM_MIXED_SQL = (
+    _DIMS_CTE
+    + """
+, c AS (
+  SELECT media_id, w, h,
+         CASE WHEN media_id % 2 = 1 THEN 1 ELSE 3 END AS ch
+  FROM d)
+SELECT media_id,
+       CASE WHEN ch = 1 THEN 'image/x-portable-graymap'
+            ELSE 'image/x-portable-pixmap' END AS mime,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       -- 'P5\\n'/'P6\\n' + 'w h\\n' + '255\\n' + ch*w*h raster bytes
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + ch * w * h AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(0, ch * w * h),
+            i -> (media_id * 7 + i) % 256)) AS BIGINT) AS pix_sum,
+       CAST((media_id * 7) % 256 AS INT) AS first_px,
+       CAST((media_id * 7 + ch * w * h - 1) % 256 AS INT) AS last_px
+FROM c
 """
 )

@@ -122,31 +122,29 @@ GROUP BY a.cluster_id ORDER BY a.cluster_id
 
 # --- k-NN graph over IVF cells --------------------------------------------
 
-def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus k-NN graph (k=3) built within IVF cells: every vector's
-    top-3 cosine neighbors among its own cell's members (n_probe=1 —
-    the standard graph-construction pass behind cluster-based curation
-    and graph ANN index bootstrapping).
+def _knn_cell_pairs(e: DataFrame, cents, k_neighbors: int) -> DataFrame:
+    """Within-cell top-k cosine ranking shared by the fixture and scale
+    paths (ONE ranking rule — 6-dp-rounded score, neighbor_id
+    tiebreak): assign each vector to its nearest cell centroid via the
+    broadcast centroid relation (codegen independent of cell count — a
+    sqrt(N) x d literal plan would blow up codegen), equi self-join on
+    the cell id, rank per node.
 
-    Unlike ivf_topk (which broadcasts its small QUERY side), here both
+    Unlike ivf_topk (which broadcasts its small QUERY side), both join
     sides are the full corpus, so the plan is a plain equi self-join on
     cell id — NO broadcast: Catalyst shuffle-partitions both sides on
     the dense int key.  At 100 TB the corpus is written bucketed-by-cell
-    so the self-join is co-located (zero extra shuffle); candidate count
-    per row is the cell size, bounded by k_cells ~ sqrt(N) (the 4 cells
-    here are a fixture artifact — production k_cells is the skew knob).
-    Edge effect: like any n_probe=1 graph, boundary vectors may miss
-    cross-cell true neighbors — the documented recall/cost knob."""
-    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
-    from kmeans_mapreduce_spark.plans.kmeans_queries import _fixed_centroids
-
-    cents = _fixed_centroids(spark, sf_dir, k=4)
-    e = _embs(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    so the self-join is co-located (zero extra shuffle)."""
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        assign_clusters_broadcast,
     )
-    dists = _dist2_to_centroids("v", cents)
-    assigned = e.withColumn(
-        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    assigned = assign_clusters_broadcast(
+        e.select("vec_id", F.col("v").alias("features")), cents
+    ).select(
+        "vec_id",
+        F.col("features").alias("v"),
+        F.col("cluster_id").alias("cell"),
     )
     a = assigned.select(
         "cell", F.col("vec_id").alias("node_id"), F.col("v").alias("va")
@@ -170,9 +168,49 @@ def knn_graph_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
+        .where(F.col("rank") <= k_neighbors)
         .select("node_id", "rank", "neighbor_id", "score")
     )
+
+
+def knn_graph_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    k_cells: int | None = None,
+    k_neighbors: int = 3,
+) -> DataFrame:
+    """Corpus k-NN graph (k=3) built within IVF cells: every vector's
+    top-k cosine neighbors among its own cell's members (n_probe=1 —
+    the standard graph-construction pass behind cluster-based curation
+    and graph ANN index bootstrapping).
+
+    ``k_cells`` DEFAULTS to ceil(sqrt(N)) — the measured production
+    density knob (stress Phase D: within-cell candidate mass drops
+    pagerank 146 s -> 4.1 s vs the 4-cell fixture): sqrt(N) cells bound
+    the within-cell self-join at ~N^1.5 total candidates with ~sqrt(N)
+    rows per cell.  The 4-cell fixture value survives ONLY at the
+    oracle call sites (`knn_graph_cells_fixture`, graph_queries) whose
+    DuckDB SQL pins the semantics.  Cell centroids are the first
+    k_cells vectors by vec_id — deterministic, engine-agnostic.
+    Edge effect: like any n_probe=1 graph, boundary vectors may miss
+    cross-cell true neighbors — the documented recall/cost knob."""
+    import math
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if k_cells is None:
+        k_cells = max(1, math.ceil(e.count() ** 0.5))
+    cents = [
+        list(r["v"]) for r in e.orderBy("vec_id").limit(k_cells).collect()
+    ]
+    return _knn_cell_pairs(e, cents, k_neighbors)
+
+
+def knn_graph_cells_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle call site: the 4-cell fixture whose DuckDB SQL
+    (KNN_GRAPH_SQL) pins the within-cell ranking semantics."""
+    return knn_graph_cells(spark, sf_dir, k_cells=4)
 
 
 def knn_edges_scaled(
@@ -182,70 +220,42 @@ def knn_edges_scaled(
     k_neighbors: int = 3,
 ) -> DataFrame:
     """`knn_graph_cells` at the PRODUCTION cell-count knob: k_cells
-    defaults to round(sqrt(N)), the within-cell density setting the
+    defaults to ceil(sqrt(N)), the within-cell density setting the
     fixture's 4 cells deliberately violate (4 cells over N vectors
     means N^2/4 candidate pairs; sqrt(N) cells bound the within-cell
     join at ~N^1.5 total candidates with ~sqrt(N) rows per cell).
 
-    Differences from the oracle-backed fixture query, both forced by
-    scale: cell centroids ride a broadcast RELATION (a sqrt(N) x d
-    literal plan would blow up codegen), and centroids are the first
-    k_cells vectors by id — the same deterministic recipe, production
-    count.  Returns directed edges (src, dst) like graph_queries'
-    _knn_edges.  No SQL oracle: this is the scale-harness path; the
-    4-cell fixture pins the semantics."""
-    from kmeans_mapreduce_spark.operators.kmeans import (
-        assign_clusters_broadcast,
-    )
+    Same build as `knn_graph_cells` (it delegates to `_knn_cell_pairs`
+    — one ranking rule), with the materialization policy the graph
+    loops need: the embedding frame is CACHED for the build (read three
+    ways: count, centroid top-k, self-join) and the edge frame comes
+    back MATERIALIZED (localCheckpoint) so the cache can be released
+    before returning and per-iteration consumers (pagerank, triangles)
+    never re-execute the build.  Returns directed edges (src, dst) like
+    graph_queries' _knn_edges.  No SQL oracle: this is the
+    scale-harness path; the 4-cell fixture pins the semantics."""
+    import math
 
-    # the frame is read three ways (count, centroid top-k, self-join) —
-    # cache for the build, then hand back a MATERIALIZED edge frame
-    # (localCheckpoint) so the cache can be released before returning
     e = (
         _embs(spark, sf_dir)
         .select(
             "vec_id",
-            F.col("embedding").cast("array<double>").alias("features"),
+            F.col("embedding").cast("array<double>").alias("v"),
         )
         .cache()
     )
     try:
         if k_cells is None:
-            k_cells = max(1, round(e.count() ** 0.5))
+            k_cells = max(1, math.ceil(e.count() ** 0.5))
         cents = [
-            list(r["features"])
-            for r in e.orderBy("vec_id").limit(k_cells).collect()
+            list(r["v"]) for r in e.orderBy("vec_id").limit(k_cells).collect()
         ]
-        assigned = assign_clusters_broadcast(e, cents).select(
-            "vec_id",
-            F.col("features").alias("v"),
-            F.col("cluster_id").alias("cell"),
-        )
-        a = assigned.select(
-            "cell", F.col("vec_id").alias("src"), F.col("v").alias("va")
-        )
-        b = assigned.select(
-            "cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb")
-        )
-        pairs = (
-            a.join(b, "cell")
-            .where(F.col("src") != F.col("dst"))
-            .select(
-                "src",
-                "dst",
-                # same 6-dp rounding before ranking as the oracle-pinned
-                # fixture (knn_graph_cells) — one ranking rule for both
-                # paths, so near-tie neighbors rank identically
-                F.round(
-                    cosine_similarity(F.col("va"), F.col("vb")), 6
-                ).alias("score"),
-            )
-        )
-        w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
         return (
-            pairs.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k_neighbors)
-            .select("src", "dst")
+            _knn_cell_pairs(e, cents, k_neighbors)
+            .select(
+                F.col("node_id").alias("src"),
+                F.col("neighbor_id").alias("dst"),
+            )
             .localCheckpoint(eager=True)
         )
     finally:

@@ -321,9 +321,25 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 # --- set operations -------------------------------------------------------
 
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations with customers but no suppliers (EXCEPT DISTINCT)."""
-    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    """Nations with BUILDING-segment customers but no high-balance
+    (acctbal > 9500) suppliers (EXCEPT DISTINCT).
+
+    The predicates are load-bearing for the SIGNAL, not the semantics:
+    the original unfiltered form returned 0 rows at every harness SF
+    (every nation has both customers and suppliers), and a 0-row hash
+    match proves nothing about EXCEPT — these filters make the
+    difference non-empty at sf0.001/0.01/0.1 so the driver hash
+    actually pins which keys survive the subtraction."""
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9500)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     nation = _t(spark, sf_dir, "nation")
     return (
         cust_n.subtract(supp_n)  # EXCEPT (distinct) semantics, matching the SQL
@@ -335,8 +351,9 @@ def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXCEPT_SQL = """
 SELECT n_name FROM (
   SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  WHERE c_mktsegment = 'BUILDING'
   EXCEPT
-  SELECT DISTINCT s_nationkey FROM supplier)
+  SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 9500)
 JOIN nation ON nationkey = n_nationkey
 """
 

@@ -18,9 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def events_stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
+def events_stream_source(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over an events parquet dir, normalized to a true
     TIMESTAMP ``ts`` column whatever physical layout the files use.
+    ``max_files_per_trigger`` bounds micro-batch size (files per
+    trigger) so bulk replays exercise REAL multi-batch behavior —
+    watermark advance and state eviction — instead of one giant batch.
 
     The harness has shipped events.ts as TIMESTAMP(NANOS) (readable only
     via the nanosAsLong legacy conf -> bigint), as timestamp[us] (read
@@ -84,6 +91,7 @@ def stream_session_windows(
     events_dir: str,
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Watermarked per-user SESSION windows over the event stream:
     dynamic-length windows that extend while events keep arriving
@@ -98,7 +106,7 @@ def stream_session_windows(
     batch equivalent is plans.relational.events_session_window, which
     shares the aggregation shape the DuckDB oracle pins.
     """
-    ev = events_stream_source(spark, events_dir)
+    ev = events_stream_source(spark, events_dir, max_files_per_trigger)
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -170,6 +178,7 @@ def stream_stream_purchase_attribution(
     spark: SparkSession,
     events_dir: str,
     attribution_window: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Stream-stream inner join: attribute each 'purchase' to the same
     user's preceding 'click' within the attribution window.
@@ -182,7 +191,7 @@ def stream_stream_purchase_attribution(
     to avoid."""
 
     def side(event_type: str, alias: str) -> DataFrame:
-        src = events_stream_source(spark, events_dir)
+        src = events_stream_source(spark, events_dir, max_files_per_trigger)
         return (
             src.where(F.col("event_type") == event_type)
             .withWatermark("ts", "2 hours")

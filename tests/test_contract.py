@@ -23,35 +23,30 @@ def test_catalog_shapes():
         "pipeline_bpe_train",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — round 8: the batch-24 debut (the last queries with no
-    # driver row), the round-8 additions (fit invariants + real-codec
-    # PPM family), the ADVICE-changed queries, and the rows-only
+    # entries — round 9: the new contract/mixed-codec queries, every
+    # query whose implementation changed this round (set-op predicate,
+    # k-NN cell assignment, mm decode dispatch), and the rows-only
     # freshness re-samples must all be inside
     first50 = list(qs)[:50]
-    from kmeans_mapreduce_spark.plans.catalog import _R8_WINDOW
+    from kmeans_mapreduce_spark.plans.catalog import _R9_WINDOW
 
-    assert first50 == _R8_WINDOW, "driver window drifted from the ledger"
+    assert first50 == _R9_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (a) batch-24 debut (VERDICT r7 §next #1)
-        "pipeline_shard_balance",
-        "dedup_simhash_histogram",
-        "pipeline_budget_downsample",
-        # (c) round-8 additions
-        "kmeans_fit_invariants",
-        "pq_train_invariants",
-        "bpe_train_invariants",
+        # (c) round-9 additions (VERDICT r8 §next #2-3)
+        "mllib_fit_invariants",
+        "mm_decode_pnm_mixed",
+        # (c) changed this round
+        "set_except_nations",
+        "knn_graph_cells",
         "graph_knn_indegree_profile",
-        "events_session_gap_sensitivity",
-        "mm_ppm_pixel_histogram",
+        "graph_pagerank_vectors",
         "mm_decode_ppm",
-        "mm_resize_ppm",
-        "mm_tiles_ppm",
-        # (b) changed this round (round-7 ADVICE fixes)
-        "kmeans_fit_fixed",
-        "pipeline_pack_efficiency",
-        "pipeline_dedup_cross_source",
+        "mm_decode",
         # (d) rows-only freshness re-samples
         "kmeans_fit_native",
+        "kmeans_fit_mllib",
+        "kmeans_fit_lineitem",
+        "ann_pq_topk",
         "pipeline_bpe_train",
     ):
         assert name in first50, f"{name} fell outside the correctness window"

@@ -140,6 +140,15 @@ def run(sf_dir: str, only: list[str] | None = None, vanilla: bool = False) -> in
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        if not problems and not srows and not orows:
+            # both engines agreeing on ZERO rows is a vacuous green — the
+            # hash pins nothing about the query's semantics.  Warn (not
+            # fail) so always-empty results get a data-dependent predicate
+            # instead of silently counting as coverage.
+            print(
+                f"WARN  {name}: both engines returned 0 rows — "
+                "hash match is vacuous; tighten the predicate"
+            )
         if not problems:
             hs, ho = table_hash(scols, srows), table_hash(ocols, orows)
             if hs != ho:

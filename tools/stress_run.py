@@ -95,7 +95,12 @@ PHASE_B = [
 ]
 
 # Phase C streaming workloads (names usable as subset args too)
-PHASE_C = ["stream_dedup_corpus", "stream_kmeans_2m", "stream_quality_mv"]
+PHASE_C = [
+    "stream_dedup_corpus",
+    "stream_kmeans_2m",
+    "stream_quality_mv",
+    "stream_event_joins",
+]
 
 # Phase D: the k-NN graph family at the PRODUCTION k_cells knob.
 # Phase B runs graph_pagerank_vectors / graph_triangle_count through
@@ -310,7 +315,113 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
             rc = 1
             results["stream_quality_mv"] = {"error": str(exc)[:300]}
             print(f"C quality: ERROR {exc}", file=sys.stderr)
+
+    if "stream_event_joins" in names:
+        # Stream-stream join + session windows at 100x event volume
+        # (1M rows, 40 files, 4 files/trigger => ~10 micro-batches).
+        # Recorded state: MAX numRowsTotal / memoryUsedBytes across all
+        # progress events — the bound that must stay flat on a
+        # long-lived stream — plus watermark drop counts for honesty
+        # (replica-boundary stragglers are legitimately late).
+        from kmeans_mapreduce_spark.streaming.windows import (
+            stream_session_windows,
+            stream_stream_purchase_attribution,
+        )
+
+        ev_dir = build_stress_events(spark)
+        workloads = (
+            (
+                "stream_join_attr_1m",
+                lambda: stream_stream_purchase_attribution(
+                    spark, ev_dir, max_files_per_trigger=4
+                ),
+            ),
+            (
+                "stream_session_1m",
+                lambda: stream_session_windows(
+                    spark, ev_dir, max_files_per_trigger=4
+                ),
+            ),
+        )
+        for label, df_fn in workloads:
+            out, ck = str(base / f"{label}_out"), str(base / f"{label}_ckpt")
+            t0 = time.time()
+            try:
+                q = (
+                    df_fn()
+                    .writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ck)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                progress = q.recentProgress or []
+                ops = [
+                    o
+                    for p in progress
+                    for o in (p.get("stateOperators") or [])
+                ]
+                results[label] = {
+                    "sec": round(time.time() - t0, 1),
+                    "out_rows": spark.read.parquet(out).count(),
+                    "batches": len(progress),
+                    "state_rows_max": max(
+                        (int(o.get("numRowsTotal", 0)) for o in ops),
+                        default=0,
+                    ),
+                    "state_mem_max_bytes": max(
+                        (int(o.get("memoryUsedBytes", 0)) for o in ops),
+                        default=0,
+                    ),
+                    "dropped_by_watermark": sum(
+                        int(o.get("numRowsDroppedByWatermark", 0))
+                        for o in ops
+                    ),
+                }
+                print(f"C {label}: {results[label]}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                rc = 1
+                results[label] = {"error": str(exc)[:300]}
+                print(f"C {label}: ERROR {exc}", file=sys.stderr)
     return rc
+
+
+def build_stress_events(spark) -> str:
+    """10 TIME-SHIFTED replicas of the sf0.1 events (1M rows = 100x the
+    correctness scale): disjoint event_id/user_id ranges AND a
+    per-replica time shift of one span + 1h, written SEQUENTIALLY so
+    file modification order tracks event time.  The file stream then
+    sees roughly time-ordered micro-batches and the watermark genuinely
+    advances and EVICTS state across the run — fully-overlapping
+    replicas would mark everything after batch 1 late and measure
+    nothing but drop counts."""
+    out = f"{STRESS_DIR}/events_stream.parquet"
+    if Path(out).exists():
+        return out
+    from kmeans_mapreduce_spark.plans.relational import _events
+
+    ev = _events(spark, SF01)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span_us = int((hi - lo).total_seconds() * 1_000_000) + 3_600_000_000
+    for i in range(REPLICAS):
+        (
+            ev.select(
+                (F.col("event_id") + i * 10_000_000).alias("event_id"),
+                F.timestamp_micros(
+                    F.unix_micros("ts") + F.lit(i * span_us)
+                ).alias("ts"),
+                (F.col("user_id") + i * 1_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .repartition(4)
+            .write.mode("append")
+            .parquet(out)
+        )
+    return out
 
 
 def build_stress_dir(spark) -> None:
