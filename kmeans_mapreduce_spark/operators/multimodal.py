@@ -546,9 +546,12 @@ def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
         for batch in batches:
             counts = np.zeros(n_buckets, dtype=np.int64)
             for payload, mime in zip(batch["payload"], batch["mime"]):
-                if mime != PPM_MIME:
+                if mime == PPM_MIME:
+                    _, _, raster = _decode_ppm(bytes(payload))
+                elif mime == PGM_MIME:
+                    _, _, raster = _decode_pgm(bytes(payload))
+                else:  # non-netpbm mimes have no real raster to bin
                     continue
-                _, _, raster = _decode_ppm(bytes(payload))
                 arr = np.frombuffer(raster, dtype=np.uint8)
                 counts += np.bincount(arr // width, minlength=n_buckets)
             yield pd.DataFrame(

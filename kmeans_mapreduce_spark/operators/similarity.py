@@ -551,6 +551,17 @@ def pq_encode(
     codeword literals.  At 100 TB this is the representation you scan
     for candidate generation; raw vectors stay in cold storage for
     optional exact re-ranking."""
+    return points.select(
+        F.col(id_col).alias("id"),
+        _pq_codes_expr(vec_col, codebooks).alias("codes"),
+    )
+
+
+def _pq_codes_expr(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """The encode expression behind `pq_encode`, exposed so composed
+    indexes (ivf_pq_topk) can compute cell + codes in ONE corpus pass:
+    per subspace, argmin over the codeword literals (first-min =
+    lowest code id on ties, matching the SQL oracles' rn tiebreak)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
@@ -573,10 +584,7 @@ def pq_encode(
         )
         return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
-    return points.select(
-        F.col(id_col).alias("id"),
-        F.array(*[code(j) for j in range(m)]).alias("codes"),
-    )
+    return F.array(*[code(j) for j in range(m)])
 
 
 def pq_topk(
@@ -721,3 +729,97 @@ def pq_topk_from_index(
         books[r["subspace"]][r["code"]] = list(r["codeword"])
     codes = spark.read.parquet(f"{path}/codes")
     return pq_topk(codes, books, query_vectors, k=k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF-PQ: the production ANN index shape at 100 TB — coarse IVF
+    cells prune the scan to each query's ``n_probe`` nearest cells, and
+    scoring INSIDE the probed cells runs over PQ codes via the
+    broadcast ADC lookup table, so after indexing no raw vector is read
+    at query time (the composition of `ivf_topk`'s pruning with
+    `pq_topk`'s compressed scoring — FAISS's IndexIVFPQ layout,
+    re-expressed as Catalyst plans).
+
+    Plan shape: ONE corpus pass computes cell + codes as sibling
+    map-side expressions; the per-query probe list and the m x k_codes
+    LUT are driver math (k_cells x d and m x k_codes floats — the same
+    bounded-broadcast budget as the Lloyd loop); candidates come from a
+    broadcast (query, cell) equi-join — at 100 TB the code table is
+    written bucketed-by-cell so probes prune partitions and the join is
+    co-located.  Scoring explodes candidate codes to (query, id,
+    subspace, code) rows against the broadcast LUT: no full-dimension
+    vector crosses a shuffle anywhere."""
+    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
+
+    spark = corpus.sparkSession
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    dists = _dist2_to_centroids("cv", centroids)
+    indexed = cv.select(
+        "neighbor_id",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cell"),
+        _pq_codes_expr("cv", codebooks).alias("codes"),
+    )
+    # driver-side probe cells + ADC LUTs; ties break on lowest cell /
+    # code id, matching the corpus argmin and the SQL oracle
+    qcell_rows, lut_rows = [], []
+    sub = len(codebooks[0][0])
+    for qid, qv in query_vectors:
+        d2s = [
+            sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in centroids
+        ]
+        probes = sorted(range(len(centroids)), key=lambda i: (d2s[i], i))
+        qcell_rows += [(qid, c) for c in probes[:n_probe]]
+        for j, book in enumerate(codebooks):
+            qs = qv[j * sub : (j + 1) * sub]
+            for c, cw in enumerate(book):
+                lut_rows.append(
+                    (
+                        qid,
+                        j,
+                        c,
+                        float(
+                            sum((a - b) * (a - b) for a, b in zip(qs, cw))
+                        ),
+                    )
+                )
+    qcells = spark.createDataFrame(qcell_rows, "query_id long, cell int")
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, subspace int, code int, d2 double"
+    )
+    cands = (
+        F.broadcast(qcells)
+        .join(indexed, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode("codes").alias("subspace", "code"),
+        )
+    )
+    scored = (
+        cands.join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "approx_d2")
+    )

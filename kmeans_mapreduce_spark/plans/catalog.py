@@ -44,6 +44,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries9 as PQ9
 from kmeans_mapreduce_spark.plans import pipeline_queries10 as PQ10
 from kmeans_mapreduce_spark.plans import pipeline_queries11 as PQ11
 from kmeans_mapreduce_spark.plans import pipeline_queries12 as PQ12
+from kmeans_mapreduce_spark.plans import pipeline_queries13 as PQ13
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,6 +315,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_gap_sensitivity": PQ12.events_session_gap_sensitivity,
     "mm_ppm_pixel_histogram": PQ12.mm_ppm_pixel_histogram,
     "mm_decode_pnm_mixed": PQ12.mm_decode_pnm_mixed,
+    "ann_ivf_pq_topk": PQ13.ann_ivf_pq_topk,
+    "dedup_minhash_calibration": PQ13.dedup_minhash_calibration,
+    "mm_pnm_mixed_histogram": PQ13.mm_pnm_mixed_histogram,
     "pipeline_mixture_schedule": PQ7.pipeline_mixture_schedule,
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
@@ -486,6 +490,9 @@ _R9_WINDOW = [
     # (c) new this round
     "mllib_fit_invariants",
     "mm_decode_pnm_mixed",
+    "ann_ivf_pq_topk",
+    "dedup_minhash_calibration",
+    "mm_pnm_mixed_histogram",
     # (c) changed this round
     "set_except_nations",
     "knn_graph_cells",
@@ -535,14 +542,11 @@ _R9_WINDOW = [
     "text_lang_id",
     "doc_fingerprint",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "ann_brute_topk",
-    "mm_metadata",
 ]
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 # ROUND-10 LEDGER (write the _R10_WINDOW from this once round 9
 # records): compose as (b) any round-9 reds -> (c) round-10 new/changed
-# -> (d) rows-only freshness -> (e) oldest-green fill with the 22
+# -> (d) rows-only freshness -> (e) oldest-green fill with the 25
 # remaining round-3-vintage rows (recompute the latest-round map from
 # CORRECTNESS_r0*.json — the 18 sampled this round move to round 9),
 # then round-4 vintage in catalog order.
@@ -616,6 +620,9 @@ ORACLES: dict[str, str] = {
     "events_session_gap_sensitivity": PQ12.SESSION_GAP_SENSITIVITY_SQL,
     "mm_ppm_pixel_histogram": PQ12.MM_PIXEL_HISTOGRAM_SQL,
     "mm_decode_pnm_mixed": PQ12.MM_DECODE_PNM_MIXED_SQL,
+    "ann_ivf_pq_topk": PQ13.ANN_IVF_PQ_SQL,
+    "dedup_minhash_calibration": PQ13.MINHASH_CALIBRATION_SQL,
+    "mm_pnm_mixed_histogram": PQ13.MM_PNM_MIXED_HISTOGRAM_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,

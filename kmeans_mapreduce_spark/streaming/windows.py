@@ -49,7 +49,10 @@ def events_stream_source(
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(events_dir)
-    src = spark.readStream.schema(batch.schema).parquet(events_dir)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(events_dir)
     if dict(batch.dtypes)["ts"] == "bigint":  # nanos layout
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return src.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -32,9 +32,12 @@ def test_catalog_shapes():
 
     assert first50 == _R9_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (c) round-9 additions (VERDICT r8 §next #2-3)
+        # (c) round-9 additions (VERDICT r8 §next #2-3 + batch 27)
         "mllib_fit_invariants",
         "mm_decode_pnm_mixed",
+        "ann_ivf_pq_topk",
+        "dedup_minhash_calibration",
+        "mm_pnm_mixed_histogram",
         # (c) changed this round
         "set_except_nations",
         "knn_graph_cells",
