@@ -485,7 +485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #       each shadowed by a green *_invariants sibling in this window);
 #   (e) oldest-driver-green fill: all 14 remaining round-2-vintage
 #       rows (set_except is in (c)), then round-3 vintage in catalog
-#       order (18 of 40 — the rest queue for round 10).
+#       order (15 of 40 — the rest queue for round 10).
 _R9_WINDOW = [
     # (c) new this round
     "mllib_fit_invariants",
@@ -548,7 +548,7 @@ assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 # records): compose as (b) any round-9 reds -> (c) round-10 new/changed
 # -> (d) rows-only freshness -> (e) oldest-green fill with the 25
 # remaining round-3-vintage rows (recompute the latest-round map from
-# CORRECTNESS_r0*.json — the 18 sampled this round move to round 9),
+# CORRECTNESS_r0*.json — the 15 sampled this round move to round 9),
 # then round-4 vintage in catalog order.
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.

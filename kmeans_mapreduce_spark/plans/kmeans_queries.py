@@ -724,7 +724,8 @@ _MLLIB_INVARIANT_CHECKS = (
     "lineitem_k_clusters",
     "lineitem_sizes_sum_to_n",
     "mllib_ids_in_range",
-    "mllib_k_clusters",
+    "mllib_k_centers",
+    "mllib_no_empty_clusters",
     "mllib_seed_reproducible",
     "mllib_sizes_sum_to_n",
     "mllib_wssse_not_worse_than_native",
@@ -737,10 +738,11 @@ def mllib_fit_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem-featurized fit (catalog `kmeans_fit_lineitem`) — so every
     seed/iteration-sensitive path has an in-engine contract certificate:
 
-    - mllib_k_clusters / mllib_ids_in_range / mllib_sizes_sum_to_n:
-      the catalog-config MLlib fit (k=10, seed=42) returns exactly k
-      centers, assigns every point an id in [0, k), and its cluster
-      sizes account for the whole corpus
+    - mllib_k_centers / mllib_no_empty_clusters / mllib_ids_in_range /
+      mllib_sizes_sum_to_n: the catalog-config MLlib fit (k=10,
+      seed=42) returns exactly k centers FROM THE MODEL, assigns every
+      id in [0, k) with no cluster left empty, and its cluster sizes
+      account for the whole corpus
     - mllib_seed_reproducible: two k=4 fits with the same seed land on
       the same centroids (1e-9 max-abs tolerance — same-session
       aggregation order, not a bit-exactness claim across JVMs)
@@ -767,7 +769,7 @@ def mllib_fit_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         n_total = pts.count()
         # catalog-config structural contract (k=10, seed=42)
-        _, assigned10 = fit_kmeans_mllib(pts, k=10, seed=42)
+        model10, assigned10 = fit_kmeans_mllib(pts, k=10, seed=42)
         sizes10 = (
             assigned10.groupBy("cluster_id")
             .agg(F.count("*").alias("cnt"))
@@ -778,6 +780,7 @@ def mllib_fit_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         model_b, _ = fit_kmeans_mllib(pts, k=K, seed=7)
         cents_a = [[float(x) for x in c] for c in model_a.clusterCenters()]
         cents_b = [[float(x) for x in c] for c in model_b.clusterCenters()]
+        same_shape = len(cents_a) == len(cents_b) == K
         max_dev = max(
             abs(x - y)
             for ca, cb in zip(cents_a, cents_b)
@@ -815,9 +818,14 @@ def mllib_fit_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mllib_ids_in_range": all(
                 0 <= r["cluster_id"] < 10 for r in sizes10
             ),
-            "mllib_k_clusters": len(cents_a) == K
-            and len({r["cluster_id"] for r in sizes10}) == 10,
-            "mllib_seed_reproducible": max_dev < 1e-9,
+            # model-level center count vs assignment-level occupancy
+            # are SEPARATE claims: 10 centers can coexist with an empty
+            # cluster, and the failures read differently
+            "mllib_k_centers": len(model10.clusterCenters()) == 10,
+            "mllib_no_empty_clusters": len(
+                {r["cluster_id"] for r in sizes10}
+            ) == 10,
+            "mllib_seed_reproducible": same_shape and max_dev < 1e-9,
             "mllib_sizes_sum_to_n": sum(r["cnt"] for r in sizes10)
             == n_total,
             "mllib_wssse_not_worse_than_native": w_mllib

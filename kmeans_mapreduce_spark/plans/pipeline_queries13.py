@@ -23,7 +23,7 @@ semantics (worker.go:288-304) as index infrastructure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.operators import dedup as DD
@@ -32,6 +32,7 @@ from kmeans_mapreduce_spark.plans.pipeline_queries import (
     _JACCARD_CTE,
     _docs,
     _embs,
+    _ivf_d2_sql,
 )
 from kmeans_mapreduce_spark.plans.pipeline_queries12 import _DIMS_CTE
 
@@ -70,12 +71,6 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_pq_topk(e, cents, books, qs, k=5, n_probe=2)
 
 
-def _ipq_d2_sql(a: str, b: str) -> str:
-    return " + ".join(
-        f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, 65)
-    )
-
-
 def _ipq_sub_d2_sql(a: str, b: str, j: str = "sub.j") -> str:
     return " + ".join(
         f"({a}[{j}*8+{i}] - {b}[{j}*8+{i}]) * ({a}[{j}*8+{i}] - {b}[{j}*8+{i}])"
@@ -89,7 +84,7 @@ WITH e AS (
          list_transform(embedding::DOUBLE[], x -> FLOOR(x*1000)) AS v
   FROM embeddings),
 coarse AS (SELECT id AS ccid, v AS cv FROM e WHERE id < 4),
-celld AS (SELECT e.id, coarse.ccid, {_ipq_d2_sql('e.v', 'coarse.cv')} AS d2
+celld AS (SELECT e.id, coarse.ccid, {_ivf_d2_sql('e.v', 'coarse.cv')} AS d2
           FROM e CROSS JOIN coarse),
 cell AS (  -- corpus rows: nearest cell, lowest id on ties
   SELECT id, ccid AS cell FROM (

@@ -201,9 +201,16 @@ def knn_graph_cells(
     )
     if k_cells is None:
         k_cells = max(1, math.ceil(e.count() ** 0.5))
+    # vec_id < k_cells, NOT orderBy.limit: the fixture oracle
+    # (KNN_GRAPH_SQL) selects centroids with `WHERE vec_id < 4`, and the
+    # two recipes only coincide when vec_ids are 0-based and dense —
+    # match the oracle's predicate so non-dense id spaces cannot
+    # silently diverge the cell set
     cents = [
-        list(r["v"]) for r in e.orderBy("vec_id").limit(k_cells).collect()
+        list(r["v"])
+        for r in e.where(F.col("vec_id") < k_cells).orderBy("vec_id").collect()
     ]
+    assert cents, f"no vectors with vec_id < {k_cells}"
     return _knn_cell_pairs(e, cents, k_neighbors)
 
 

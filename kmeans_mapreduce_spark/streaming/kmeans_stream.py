@@ -115,7 +115,14 @@ def drain_stream_kmeans(
     replay sources pass ``expected_rows``: the stream is then paced
     with a short processingTime trigger and stopped once the model's
     weight mass reaches the target (requires decay == 1.0, where
-    weights sum to exactly the rows folded)."""
+    weights sum to exactly the rows folded).
+
+    Contract: ``expected_rows`` must be the source's EXACT total row
+    count, not a stop-early threshold — with decay=1.0 the weight mass
+    equals rows folded, so any overshoot can only mean a micro-batch
+    was folded twice (e.g. a fresh model driven against a stale
+    checkpoint) and the pacing loop raises instead of returning a
+    silently corrupted model."""
     import threading
 
     model = StreamingKMeansModel(

@@ -28,3 +28,21 @@ def points(spark, sf_dir):
     from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
 
     return points_from_embeddings(spark, sf_dir, dim=64).cache()
+
+
+def assert_no_nested_loop(df, allow_centroid_cross: bool = False) -> None:
+    """No data x data nested loops in the executed plan.
+
+    ``allow_centroid_cross`` permits ONLY BroadcastNestedLoopJoin nodes
+    whose own plan line references the broadcast 1-row centroid
+    relation (assign_clusters_broadcast's ``_C`` column) — checked PER
+    LINE on the simple plan string (where the node line carries its
+    join condition), so an accidental data x data cross join elsewhere
+    in the same plan still fails even though the plan also contains the
+    legitimate centroid join."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        assert allow_centroid_cross and "_C#" in line, line

@@ -7,19 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _no_nested_loop(df, allow_centroid_cross: bool = False):
-    """No data x data nested loops.  ``allow_centroid_cross`` permits
-    BNLJs whose build side is the 1-row broadcast centroid relation
-    (assign_clusters_broadcast's ``_C`` column) — a bounded map-side
-    pattern, not a blowup; anything else still fails."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if allow_centroid_cross and "_C#" in plan:
-        n_bnlj = plan.count("BroadcastNestedLoopJoin")
-        n_cent = plan.count("BroadcastNestedLoopJoin BuildRight, Cross")
-        assert n_bnlj == n_cent, plan
-    else:
-        assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
+from conftest import assert_no_nested_loop as _no_nested_loop
 
 
 def test_semantic_dedup_invariants(spark, sf_dir):

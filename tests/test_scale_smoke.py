@@ -165,23 +165,17 @@ def test_semantic_dedup_and_knn_graph_no_cartesian_at_scale(wide_shuffle):
         knn_graph_cells,
     )
 
+    from conftest import assert_no_nested_loop
+
     for q in (dedup_semantic_clusters, knn_graph_cells):
         # knn_graph_cells runs at its production default here —
         # ceil(sqrt(N)) cells via the broadcast centroid relation, whose
         # 1-row cross join is the ONE permitted nested-loop shape
-        # (bounded build side, map-side economics); any data x data
-        # nested loop still fails.
+        # (bounded build side, map-side economics); the per-line check
+        # in the shared helper still fails any data x data nested loop.
         df = q(wide_shuffle, SF_SCALE)
         n = df.count()  # executes end-to-end at sf0.1
-        plan = _physical_plan(df)
-        assert "CartesianProduct" not in plan, q.__name__
-        n_bnlj = plan.count("BroadcastNestedLoopJoin")
-        if n_bnlj and "_C#" in plan:
-            assert n_bnlj == plan.count(
-                "BroadcastNestedLoopJoin BuildRight, Cross"
-            ), q.__name__
-        else:
-            assert n_bnlj == 0, q.__name__
+        assert_no_nested_loop(df, allow_centroid_cross=q is knn_graph_cells)
         assert n > 0
 
 

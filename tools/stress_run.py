@@ -398,8 +398,12 @@ def build_stress_events(spark) -> str:
     replicas would mark everything after batch 1 late and measure
     nothing but drop counts."""
     out = f"{STRESS_DIR}/events_stream.parquet"
-    if Path(out).exists():
+    ready = Path(STRESS_DIR) / "_EVENTS_READY"
+    if ready.exists():
         return out
+    # no sentinel: a prior build may have died mid-replica — a partial
+    # corpus would silently record Phase C bounds against fewer rows
+    shutil.rmtree(out, ignore_errors=True)
     from kmeans_mapreduce_spark.plans.relational import _events
 
     ev = _events(spark, SF01)
@@ -421,6 +425,7 @@ def build_stress_events(spark) -> str:
             .write.mode("append")
             .parquet(out)
         )
+    ready.touch()
     return out
 
 
