@@ -133,16 +133,23 @@ WHERE rank <= 5
 # --- MinHash estimator calibration ----------------------------------------
 
 _CAL_PERMS = 16
-_CAL_BANDS = 4  # 4 rows/band
+# 2-row bands are the AUDIT's sensitivity knob, not a production dedup
+# setting: shallow bands admit moderate-similarity candidates on
+# purpose (1,455 pairs vs 25 at the production 4-row depth on the
+# sf0.01 corpus), so the error curve is traced across the est range
+# instead of only at the near-duplicate end.  Production banding for
+# DEDUP stays >= 4 rows (operators/dedup.MINHASH_BANDS).
+_CAL_BANDS = 8  # 2 rows/band
 
 
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash Jaccard-estimator calibration over banded candidates:
-    for every LSH candidate pair, est = (matching signature components)
-    / 16 vs the EXACT bigram-shingle Jaccard; reported per
-    matching-component count: pair count, mean true Jaccard, and mean
-    |est - true| — the estimator-variance readout that justifies (or
-    indicts) a production dedup threshold.
+    for every LSH candidate pair (shallow 8x2 banding — see _CAL_BANDS:
+    the audit deliberately admits moderate-similarity pairs), est =
+    (matching signature components) / 16 vs the EXACT bigram-shingle
+    Jaccard; reported per matching-component count: pair count, mean
+    true Jaccard, and mean |est - true| — the estimator-variance
+    readout that justifies (or indicts) a production dedup threshold.
 
     Portable hash family: component p of a doc's signature is
     min over shingles s of portable_hash60(p || ':' || s), so DuckDB
@@ -257,9 +264,8 @@ h AS (
 sigs AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM h GROUP BY doc_id),
 bands AS (
   SELECT doc_id, bb.b,
-         CAST(sig[bb.b*4+1] AS VARCHAR) || ',' || CAST(sig[bb.b*4+2] AS VARCHAR)
-         || ',' || CAST(sig[bb.b*4+3] AS VARCHAR) || ',' || CAST(sig[bb.b*4+4] AS VARCHAR) AS key
-  FROM sigs, UNNEST(range(4)) AS bb(b)),
+         CAST(sig[bb.b*2+1] AS VARCHAR) || ',' || CAST(sig[bb.b*2+2] AS VARCHAR) AS key
+  FROM sigs, UNNEST(range(8)) AS bb(b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),

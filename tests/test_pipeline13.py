@@ -63,10 +63,13 @@ def test_minhash_calibration_shape(spark, sf_dir):
         assert 0.0 <= r["mean_jaccard"] <= 1.0
         # estimator error is a mean of |est - true| over [0,1] values
         assert 0.0 <= r["mean_abs_err"] <= 1.0
-    # LSH candidates require >= 1 full band match (4 of 16 components),
-    # so no candidate can sit below 4 matching components... unless two
-    # DIFFERENT components hash-collide; assert the structural floor
-    assert min(r["n_match"] for r in rows) >= 4
+    # LSH candidates require >= 1 full band match (2 of 16 components
+    # at the audit's shallow 8x2 banding), so no candidate can sit
+    # below 2 matching components; assert the structural floor
+    assert min(r["n_match"] for r in rows) >= 2
+    # the shallow banding exists to trace the curve: expect more than
+    # the near-dup tail
+    assert len(rows) >= 5
 
 
 def test_mixed_histogram_counts_all_pixels(spark, sf_dir):

@@ -38,13 +38,12 @@ import pytest
 #   graph_triangle_count     1-row triangle-total scalar onto ≤N nodes
 #   pipeline_dsir_select     1-row feature-mass totals onto the stream
 #   ann_lsh_recall           Q=50 eval sample through the brute baseline
-#   knn_graph_cells          1-row broadcast centroid relation (cell assign)
-#   graph_knn_indegree_profile  same centroid relation via the knn build
+# (knn_graph_cells' centroid relation only appears on the >8-cell
+#  production path; the fixture's 4 cells inline as plan literals, so
+#  the catalog entry carries no BNLJ)
 ALLOWED_NESTED_LOOP = {
     "pipeline_dsir_select",
     "ann_lsh_recall",
-    "knn_graph_cells",
-    "graph_knn_indegree_profile",
     "events_funnel",
     "dq_validation_report",
     "ann_brute_topk",
