@@ -20,6 +20,7 @@ from kmeans_mapreduce_spark.operators.kmeans import (
 from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
 from kmeans_mapreduce_spark.streaming.kmeans_stream import (
     StreamingKMeansModel,
+    drain_stream_kmeans,
     run_streaming_kmeans,
 )
 
@@ -137,3 +138,33 @@ def test_multi_batch_drain_conserves_weight(spark, sf_dir, tmp_path):
     )
     assert model.batches_seen == 2
     assert sum(model.weights) == pytest.approx(2 * pts.count())
+
+
+def test_overshoot_raises_instead_of_corrupt_model(spark, sf_dir, tmp_path):
+    """expected_rows is a contract, not a stop-early threshold: folding
+    MORE rows than the stated source total means a micro-batch was
+    double-counted (the at-least-once replay class), and the pacing
+    loop must raise rather than hand back a silently corrupted model.
+    Forced here by understating expected_rows between two batch
+    boundaries (1.5n over a 2-file/2n stream): batch 1 lands at n
+    (below target, keep draining), batch 2 lands at 2n > 1.5n."""
+    src = tmp_path / "emb_stream3"
+    src.mkdir()
+    os.link(f"{sf_dir}/embeddings.parquet", src / "part-000.parquet")
+    os.link(f"{sf_dir}/embeddings.parquet", src / "part-001.parquet")
+    pts = points_from_embeddings(spark, sf_dir, dim=64)
+    init = _init(pts)
+    n = pts.count()
+    reader = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    with pytest.raises(RuntimeError, match="double-folded"):
+        drain_stream_kmeans(
+            reader,
+            _to_points,
+            init,
+            checkpoint=str(tmp_path / "ckpt3"),
+            expected_rows=n + n // 2,
+        )
