@@ -144,31 +144,47 @@ def _knn_cell_pairs(e: DataFrame, cents, k_neighbors: int) -> DataFrame:
     the relation path's extra join node pushed the pair-scoring stage
     out of codegen and ran 9.6x slower (964 s vs 101 s, same
     output)."""
+    return rank_cell_pairs(assigned_cells(e, cents), k_neighbors)
+
+
+def assigned_cells(e: DataFrame, cents) -> DataFrame:
+    """[vec_id, v, cell]: each vector's nearest-centroid cell id —
+    strategy per the `_knn_cell_pairs` docstring (<=8 cells: plan
+    literals; above: broadcast centroid relation)."""
     if len(cents) <= 8:
         from kmeans_mapreduce_spark.operators.kmeans import (
             _dist2_to_centroids,
         )
 
         dists = _dist2_to_centroids("v", cents)
-        assigned = e.select(
+        return e.select(
             "vec_id",
             "v",
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
             .alias("cell"),
         )
-    else:
-        from kmeans_mapreduce_spark.operators.kmeans import (
-            assign_clusters_broadcast,
-        )
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        assign_clusters_broadcast,
+    )
 
-        assigned = assign_clusters_broadcast(
-            e.select("vec_id", F.col("v").alias("features")), cents
-        ).select(
-            "vec_id",
-            F.col("features").alias("v"),
-            F.col("cluster_id").alias("cell"),
-        )
+    return assign_clusters_broadcast(
+        e.select("vec_id", F.col("v").alias("features")), cents
+    ).select(
+        "vec_id",
+        F.col("features").alias("v"),
+        F.col("cluster_id").alias("cell"),
+    )
+
+
+def rank_cell_pairs(assigned: DataFrame, k_neighbors: int = 3) -> DataFrame:
+    """Within-cell top-k ranking over an ALREADY-ASSIGNED frame
+    [vec_id, v, cell] — the consumer face for pre-materialized cell
+    layouts: point it at a bucketed-by-cell table
+    (sources/bucketed.write_bucketed_table) and the equi self-join
+    reads co-located buckets with ZERO hash exchanges (pinned in
+    tests/test_bucketed.py) — the exact "written bucketed-by-cell"
+    contract the 100 TB story depends on."""
     a = assigned.select(
         "cell", F.col("vec_id").alias("node_id"), F.col("v").alias("va")
     )

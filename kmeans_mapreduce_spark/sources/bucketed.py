@@ -1,0 +1,51 @@
+"""Bucketed-table persistence: the co-location contract for repeated
+equi-joins on a stable key.
+
+Every heavy self-join in this repo (k-NN cells, semantic-dedup
+clusters, fact-fact orderkey joins) documents the same 100 TB posture:
+"write the corpus bucketed by the join key so the join is co-located
+(zero extra shuffle)".  This module is that write path made concrete —
+``bucketBy`` pre-hashes rows into a fixed bucket count at WRITE time,
+and Spark's bucketed-scan planning then satisfies both join sides'
+required hash distribution straight from the files: the self-join
+plans with ZERO ``Exchange hashpartitioning`` nodes (the plain-table
+control plans two).  tests/test_bucketed.py pins both the plan shape
+and result equality with the shuffle-based builder.
+
+No reference analog (the reference has no storage layer at all —
+utils.go:12-50 reads CSVs per job); this is beyond-reference surface
+the scale story requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist ``df`` bucketed (and by default sorted) by ``bucket_col``
+    and return the table-backed frame.
+
+    ``path`` makes the table EXTERNAL (data at the given location —
+    tests point this at tmp dirs); without it the session warehouse
+    owns the files.  ``sort`` additionally orders rows within each
+    bucket file so sort-merge joins skip the per-partition sort too.
+    Bucket count is a layout contract: both sides of a co-located join
+    must agree on it, so pick the value once per key domain (at 100 TB:
+    O(data size / target task size), a power of two for re-splitting).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return df.sparkSession.table(table)

@@ -1,0 +1,90 @@
+"""Bucketed-by-cell persistence: the co-location contract, executed.
+
+The k-NN/dedup docstrings all promise "at 100 TB the corpus is written
+bucketed-by-cell so the self-join is co-located (zero extra shuffle)".
+These tests make that claim falsifiable on the real operators: the
+bucketed table's self-join must plan ZERO hash exchanges where the
+plain frame plans two, and the co-located build must produce the
+byte-identical edge set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Disable auto-broadcast so the join strategy (and its exchanges)
+    is decided by distribution alone — at real scale neither side of
+    the corpus self-join is broadcastable anyway."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _assigned(spark, sf_dir):
+    from kmeans_mapreduce_spark.plans.kmeans_queries import _fixed_centroids
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _embs
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import assigned_cells
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return assigned_cells(e, _fixed_centroids(spark, sf_dir, k=4))
+
+
+def test_bucketed_cell_self_join_is_shuffle_free(
+    no_broadcast, sf_dir, tmp_path
+):
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import (
+        rank_cell_pairs,
+    )
+    from kmeans_mapreduce_spark.sources.bucketed import write_bucketed_table
+
+    spark = no_broadcast
+    assigned = _assigned(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS knn_cells_test")
+    tbl = write_bucketed_table(
+        assigned,
+        "knn_cells_test",
+        "cell",
+        8,
+        path=str(tmp_path / "knn_cells"),
+    )
+    try:
+        # plan contract: the bucketed self-join satisfies both sides'
+        # hash distribution from the files — zero exchanges; the same
+        # join over the plain frame needs one per side
+        def pair_plan(frame):
+            a = frame.alias("a")
+            b = frame.select(
+                "cell",
+                F.col("vec_id").alias("nid"),
+            ).alias("b")
+            j = a.join(b, "cell").where(F.col("vec_id") != F.col("nid"))
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        assert pair_plan(tbl).count("Exchange hashpartitioning") == 0
+        assert pair_plan(assigned).count("Exchange hashpartitioning") == 2
+
+        # result contract: the co-located build returns the identical
+        # edge set (the only allowed exchange left is the rank window's)
+        got = sorted(
+            map(tuple, rank_cell_pairs(tbl, k_neighbors=3).collect())
+        )
+        want = sorted(
+            map(tuple, rank_cell_pairs(assigned, k_neighbors=3).collect())
+        )
+        assert got == want
+        full_plan = (
+            rank_cell_pairs(tbl, 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the window's node_id repartition is the ONE remaining shuffle
+        assert full_plan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS knn_cells_test")
