@@ -173,3 +173,49 @@ def test_decode_generated_headers(w, h, s1, s2, s3, last, data):
         + b"255" + last + px
     )
     assert _decode_ppm(payload) == (w, h, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    s1=_sep(),
+    s2=_sep(),
+    s3=_sep(),
+    last=_ws,
+    data=st.data(),
+)
+def test_decode_generated_headers_pgm(w, h, s1, s2, s3, last, data):
+    """P5 arm over the same generated-header space: the shared scanner
+    must handle whitespace runs/comments identically with a 1-byte/px
+    raster length."""
+    from kmeans_mapreduce_spark.operators.multimodal import _decode_pgm
+
+    px = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=w * h, max_size=w * h
+    )))
+    payload = (
+        b"P5" + s1 + str(w).encode() + s2 + str(h).encode() + s3
+        + b"255" + last + px
+    )
+    assert _decode_pgm(payload) == (w, h, px)
+
+
+def test_pnm_magic_cross_rejection():
+    """A P6 payload must not decode through the P5 arm and vice versa —
+    the mime dispatch depends on the magic check, not just raster math."""
+    import pytest as _pytest
+
+    from kmeans_mapreduce_spark.operators.multimodal import (
+        _decode_pgm,
+        _decode_ppm,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    p6 = encode_ppm(2, 2, bytes(range(12)))
+    p5 = encode_pgm(2, 2, bytes(range(4)))
+    with _pytest.raises(ValueError, match="not a P5"):
+        _decode_pgm(p6)
+    with _pytest.raises(ValueError, match="not a P6"):
+        _decode_ppm(p5)

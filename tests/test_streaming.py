@@ -303,3 +303,34 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     missing = sorted(set(w) - set(g))
     assert all(m[0] >= "2024-01-30" for m in missing), missing
     assert len(g) >= len(w) - 24
+
+
+def test_events_stream_max_files_per_trigger(spark, tmp_path, sf_dir):
+    """max_files_per_trigger must actually reach the FileStreamSource:
+    a 2-file dir at 1 file/trigger drains in 2 micro-batches (the
+    round-9 stress found the option silently ignored — a single giant
+    batch makes every watermark/state-bound measurement vacuous)."""
+    import os
+
+    from kmeans_mapreduce_spark.streaming.windows import (
+        events_stream_source,
+    )
+
+    src = tmp_path / "ev2"
+    src.mkdir()
+    os.link(f"{sf_dir}/events.parquet", src / "part-000.parquet")
+    os.link(f"{sf_dir}/events.parquet", src / "part-001.parquet")
+    ev = events_stream_source(spark, str(src), max_files_per_trigger=1)
+    q = (
+        ev.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("mfpt_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    assert len(batches) == 2, [p.get("numInputRows") for p in q.recentProgress]
