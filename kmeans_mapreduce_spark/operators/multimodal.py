@@ -71,21 +71,38 @@ def _decode_real(payload: bytes, mime: str):
 
 PPM_MIME = "image/x-portable-pixmap"
 PGM_MIME = "image/x-portable-graymap"
-# bytes per pixel for each supported binary-netpbm magic: P6 is
-# interleaved RGB, P5 is single-channel grayscale
-_PNM_CHANNELS = {b"P6": 3, b"P5": 1}
+PBM_MIME = "image/x-portable-bitmap"
+
+
+def _pnm_raster_len(magic: bytes, width: int, height: int) -> int:
+    """Raster byte length per binary-netpbm magic: P6 is interleaved
+    RGB (3 bytes/px), P5 single-channel grayscale (1 byte/px), P4 a
+    1-bit bitmap whose ROWS pad to byte boundaries (ceil(w/8) bytes per
+    row — the padding bits are the part every naive P4 reader gets
+    wrong)."""
+    if magic == b"P6":
+        return 3 * width * height
+    if magic == b"P5":
+        return width * height
+    if magic == b"P4":
+        return ((width + 7) // 8) * height
+    raise ValueError(f"unsupported netpbm magic {magic!r}")
 
 
 def _encode_pnm(magic: bytes, width: int, height: int, pixels: bytes) -> bytes:
-    ch = _PNM_CHANNELS[magic]
-    if len(pixels) != ch * width * height:
+    need = _pnm_raster_len(magic, width, height)
+    if len(pixels) != need:
         raise ValueError(
-            f"{magic.decode()} payload needs {ch * width * height} bytes "
+            f"{magic.decode()} payload needs {need} bytes "
             f"for {width}x{height}, got {len(pixels)}"
         )
-    return (
-        magic + f"\n{width} {height}\n255\n".encode("ascii") + pixels
+    # P4 has NO maxval token — its header is magic + dims only
+    header = (
+        f"\n{width} {height}\n"
+        if magic == b"P4"
+        else f"\n{width} {height}\n255\n"
     )
+    return magic + header.encode("ascii") + pixels
 
 
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
@@ -102,18 +119,26 @@ def encode_pgm(width: int, height: int, pixels: bytes) -> bytes:
     return _encode_pnm(b"P5", width, height, pixels)
 
 
+def encode_pbm(width: int, height: int, packed_rows: bytes) -> bytes:
+    """Serialize row-packed bits as a binary PBM (P4) bitmap — header
+    is magic + dims ONLY (no maxval), raster is ceil(w/8) bytes per
+    row, MSB-first, rows padded to byte boundaries."""
+    return _encode_pnm(b"P4", width, height, packed_rows)
+
+
 def _decode_pnm(payload: bytes, magic: bytes) -> tuple[int, int, bytes]:
     """REAL binary-netpbm decoder: bytes -> (width, height, raster).
 
-    Shared header scan for the P6 (PPM, 3 bytes/px) and P5 (PGM,
-    1 byte/px) arms.  Full format handling, not a happy-path slice:
-    '#' comments anywhere whitespace is legal, any ASCII whitespace
-    between header tokens, exactly ONE whitespace byte after maxval
-    before the raster (per the netpbm spec — a raster may legitimately
-    begin with a byte that looks like whitespace), maxval validation,
-    and a raster length check.  Raises ValueError on anything
-    malformed."""
-    ch = _PNM_CHANNELS[magic]
+    Shared header scan for the P6 (PPM, 3 bytes/px), P5 (PGM,
+    1 byte/px) and P4 (PBM, 1 bit/px, byte-padded rows) arms.  Full
+    format handling, not a happy-path slice: '#' comments anywhere
+    whitespace is legal, any ASCII whitespace between header tokens,
+    exactly ONE whitespace byte after the last header token before the
+    raster (per the netpbm spec — a raster may legitimately begin with
+    a byte that looks like whitespace), maxval validation (P4 has NO
+    maxval token), and a raster length check.  Raises ValueError on
+    anything malformed."""
+    n_tokens = 2 if magic == b"P4" else 3
     if payload[:2] != magic:
         raise ValueError(
             f"not a {magic.decode()} netpbm (magic {payload[:2]!r})"
@@ -124,7 +149,7 @@ def _decode_pnm(payload: bytes, magic: bytes) -> tuple[int, int, bytes]:
         )
     pos, tokens = 2, []
     n = len(payload)
-    while len(tokens) < 3:
+    while len(tokens) < n_tokens:
         if pos >= n:
             raise ValueError(f"truncated {magic.decode()} header")
         b = payload[pos : pos + 1]
@@ -142,22 +167,24 @@ def _decode_pnm(payload: bytes, magic: bytes) -> tuple[int, int, bytes]:
             raise ValueError(
                 f"unexpected byte {b!r} in {magic.decode()} header"
             )
-    width, height, maxval = tokens
+    width, height = tokens[0], tokens[1]
     if width <= 0 or height <= 0:
         raise ValueError(f"non-positive dimensions {width}x{height}")
-    if maxval != 255:
-        raise ValueError(f"only maxval 255 supported, got {maxval}")
-    # exactly ONE whitespace byte separates maxval from the raster — and
-    # it must actually BE whitespace, else the 'separator' we'd consume
-    # is the first raster byte and the whole raster shifts by one
+    if n_tokens == 3 and tokens[2] != 255:
+        raise ValueError(f"only maxval 255 supported, got {tokens[2]}")
+    # exactly ONE whitespace byte separates the last header token from
+    # the raster — and it must actually BE whitespace, else the
+    # 'separator' we'd consume is the first raster byte and the whole
+    # raster shifts by one
     if payload[pos : pos + 1] not in b" \t\r\n\x0b\x0c":
-        raise ValueError("maxval must be followed by one whitespace byte")
-    pos += 1
-    raster = payload[pos : pos + ch * width * height]
-    if len(raster) != ch * width * height:
         raise ValueError(
-            f"raster has {len(raster)} bytes, need {ch * width * height}"
+            "header must be followed by exactly one whitespace byte"
         )
+    pos += 1
+    need = _pnm_raster_len(magic, width, height)
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"raster has {len(raster)} bytes, need {need}")
     return width, height, raster
 
 
@@ -169,6 +196,11 @@ def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
 def _decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
     """P5 arm: bytes -> (width, height, grayscale raster)."""
     return _decode_pnm(payload, b"P5")
+
+
+def _decode_pbm(payload: bytes) -> tuple[int, int, bytes]:
+    """P4 arm: bytes -> (width, height, row-packed bit raster)."""
+    return _decode_pnm(payload, b"P4")
 
 
 def _ppm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
@@ -214,9 +246,34 @@ def _pgm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
     return len(payload), width, height, feature
 
 
+def _pbm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """P4 sibling, same 8-slot feature contract with bit semantics:
+    slot 0 is the count of SET bits over the true w x h grid — i.e.
+    np.unpackbits per padded row, CROPPED to width before summing, so
+    the row-padding bits the raster legitimately carries can never
+    leak into the pixel count (the classic P4 off-by-padding bug this
+    stat exists to catch).  Slots 1-2 are 0.0; byte-level slots
+    (first/last/min/max) read the RAW packed raster."""
+    width, height, raster = _decode_pbm(payload)
+    arr = np.frombuffer(raster, dtype=np.uint8)
+    bpr = (width + 7) // 8
+    bits = np.unpackbits(arr.reshape(height, bpr), axis=1)[:, :width]
+    feature = [
+        float(bits.sum(dtype=np.int64)),
+        0.0,
+        0.0,
+        float(arr[0]),
+        float(arr[-1]),
+        float(width * height),
+        float(arr.min()),
+        float(arr.max()),
+    ]
+    return len(payload), width, height, feature
+
+
 # per-mime REAL decoders — the dispatch `decode_media` consults before
 # falling back to the deterministic fake
-_REAL_STATS = {PPM_MIME: _ppm_stats, PGM_MIME: _pgm_stats}
+_REAL_STATS = {PPM_MIME: _ppm_stats, PGM_MIME: _pgm_stats, PBM_MIME: _pbm_stats}
 
 
 def _attach_pnm(
@@ -282,6 +339,42 @@ def attach_pnm_mixed_payload(
     exercises `decode_media`'s per-row mime dispatch with two REAL
     decoder arms in one frame.  See `_attach_pnm`."""
     return _attach_pnm(df, id_col, text_col, mixed=True)
+
+
+def attach_pbm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Media table of REAL binary-PBM (P4) bitmaps: same dims formula
+    as `_attach_pnm` (w = 4 + n % 13, h = 4 + (n // 13) % 11), raster
+    byte i = (media_id*7 + i) % 256 over ceil(w/8)*h PACKED bytes — the
+    payload is a genuine P4 file whose rows carry real padding bits
+    whenever w % 8 != 0 (true for most of the dims range), so the
+    decode stats must mask them or break the oracle hash."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            payloads = []
+            for mid, n in zip(batch["media_id"], batch["_n"]):
+                w = 4 + int(n) % 13
+                h = 4 + (int(n) // 13) % 11
+                n_bytes = ((w + 7) // 8) * h
+                px = ((int(mid) * 7 + np.arange(n_bytes)) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_pbm(w, h, px.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].values,
+                    "payload": payloads,
+                    "mime": PBM_MIME,
+                }
+            )
+
+    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
 
 
 def _decode_fake(payload: bytes):

@@ -318,6 +318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq_topk": PQ13.ann_ivf_pq_topk,
     "dedup_minhash_calibration": PQ13.dedup_minhash_calibration,
     "mm_pnm_mixed_histogram": PQ13.mm_pnm_mixed_histogram,
+    "mm_decode_pbm": PQ13.mm_decode_pbm,
     "pipeline_mixture_schedule": PQ7.pipeline_mixture_schedule,
     "events_json_extract": R.events_json_extract,
     "events_tumbling_window": R.events_tumbling_window,
@@ -485,7 +486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #       each shadowed by a green *_invariants sibling in this window);
 #   (e) oldest-driver-green fill: all 14 remaining round-2-vintage
 #       rows (set_except is in (c)), then round-3 vintage in catalog
-#       order (15 of 40 — the rest queue for round 10).
+#       order (14 of 40 — the rest queue for round 10).
 _R9_WINDOW = [
     # (c) new this round
     "mllib_fit_invariants",
@@ -493,6 +494,7 @@ _R9_WINDOW = [
     "ann_ivf_pq_topk",
     "dedup_minhash_calibration",
     "mm_pnm_mixed_histogram",
+    "mm_decode_pbm",
     # (c) changed this round
     "set_except_nations",
     "knn_graph_cells",
@@ -541,14 +543,13 @@ _R9_WINDOW = [
     "text_quality",
     "text_lang_id",
     "doc_fingerprint",
-    "dedup_exact",
 ]
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 # ROUND-10 LEDGER (write the _R10_WINDOW from this once round 9
 # records): compose as (b) any round-9 reds -> (c) round-10 new/changed
-# -> (d) rows-only freshness -> (e) oldest-green fill with the 25
+# -> (d) rows-only freshness -> (e) oldest-green fill with the 26
 # remaining round-3-vintage rows (recompute the latest-round map from
-# CORRECTNESS_r0*.json — the 15 sampled this round move to round 9),
+# CORRECTNESS_r0*.json — the 14 sampled this round move to round 9),
 # then round-4 vintage in catalog order.
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
@@ -623,6 +624,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_pq_topk": PQ13.ANN_IVF_PQ_SQL,
     "dedup_minhash_calibration": PQ13.MINHASH_CALIBRATION_SQL,
     "mm_pnm_mixed_histogram": PQ13.MM_PNM_MIXED_HISTOGRAM_SQL,
+    "mm_decode_pbm": PQ13.MM_DECODE_PBM_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,

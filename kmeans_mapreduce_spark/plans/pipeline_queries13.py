@@ -319,3 +319,55 @@ HAVING COUNT(*) > 0
 ORDER BY bucket
 """
 )
+
+
+# --- P4 bitmap decode -------------------------------------------------------
+
+def mm_decode_pbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 1-bit bitmap decode: genuine P4 payloads (packed rows,
+    byte-aligned padding) parsed by the shared netpbm scanner, with the
+    set-bit count taken over the TRUE w x h grid — the oracle
+    recomputes it with an explicit per-byte row-tail mask, so counting
+    the padding bits (the classic P4 bug) or mis-sizing ceil(w/8) rows
+    breaks the hash.  Byte-level probes (first/last raster byte) pin
+    the raster offset exactly like the P5/P6 queries."""
+    media = MM.attach_pbm_payload(_docs(spark, sf_dir), "doc_id", "text")
+    dec = MM.decode_media(media)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.col("feature")[0].cast("bigint").alias("set_bits"),
+        F.col("feature")[3].cast("int").alias("first_byte"),
+        F.col("feature")[4].cast("int").alias("last_byte"),
+    )
+
+
+_POPCOUNT = " + ".join(f"((m >> {b}) & 1)" for b in range(8))
+
+MM_DECODE_PBM_SQL = (
+    _DIMS_CTE
+    + """
+, p AS (
+  SELECT media_id, w, h, (w + 7) // 8 AS bpr, w % 8 AS rem FROM d),
+bts AS (  -- one row per packed raster byte, row-tail padding masked
+  SELECT p.media_id,
+         ((p.media_id * 7 + u.i) % 256)
+         & (CASE WHEN (u.i % p.bpr) = p.bpr - 1 AND p.rem > 0
+                 THEN 256 - CAST(POW(2, 8 - p.rem) AS INT)
+                 ELSE 255 END) AS m
+  FROM p, UNNEST(range(0, p.bpr * p.h)) AS u(i)),
+cnt AS (SELECT media_id, SUM({pop}) AS set_bits FROM bts GROUP BY media_id)
+SELECT p.media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       -- 'P4\\n' + 'w h\\n' + ceil(w/8)*h packed raster (NO maxval)
+       CAST(5 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + bpr * h AS BIGINT) AS n_bytes,
+       CAST(cnt.set_bits AS BIGINT) AS set_bits,
+       CAST((p.media_id * 7) % 256 AS INT) AS first_byte,
+       CAST((p.media_id * 7 + bpr * h - 1) % 256 AS INT) AS last_byte
+FROM p JOIN cnt ON cnt.media_id = p.media_id
+""".replace("{pop}", _POPCOUNT)
+)

@@ -38,6 +38,7 @@ def test_catalog_shapes():
         "ann_ivf_pq_topk",
         "dedup_minhash_calibration",
         "mm_pnm_mixed_histogram",
+        "mm_decode_pbm",
         # (c) changed this round
         "set_except_nations",
         "knn_graph_cells",

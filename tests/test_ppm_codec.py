@@ -219,3 +219,53 @@ def test_pnm_magic_cross_rejection():
         _decode_pgm(p6)
     with _pytest.raises(ValueError, match="not a P6"):
         _decode_ppm(p5)
+
+
+def test_pbm_padding_bits_masked():
+    """P4's row padding must not leak into the set-bit count: a 10x3
+    bitmap (2 bytes/row, 6 padding bits each) with all-ones padding
+    counts only the true-grid bits."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators.multimodal import (
+        _decode_pbm,
+        _pbm_stats,
+        encode_pbm,
+    )
+
+    packed = bytes([0b10110001, 0b11000000, 0xFF, 0xFF, 0x00, 0b11000000])
+    pay = encode_pbm(10, 3, packed)
+    assert _decode_pbm(pay) == (10, 3, packed)
+    _, w, h, feat = _pbm_stats(pay)
+    want = int(
+        np.unpackbits(
+            np.frombuffer(packed, dtype=np.uint8).reshape(3, 2), axis=1
+        )[:, :10].sum()
+    )
+    raw = sum(bin(b).count("1") for b in packed)
+    assert feat[0] == want
+    assert want < raw  # the padding carried set bits this test masks
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 9),
+    s1=_sep(),
+    s2=_sep(),
+    last=_ws,
+    data=st.data(),
+)
+def test_decode_generated_headers_pbm(w, h, s1, s2, last, data):
+    """P4 over generated headers: TWO header tokens (no maxval) and a
+    ceil(w/8)*h raster through the same whitespace/comment scanner."""
+    from kmeans_mapreduce_spark.operators.multimodal import _decode_pbm
+
+    n = ((w + 7) // 8) * h
+    px = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=n, max_size=n
+    )))
+    payload = (
+        b"P4" + s1 + str(w).encode() + s2 + str(h).encode() + last + px
+    )
+    assert _decode_pbm(payload) == (w, h, px)
