@@ -341,6 +341,57 @@ def attach_pnm_mixed_payload(
     return _attach_pnm(df, id_col, text_col, mixed=True)
 
 
+def attach_pnm_tri_payload(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Media table cycling ALL THREE real netpbm arms by media_id % 3
+    (0 -> P6 RGB, 1 -> P5 grayscale, 2 -> P4 packed bitmap), same dims
+    formula as `_attach_pnm` and the same raster-byte formula
+    (byte i = (media_id*7 + i) % 256 — for P4 that's the PACKED bytes,
+    so padding bits are genuinely present whenever w % 8 != 0).  One
+    frame drives the full per-row mime dispatch including the bit-
+    unpacking arm."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            payloads, mimes = [], []
+            for mid, n in zip(batch["media_id"], batch["_n"]):
+                w = 4 + int(n) % 13
+                h = 4 + (int(n) // 13) % 11
+                arm = int(mid) % 3
+                if arm == 2:
+                    n_bytes = ((w + 7) // 8) * h
+                else:
+                    n_bytes = (1 if arm == 1 else 3) * w * h
+                px = ((int(mid) * 7 + np.arange(n_bytes)) % 256).astype(
+                    np.uint8
+                )
+                if arm == 0:
+                    payloads.append(encode_ppm(w, h, px.tobytes()))
+                    mimes.append(PPM_MIME)
+                elif arm == 1:
+                    payloads.append(encode_pgm(w, h, px.tobytes()))
+                    mimes.append(PGM_MIME)
+                else:
+                    payloads.append(encode_pbm(w, h, px.tobytes()))
+                    mimes.append(PBM_MIME)
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].values,
+                    "payload": payloads,
+                    "mime": mimes,
+                }
+            )
+
+    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
 def attach_pbm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Media table of REAL binary-PBM (P4) bitmaps: same dims formula
     as `_attach_pnm` (w = 4 + n % 13, h = 4 + (n // 13) % 11), raster
@@ -625,12 +676,15 @@ HIST_SCHEMA = T.StructType(
 
 def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
     """Corpus-wide pixel-value histogram over REAL decoded rasters
-    (PPM rows only): each task decodes its media payloads, bins every
-    pixel byte (256 // n_buckets wide buckets, vectorized bincount),
-    and emits ONE partial histogram per Arrow batch — textbook
-    map-side combine: the shuffle carries n_buckets rows per batch no
-    matter how many pixels were decoded.  The final groupBy-sum is a
-    16-row aggregate."""
+    (all three netpbm arms): each task decodes its media payloads, bins
+    every pixel byte (256 // n_buckets wide buckets, vectorized
+    bincount), and emits ONE partial histogram per Arrow batch —
+    textbook map-side combine: the shuffle carries n_buckets rows per
+    batch no matter how many pixels were decoded.  The final
+    groupBy-sum is a 16-row aggregate.  P4 bitmaps bin as gray levels
+    under the PBM convention (set bit = black = 0, clear = white =
+    255), padding-cropped; non-netpbm mimes are skipped (no real raster
+    exists to bin)."""
     import pandas as pd
 
     width = 256 // n_buckets
@@ -643,6 +697,22 @@ def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
                     _, _, raster = _decode_ppm(bytes(payload))
                 elif mime == PGM_MIME:
                     _, _, raster = _decode_pgm(bytes(payload))
+                elif mime == PBM_MIME:
+                    # P4 bits map to gray levels per the PBM convention
+                    # (1 = black = 0, 0 = white = 255), cropped to the
+                    # true width so row-padding bits never get binned
+                    w, h, raster = _decode_pbm(bytes(payload))
+                    bits = np.unpackbits(
+                        np.frombuffer(raster, dtype=np.uint8).reshape(
+                            h, (w + 7) // 8
+                        ),
+                        axis=1,
+                    )[:, :w]
+                    arr = np.where(bits == 1, 0, 255).astype(np.uint8)
+                    counts += np.bincount(
+                        arr.ravel() // width, minlength=n_buckets
+                    )
+                    continue
                 else:  # non-netpbm mimes have no real raster to bin
                     continue
                 arr = np.frombuffer(raster, dtype=np.uint8)

@@ -765,14 +765,34 @@ def ivf_pq_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    dists = _dist2_to_centroids("cv", centroids)
-    indexed = cv.select(
-        "neighbor_id",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cell"),
-        _pq_codes_expr("cv", codebooks).alias("codes"),
-    )
+    # cell-assignment strategy by cell count, same measured cutoff as
+    # pipeline_queries3.assigned_cells: small fixed sets inline as plan
+    # literals (whole-stage codegen); cell counts that scale with N
+    # (ceil(sqrt(N)) production knob) ride the broadcast centroid
+    # relation — a sqrt(N) x d literal plan blows up codegen.  The PQ
+    # codes stay literal either way: m x k_codes x (dim/m) is a FIXED
+    # parameter set, not N-dependent.
+    if len(centroids) <= 8:
+        dists = _dist2_to_centroids("cv", centroids)
+        indexed = cv.select(
+            "neighbor_id",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cell"),
+            _pq_codes_expr("cv", codebooks).alias("codes"),
+        )
+    else:
+        from kmeans_mapreduce_spark.operators.kmeans import (
+            assign_clusters_broadcast,
+        )
+
+        indexed = assign_clusters_broadcast(
+            cv, centroids, features_col="cv"
+        ).select(
+            "neighbor_id",
+            F.col("cluster_id").cast("int").alias("cell"),
+            _pq_codes_expr("cv", codebooks).alias("codes"),
+        )
     # driver-side probe cells + ADC LUTs; ties break on lowest cell /
     # code id, matching the corpus argmin and the SQL oracle
     qcell_rows, lut_rows = [], []

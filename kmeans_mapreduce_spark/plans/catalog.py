@@ -45,6 +45,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries10 as PQ10
 from kmeans_mapreduce_spark.plans import pipeline_queries11 as PQ11
 from kmeans_mapreduce_spark.plans import pipeline_queries12 as PQ12
 from kmeans_mapreduce_spark.plans import pipeline_queries13 as PQ13
+from kmeans_mapreduce_spark.plans import pipeline_queries14 as PQ14
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,6 +459,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_shard_balance": PQ11.pipeline_shard_balance,
     "dedup_simhash_histogram": PQ11.dedup_simhash_histogram,
     "pipeline_budget_downsample": PQ11.pipeline_budget_downsample,
+    # Round-10 batch 28: production-knob IVF-PQ recall calibration,
+    # driver-visible bucketed co-location, mixed-mime resize, and the
+    # tri-arm (P6/P5/P4) pixel histogram
+    "ann_ivf_pq_recall": PQ14.ann_ivf_pq_recall,
+    "knn_graph_bucketed": PQ14.knn_graph_bucketed,
+    "mm_resize_pnm_mixed": PQ14.mm_resize_pnm_mixed,
+    "mm_pnm_tri_histogram": PQ14.mm_pnm_tri_histogram,
 }
 
 # ---------------------------------------------------------------------------
@@ -625,6 +633,11 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_calibration": PQ13.MINHASH_CALIBRATION_SQL,
     "mm_pnm_mixed_histogram": PQ13.MM_PNM_MIXED_HISTOGRAM_SQL,
     "mm_decode_pbm": PQ13.MM_DECODE_PBM_SQL,
+    "ann_ivf_pq_recall": PQ14.ANN_IVF_PQ_RECALL_SQL,
+    # the co-located build must reproduce the fixture graph exactly
+    "knn_graph_bucketed": PQ3.KNN_GRAPH_SQL,
+    "mm_resize_pnm_mixed": PQ14.MM_RESIZE_PNM_MIXED_SQL,
+    "mm_pnm_tri_histogram": PQ14.MM_PNM_TRI_HISTOGRAM_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,

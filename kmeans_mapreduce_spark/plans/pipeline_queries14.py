@@ -1,0 +1,531 @@
+"""Round-10 pipeline queries (batch 28): production-knob ANN quality,
+driver-visible bucketed co-location, and the remaining mixed-mime
+codec-dispatch surfaces.
+
+- ann_ivf_pq_recall: the recall-vs-brute calibration row the IVF-PQ
+  path was missing — `ann_ivf_pq_topk` certifies the COMPOSITION at
+  fixture parameters (4 cells, first-16 codebooks); this query runs the
+  index at the PRODUCTION knobs (k_cells = ceil(sqrt(N)) coarse cells,
+  genuinely TRAINED quantized centroids/codebooks, n_probe = 4) and
+  reports recall@10 and the distance ratio against the exact brute
+  ground truth — the ANN sibling of dedup_minhash_calibration.
+- knn_graph_bucketed: the bucketed-by-cell co-location contract made
+  driver-visible — write the assigned-cells frame through
+  sources/bucketed.write_bucketed_table and run the SAME rank_cell_pairs
+  consumer over the table-backed frame; the oracle is the fixture
+  KNN_GRAPH_SQL, so the co-located build must hash-match the shuffle
+  build (the zero-exchange plan itself stays pinned in
+  tests/test_bucketed.py).
+- mm_resize_pnm_mixed: the resize/thumbnail transform over MIXED P5/P6
+  payloads — the transform path's channel-count dispatch (grayscale
+  planes vs interleaved RGB) under a formula-recomputed oracle; the
+  decode path got this in round 9, the raster MATH path gets it here.
+- mm_pnm_tri_histogram: the corpus pixel histogram over all THREE real
+  netpbm arms in one frame (P6 bytes, P5 bytes, P4 unpacked bits with
+  padding cropped and PBM 1=black=0 / 0=white=255 semantics).
+
+No analog in the reference (beyond-reference mandated surface); the
+IVF machinery deliberately reuses the reference's K-Means assignment
+semantics (worker.go:288-304) as index infrastructure, and the one-step
+quantized Lloyd trainer mirrors the reference's recenter contract
+(master.go:579-600) with floor-quantized means so both engines agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators import multimodal as MM
+from kmeans_mapreduce_spark.plans.pipeline_queries import (
+    _docs,
+    _embs,
+    _ivf_d2_sql,
+)
+from kmeans_mapreduce_spark.plans.pipeline_queries12 import _DIMS_CTE
+from kmeans_mapreduce_spark.plans.pipeline_queries13 import (
+    _POPCOUNT,
+    _ipq_sub_d2_sql,
+)
+
+
+# --- IVF-PQ recall calibration at the production knobs ----------------------
+
+_RQ_NQUERY = 50   # evaluation sample: first 50 vectors as queries
+_RQ_K = 10        # recall@10
+_RQ_NPROBE = 4    # probed coarse cells per query
+_RQ_M = 8         # PQ subspaces (64 dims / 8)
+_RQ_CODES = 16    # codewords per subspace
+
+
+def _floor_means(
+    grouped: DataFrame, key_cols: list[str], pos_col: str, val_col: str
+):
+    """floor(mean) per (keys..., position) — the quantized one-Lloyd-step
+    recenter both engines can replay exactly: inputs are integer-valued
+    doubles, so the sum is exact at ANY accumulation order, the division
+    is one correctly-rounded IEEE op on identical operands, and floor of
+    that shared double is engine-agnostic.  (Unquantized float means
+    would leak summation-order ulps into every downstream argmin.)"""
+    return grouped.groupBy(*key_cols, pos_col).agg(
+        F.floor(F.sum(val_col) / F.count("*")).cast("double").alias("c")
+    )
+
+
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval quality at the PRODUCTION knobs: k_cells =
+    ceil(sqrt(N)) coarse cells and m=8 x 16-codeword codebooks, each
+    TRAINED by one quantized Lloyd step (seeds = first-k corpus vectors,
+    assign, recenter to floor(mean), empty cells keep their seed — the
+    reference's keep-old rule, master.go:594-599), then the composed
+    prune -> ADC scan -> rank path from `ivf_pq_topk` at n_probe=4,
+    scored against the exact brute-force top-10: per query, hits,
+    recall@10, and the true-distance ratio (sum of TRUE d2 of the
+    retrieved set over the brute optimum — 1.0 means perfect, the
+    standard ANN quality readout).
+
+    Exactness: vectors are integer-scaled (floor(x*1000)) and the
+    trained centroids/codebooks floor-quantized, so every distance,
+    argmin, LUT sum and both top-k rankings are exact integer
+    arithmetic — bit-identical across engines (see _floor_means).  The
+    oracle replays the ENTIRE pipeline including training, so this is a
+    full-path certificate, not an invariants sketch.
+
+    Scale shape: training is two bounded passes (broadcast-relation
+    assignment per the measured >8-cell strategy, k x d + m x k x d/m
+    floats of driver state — the Lloyd-loop budget); the query path is
+    `ivf_pq_topk`'s FAISS layout (no raw vector crosses a shuffle after
+    indexing); the brute side is O(Q*N) BY DESIGN with Q a constant
+    50-query evaluation sample — ground truth always costs one bounded
+    brute pass, at 100 TB exactly as here."""
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import assigned_cells
+
+    e = (
+        _embs(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1000).cast("double"),
+            ).alias("v"),
+        )
+        .cache()
+    )
+    try:
+        n = e.count()
+        kc = max(1, math.ceil(n**0.5))
+        seeds = [
+            list(r["v"])
+            for r in e.where(F.col("vec_id") < kc).orderBy("vec_id").collect()
+        ]
+        assert len(seeds) == kc, f"need dense 0-based ids for {kc} seeds"
+        head = [
+            list(r["v"])
+            for r in e.where(F.col("vec_id") < _RQ_CODES)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        assert len(head) == _RQ_CODES
+        sub = 64 // _RQ_M
+
+        # one quantized Lloyd step for the coarse centroids (keep-old
+        # seeds for empty cells)
+        assigned = assigned_cells(e, seeds)
+        cents = [list(s) for s in seeds]
+        for r in _floor_means(
+            assigned.select("cell", F.posexplode("v").alias("j", "x")),
+            ["cell"],
+            "j",
+            "x",
+        ).collect():
+            cents[r["cell"]][r["j"]] = r["c"]
+
+        # one quantized Lloyd step per PQ subspace (seed codebooks =
+        # first-16 vectors' slices, the ann_pq fixture recipe)
+        books0 = [
+            [head[c][j * sub : (j + 1) * sub] for c in range(_RQ_CODES)]
+            for j in range(_RQ_M)
+        ]
+        enc0 = e.select(
+            "v", F.posexplode(SIM._pq_codes_expr("v", books0)).alias("j", "code")
+        ).select(
+            "j",
+            "code",
+            F.posexplode(
+                F.slice(F.col("v"), F.col("j") * sub + 1, sub)
+            ).alias("i", "x"),
+        )
+        books = [[list(cw) for cw in bj] for bj in books0]
+        for r in _floor_means(enc0, ["j", "code"], "i", "x").collect():
+            books[r["j"]][r["code"]][r["i"]] = r["c"]
+
+        qs = [
+            (r["vec_id"], list(r["v"]))
+            for r in e.where(F.col("vec_id") < _RQ_NQUERY)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        approx = SIM.ivf_pq_topk(
+            e, cents, books, qs, k=_RQ_K, n_probe=_RQ_NPROBE,
+            id_col="vec_id", vec_col="v",
+        )
+
+        # exact ground truth: brute top-10 by true d2 (integer-exact)
+        qdf = spark.createDataFrame(
+            qs, "query_id long, qv array<double>"
+        )
+        d2 = F.aggregate(
+            F.zip_with("qv", "v", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("d2"), F.asc("neighbor_id")
+        )
+        scored = (
+            e.join(F.broadcast(qdf), F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                d2.alias("d2"),
+            )
+        )
+        brute = scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= _RQ_K
+        )
+
+        hits = (
+            brute.join(
+                approx.select(
+                    "query_id", "neighbor_id", F.col("rank").alias("arank")
+                ),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count("arank").cast("int").alias("hits"),
+                F.sum("d2").alias("s_brute"),
+            )
+        )
+        # true d2 of the RETRIEVED set (the approx ranking may pick
+        # compression-distorted neighbors — their true cost is what the
+        # ratio audits)
+        s_approx = (
+            approx.join(
+                e.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("nv"),
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(qdf), "query_id")
+            .groupBy("query_id")
+            .agg(
+                F.sum(
+                    F.aggregate(
+                        F.zip_with(
+                            "qv", "nv", lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("s_approx")
+            )
+        )
+        out = (
+            hits.join(s_approx, "query_id")
+            .select(
+                "query_id",
+                "hits",
+                F.round(F.col("hits") / F.lit(float(_RQ_K)), 6).alias(
+                    "recall"
+                ),
+                F.round(
+                    F.col("s_approx") / F.nullif(F.col("s_brute"), F.lit(0.0)),
+                    6,
+                ).alias("dist_ratio"),
+            )
+            .orderBy("query_id")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        e.unpersist()
+
+
+def _sub_d2_sql(a: str, b: str, sub: int = 8, j: str = "b.j") -> str:
+    """8-dim subspace squared distance, left-assoc like the Spark
+    expression (exact integer math here, so order is belt-and-braces)."""
+    return " + ".join(
+        f"({a}[{j}*{sub}+{i}] - {b}[{i}]) * ({a}[{j}*{sub}+{i}] - {b}[{i}])"
+        for i in range(1, sub + 1)
+    )
+
+
+ANN_IVF_PQ_RECALL_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x*1000)) AS v
+  FROM embeddings),
+params AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS kc FROM e),
+seeds AS MATERIALIZED (
+  SELECT id AS cid, v AS sv FROM e WHERE id < (SELECT kc FROM params)),
+sd AS (SELECT e.id, s.cid, {_ivf_d2_sql('e.v', 's.sv')} AS d2
+       FROM e CROSS JOIN seeds s),
+assign0 AS (  -- training assignment: nearest seed, lowest cid on ties
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM sd) WHERE rn = 1),
+crec AS (  -- quantized recenter: floor(mean) per cell per dim
+  SELECT a.cid, u.j, FLOOR(SUM(e.v[u.j]) / COUNT(*)) AS c
+  FROM assign0 a JOIN e ON e.id = a.id, UNNEST(range(1, 65)) AS u(j)
+  GROUP BY a.cid, u.j),
+cagg AS (SELECT cid, list(c ORDER BY j) AS cv FROM crec GROUP BY cid),
+cents AS MATERIALIZED (  -- keep-old: empty cells keep their seed
+  SELECT s.cid, COALESCE(g.cv, s.sv) AS cv
+  FROM seeds s LEFT JOIN cagg g ON g.cid = s.cid),
+pseeds AS MATERIALIZED (SELECT id AS code, v FROM e WHERE id < {_RQ_CODES}),
+sub AS (SELECT unnest(range({_RQ_M})) AS j),
+enc0 AS (  -- seed codeword for (j, code) IS vector `code`'s j-th slice
+  SELECT e.id, sb.j, p.code,
+         {_ipq_sub_d2_sql('e.v', 'p.v', j='sb.j')} AS d2
+  FROM e CROSS JOIN sub sb CROSS JOIN pseeds p),
+code0 AS (
+  SELECT id, j, code FROM (
+    SELECT id, j, code,
+           ROW_NUMBER() OVER (PARTITION BY id, j
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM enc0) WHERE rn = 1),
+brec AS (  -- per (subspace, code) quantized recenter over 8-dim slices
+  SELECT c.j, c.code, u.i, FLOOR(SUM(e.v[c.j*8 + u.i]) / COUNT(*)) AS cw
+  FROM code0 c JOIN e ON e.id = c.id, UNNEST(range(1, 9)) AS u(i)
+  GROUP BY c.j, c.code, u.i),
+bagg AS (SELECT j, code, list(cw ORDER BY i) AS cw FROM brec
+         GROUP BY j, code),
+books AS MATERIALIZED (  -- keep-old: empty (j, code) keeps its seed slice
+  SELECT sb.j, p.code,
+         COALESCE(g.cw, list_transform(range(1, 9),
+                                       i -> p.v[sb.j*8 + i])) AS cw
+  FROM sub sb CROSS JOIN pseeds p
+  LEFT JOIN bagg g ON g.j = sb.j AND g.code = p.code),
+cd AS (SELECT e.id, c.cid, {_ivf_d2_sql('e.v', 'c.cv')} AS d2
+       FROM e CROSS JOIN cents c),
+cell AS MATERIALIZED (  -- corpus: nearest trained cell
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM cd) WHERE rn = 1),
+qcell AS (  -- queries: {_RQ_NPROBE} nearest trained cells
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM cd WHERE id < {_RQ_NQUERY}) WHERE rn <= {_RQ_NPROBE}),
+enc AS (  -- corpus PQ codes under the TRAINED books
+  SELECT e.id, b.j, b.code, {_sub_d2_sql('e.v', 'b.cw')} AS d2
+  FROM e CROSS JOIN books b),
+codes AS MATERIALIZED (
+  SELECT id, j, code FROM (
+    SELECT id, j, code,
+           ROW_NUMBER() OVER (PARTITION BY id, j
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM enc) WHERE rn = 1),
+lut AS (  -- per-query ADC tables under the TRAINED books
+  SELECT q.id AS query_id, b.j, b.code, {_sub_d2_sql('q.v', 'b.cw')} AS d2
+  FROM e q CROSS JOIN books b WHERE q.id < {_RQ_NQUERY}),
+cand AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id
+  FROM qcell q JOIN cell c ON q.cell = c.cell AND q.id != c.id),
+adc AS (
+  SELECT cand.query_id, cand.neighbor_id, SUM(lut.d2) AS approx_d2
+  FROM cand
+  JOIN codes ON codes.id = cand.neighbor_id
+  JOIN lut ON lut.query_id = cand.query_id
+          AND lut.j = codes.j AND lut.code = codes.code
+  GROUP BY cand.query_id, cand.neighbor_id),
+approx AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+  FROM adc) WHERE rank <= {_RQ_K}),
+bscored AS (
+  SELECT q.id AS query_id, e.id AS neighbor_id,
+         {_ivf_d2_sql('q.v', 'e.v')} AS d2
+  FROM e q CROSS JOIN e WHERE q.id < {_RQ_NQUERY} AND q.id != e.id),
+brute AS MATERIALIZED (
+  SELECT query_id, neighbor_id, d2 FROM (
+    SELECT query_id, neighbor_id, d2,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, neighbor_id ASC) AS rank
+    FROM bscored) WHERE rank <= {_RQ_K}),
+perq AS (
+  SELECT b.query_id,
+         COUNT(a.neighbor_id) AS hits,
+         SUM(b.d2) AS s_brute
+  FROM brute b LEFT JOIN approx a
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id),
+strue AS (  -- true d2 of the retrieved set
+  SELECT a.query_id, SUM({_ivf_d2_sql('q.v', 'n.v')}) AS s_approx
+  FROM approx a JOIN e q ON q.id = a.query_id
+  JOIN e n ON n.id = a.neighbor_id
+  GROUP BY a.query_id)
+SELECT p.query_id,
+       CAST(p.hits AS INT) AS hits,
+       ROUND(p.hits / {float(_RQ_K)}, 6) AS recall,
+       ROUND(s.s_approx / NULLIF(p.s_brute, 0), 6) AS dist_ratio
+FROM perq p JOIN strue s ON s.query_id = p.query_id
+ORDER BY p.query_id
+"""
+
+
+# --- bucketed co-location, driver-visible -----------------------------------
+
+def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-by-cell co-location contract as a catalog row: the
+    assigned-cells frame (4-cell fixture, matching KNN_GRAPH_SQL) is
+    WRITTEN through sources/bucketed.write_bucketed_table into the
+    session warehouse and the SAME rank_cell_pairs consumer runs over
+    the table-backed frame — so the co-located build must hash-match
+    the shuffle build's edge set exactly.  The zero-hash-exchange plan
+    shape stays pinned in tests/test_bucketed.py; this row makes the
+    RESULT contract driver-visible (write path + bucketed scan + join
+    + rank, end to end).
+
+    Scale shape: this IS the 100 TB layout — the corpus is written
+    bucketed-by-cell once, and every downstream within-cell self-join
+    (k-NN graph, SemDeDup, ANN verify) reads co-located buckets with
+    no exchange before the rank window's."""
+    from kmeans_mapreduce_spark.plans.kmeans_queries import _fixed_centroids
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import (
+        assigned_cells,
+        rank_cell_pairs,
+    )
+    from kmeans_mapreduce_spark.sources.bucketed import write_bucketed_table
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = assigned_cells(e, _fixed_centroids(spark, sf_dir, k=4))
+    tbl = write_bucketed_table(
+        assigned, "knn_cells_bucketed_q", "cell", n_buckets=8
+    )
+    return rank_cell_pairs(tbl, k_neighbors=3)
+
+
+# --- mixed-mime resize -------------------------------------------------------
+
+def mm_resize_pnm_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode -> nearest-neighbor resize over MIXED P5/P6 payloads
+    (odd media_ids grayscale, even RGB): the transform path's
+    channel-count branch — raster reshape, NN index math, per-plane
+    sums — exercised where it can actually break, under the formula
+    oracle.  thumb_c0 is the channel-0 plane sum (== thumb_sum for
+    grayscale, the R-plane for RGB), so a dispatch bug that runs a P5
+    raster through the 3-channel reshape (or vice versa) breaks both
+    columns, not just the total."""
+    media = MM.attach_pnm_mixed_payload(_docs(spark, sf_dir), "doc_id", "text")
+    res = MM.resize_media(media, max_side=8)
+    return res.select(
+        "media_id",
+        "width",
+        "height",
+        "thumb_width",
+        "thumb_height",
+        F.col("thumb_feature")[0].cast("bigint").alias("thumb_c0"),
+        F.col("thumb_feature")[3].cast("bigint").alias("thumb_sum"),
+    )
+
+
+MM_RESIZE_PNM_MIXED_SQL = (
+    _DIMS_CTE
+    + """,
+t AS (
+  SELECT media_id, w, h,
+         CASE WHEN media_id % 2 = 1 THEN 1 ELSE 3 END AS ch,
+         greatest(1, (w * 8) // greatest(w, h)) AS tw,
+         greatest(1, (h * 8) // greatest(w, h)) AS th
+  FROM d)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(tw AS INT) AS thumb_width,
+       CAST(th AS INT) AS thumb_height,
+       -- NN thumb pixel p: ty = p//tw, tx = p%tw, sy = ty*h//th,
+       -- sx = tx*w//tw; channel-0 byte offset = ch*(sy*w + sx)
+       CAST(list_sum(list_transform(range(0, tw * th),
+            p -> (media_id * 7
+                  + ch * ((((p // tw) * h) // th) * w
+                          + ((p % tw) * w) // tw)) % 256)) AS BIGINT)
+         AS thumb_c0,
+       -- all channels: byte k -> pixel p = k//ch, channel c = k%ch
+       CAST(list_sum(list_transform(range(0, ch * tw * th),
+            k -> (media_id * 7
+                  + ch * (((((k // ch) // tw) * h) // th) * w
+                          + (((k // ch) % tw) * w) // tw)
+                  + k % ch) % 256)) AS BIGINT) AS thumb_sum
+FROM t
+"""
+)
+
+
+# --- tri-mime pixel histogram ------------------------------------------------
+
+def mm_pnm_tri_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pixel histogram over ALL THREE real netpbm arms in one
+    frame (media_id % 3 cycles P6 / P5 / P4): the P6/P5 arms bin raw
+    raster bytes, the P4 arm unpacks bits, crops the row padding, and
+    bins them as gray levels per the PBM convention (1 = black = 0,
+    0 = white = 255) — so P4 pixels land ONLY in buckets 0 and 15 and
+    any padding leak or inverted-bit bug moves exactly those buckets.
+    The oracle re-derives byte buckets from the generative formula and
+    the bit counts from the padding-masked popcount."""
+    media = MM.attach_pnm_tri_payload(_docs(spark, sf_dir), "doc_id", "text")
+    return MM.ppm_pixel_histogram(media, n_buckets=16)
+
+
+MM_PNM_TRI_HISTOGRAM_SQL = (
+    _DIMS_CTE
+    + """
+, c AS (
+  SELECT media_id, w, h,
+         CASE WHEN media_id % 3 = 0 THEN 3
+              WHEN media_id % 3 = 1 THEN 1
+              ELSE 0 END AS ch
+  FROM d),
+bytepx AS (  -- P6/P5 arms: raw raster bytes
+  SELECT CAST(((media_id * 7 + u.i) % 256) // 16 AS INT) AS bucket,
+         COUNT(*) AS n
+  FROM c, UNNEST(range(0, ch * w * h)) AS u(i)
+  WHERE ch > 0
+  GROUP BY 1),
+p AS (SELECT media_id, w, h, (w + 7) // 8 AS bpr, w % 8 AS rem
+      FROM d WHERE media_id % 3 = 2),
+bts AS (  -- P4 arm: packed bytes, row-tail padding masked
+  SELECT ((p.media_id * 7 + u.i) % 256)
+         & (CASE WHEN (u.i % p.bpr) = p.bpr - 1 AND p.rem > 0
+                 THEN 256 - CAST(POW(2, 8 - p.rem) AS INT)
+                 ELSE 255 END) AS m
+  FROM p, UNNEST(range(0, p.bpr * p.h)) AS u(i)),
+bitpx AS (  -- set bit = black = gray 0 (bucket 0), clear = white = 255
+  SELECT 0 AS bucket, COALESCE(SUM({pop}), 0) AS n FROM bts
+  UNION ALL
+  SELECT 15 AS bucket,
+         COALESCE((SELECT SUM(CAST(w AS BIGINT) * h) FROM p), 0)
+         - COALESCE((SELECT SUM({pop}) FROM bts), 0) AS n)
+SELECT CAST(bucket AS INT) AS bucket, CAST(SUM(n) AS BIGINT) AS n_px
+FROM (SELECT bucket, n FROM bytepx UNION ALL
+      SELECT bucket, n FROM bitpx)
+GROUP BY bucket
+HAVING SUM(n) > 0
+ORDER BY bucket
+""".replace("{pop}", _POPCOUNT)
+)

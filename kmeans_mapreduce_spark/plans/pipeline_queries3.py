@@ -249,7 +249,14 @@ def knn_graph_cells(
         list(r["v"])
         for r in e.where(F.col("vec_id") < k_cells).orderBy("vec_id").collect()
     ]
-    assert cents, f"no vectors with vec_id < {k_cells}"
+    # a sparse/non-zero-based id space yields FEWER than k_cells seeds
+    # here while knn_edges_scaled's orderBy().limit() recipe would still
+    # find k_cells — fail loudly instead of silently building a coarser
+    # graph than the production knob promises
+    assert len(cents) == k_cells, (
+        f"centroid shortfall: {len(cents)} vectors with vec_id < {k_cells} "
+        f"(ids must be dense and 0-based for the predicate recipe)"
+    )
     return _knn_cell_pairs(e, cents, k_neighbors)
 
 

@@ -180,6 +180,25 @@ def drain_stream_kmeans(
                     "(stale checkpoint replay?); model state is invalid"
                 )
             if mass >= expected_rows:
+                # mass == expected exactly; stop FIRST, then re-check —
+                # a fold racing this break could still push mass past
+                # expected between the read and the stop, and that
+                # overshoot must raise like the in-loop check does.
+                # Limitation (documented): an UNDERSTATED expected_rows
+                # that lands exactly on a micro-batch boundary is
+                # undetectable here — the source's remaining rows were
+                # simply never folded, and only the caller knows the
+                # true total.  Callers pass the source's exact row count.
+                q.stop()
+                with model_lock:
+                    final_mass = sum(model.weights)
+                if final_mass > expected_rows:
+                    raise RuntimeError(
+                        f"folded {final_mass:.0f} rows but expected "
+                        f"exactly {expected_rows} — a micro-batch was "
+                        "double-folded (stale checkpoint replay?); "
+                        "model state is invalid"
+                    )
                 break
             # a dead query would otherwise sleep out the whole timeout
             # and mask its real exception behind a TimeoutError

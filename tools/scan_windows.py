@@ -19,20 +19,23 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("scan-windows")
-    hits = {}
+    hits: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name, fn in e.queries().items():
         try:
             plan = (
                 fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
             )
         except Exception as exc:  # noqa: BLE001
-            hits[name] = f"ERROR {str(exc)[:120]}"
+            errors[name] = str(exc)[:120]
             continue
         n = unpartitioned_window_specs(plan)
         if n:
             hits[name] = n
         print(f"{name}: {n}", file=sys.stderr)
-    print(json.dumps(hits, indent=1))
+    # hits stays int-valued so consumers can sum/compare; build failures
+    # ride a separate key instead of polluting the counts with strings
+    print(json.dumps({"hits": hits, "errors": errors}, indent=1))
     return 0
 
 
