@@ -35,7 +35,8 @@ def stream_export_jsonl(
     checkpoint: str,
     n_shards: int = 8,
     id_col: str = "doc_id",
-) -> None:
+    await_termination: bool = True,
+):
     """Drain the stream into ``shard=<i>/*.json`` JSONL, availableNow.
 
     Shard assignment is the identical md5-mod expression the batch
@@ -51,16 +52,24 @@ def stream_export_jsonl(
     Exactly-once: the json file sink tracks committed files in the
     checkpoint's _spark_metadata log — reprocessed batches overwrite
     rather than double-append.
+
+    ``await_termination=False`` returns the live StreamingQuery instead
+    of draining it — the crash/resume harness (tools/stress_run.py
+    stream_shard_export) uses this to kill an export mid-run and prove
+    the checkpoint resume commits no duplicate shards.
     """
     h = F.md5(F.col(id_col).cast("string"))
     shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards)
     staged = docs_stream.withColumn("shard", shard)
-    (
+    q = (
         staged.writeStream.format("json")
         .partitionBy("shard")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    if not await_termination:
+        return q
+    q.awaitTermination()
+    return None

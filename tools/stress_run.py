@@ -100,6 +100,7 @@ PHASE_C = [
     "stream_kmeans_2m",
     "stream_quality_mv",
     "stream_event_joins",
+    "stream_shard_export",
 ]
 
 # Phase D: the k-NN graph family at the PRODUCTION k_cells knob.
@@ -385,6 +386,95 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                 rc = 1
                 results[label] = {"error": str(exc)[:300]}
                 print(f"C {label}: ERROR {exc}", file=sys.stderr)
+
+    if "stream_shard_export" in names:
+        # Exactly-once shard export under a FORCED mid-run crash: start
+        # the availableNow export over the 50k-doc stress corpus in
+        # multi-file micro-batches, kill the query after the first
+        # batches commit, then resume from the SAME checkpoint to
+        # completion.  Evidence recorded: rows/distinct ids seen by a
+        # metadata-log-aware reader must equal the corpus exactly (no
+        # duplicated shards, no loss), plus committed-vs-physical file
+        # counts (orphaned part files from the kill are excluded by the
+        # sink's _spark_metadata log — that exclusion IS the
+        # exactly-once mechanism a downstream consumer relies on).
+        from kmeans_mapreduce_spark.streaming.export import (
+            documents_stream_source,
+            stream_export_jsonl,
+        )
+
+        out, ck = str(base / "shards"), str(base / "shards_ckpt")
+        t0 = time.time()
+        try:
+            q = stream_export_jsonl(
+                documents_stream_source(
+                    spark, docs_dir, max_files_per_trigger=4
+                ),
+                out,
+                ck,
+                n_shards=8,
+                await_termination=False,
+            )
+            # let >=2 micro-batches land, then simulate the crash
+            deadline = time.time() + 300
+            while (
+                len([p for p in (q.recentProgress or []) if p]) < 2
+                and q.isActive
+                and time.time() < deadline
+            ):
+                time.sleep(0.25)
+            batches_before = len(q.recentProgress or [])
+            q.stop()
+            committed_mid = spark.read.json(out).count()
+            # resume: same checkpoint, fresh query, drain to completion
+            q2 = stream_export_jsonl(
+                documents_stream_source(
+                    spark, docs_dir, max_files_per_trigger=4
+                ),
+                out,
+                ck,
+                n_shards=8,
+                await_termination=False,
+            )
+            q2.awaitTermination()
+            exported = spark.read.json(out)
+            n_rows = exported.count()
+            n_ids = exported.select("doc_id").distinct().count()
+            corpus = spark.read.parquet(docs_dir).count()
+            physical = len(list(Path(out).rglob("part-*.json")))
+            committed = len(
+                [
+                    line
+                    for f in sorted(
+                        (Path(out) / "_spark_metadata").glob("*")
+                    )
+                    if f.is_file() and not f.name.endswith(".crc")
+                    for line in f.read_text().splitlines()
+                    if '"path"' in line
+                ]
+            )
+            results["stream_shard_export"] = {
+                "sec": round(time.time() - t0, 1),
+                "corpus_rows": corpus,
+                "exported_rows": n_rows,
+                "distinct_ids": n_ids,
+                "batches_before_kill": batches_before,
+                "rows_committed_at_kill": committed_mid,
+                "resumed_batches": len(q2.recentProgress or []),
+                "files_physical": physical,
+                "files_committed": committed,
+                "exactly_once": bool(n_rows == corpus and n_ids == corpus),
+            }
+            print(
+                f"C shard_export: {results['stream_shard_export']}",
+                file=sys.stderr,
+            )
+            if not results["stream_shard_export"]["exactly_once"]:
+                rc = 1
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            results["stream_shard_export"] = {"error": str(exc)[:300]}
+            print(f"C shard_export: ERROR {exc}", file=sys.stderr)
     return rc
 
 
