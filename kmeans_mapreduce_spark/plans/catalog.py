@@ -476,92 +476,94 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the contract test pin).
 
 
-# ROUND-9 DRIVER WINDOW.  Round 8 recorded every _R8_WINDOW row green
-# (45 oracle + 5 by-design rows-only), completing 239/239 cumulative
-# driver coverage — from here the window is pure freshness rotation.
-# Composition per the ledger:
-#   (b) round-8 reds: none;
-#   (c) new this round: mllib_fit_invariants (the last two rows-only
-#       paths get an in-engine contract certificate) and
-#       mm_decode_pnm_mixed (P5/P6 mixed-mime real-codec dispatch);
-#       changed this round: set_except_nations (non-empty predicate —
-#       the 0-row green was vacuous), the k-NN graph family (cell
-#       assignment unified on the broadcast-centroid relation;
-#       k_cells now defaults to ceil(sqrt(N)) with the 4-cell fixture
-#       pinned at the oracle call sites), and the mm_* real-codec
-#       family (decode dispatch generalized to the P5/P6 table);
+# ROUND-10 DRIVER WINDOW.  Cumulative coverage is 245/245 with zero
+# latest-red after round 9, so the window is pure freshness rotation.
+# Composition per the round-10 ledger (judge pre-verified all 28
+# round-3-vintage fill rows green in the round-9 vanilla re-runs):
+#   (b) round-9 reds: none;
+#   (c) new this round: ann_ivf_pq_recall (production-knob recall
+#       calibration — trained quantized centroids/codebooks at
+#       k_cells=ceil(sqrt(N)), n_probe=4, vs exact brute top-10),
+#       knn_graph_bucketed (the co-location contract driver-visible),
+#       mm_resize_pnm_mixed (resize-path channel dispatch) and
+#       mm_pnm_tri_histogram (all three netpbm arms in one histogram);
+#       changed this round: the pixel-histogram consumers (P4 arm
+#       added to the shared operator), ann_ivf_pq_topk (cell-assignment
+#       strategy cutoff in ivf_pq_topk), knn_graph_cells (centroid
+#       shortfall guard);
 #   (d) rows-only freshness re-samples (trained/seed-sensitive paths,
-#       each shadowed by a green *_invariants sibling in this window);
-#   (e) oldest-driver-green fill: all 14 remaining round-2-vintage
-#       rows (set_except is in (c)), then round-3 vintage in catalog
-#       order (14 of 40 — the rest queue for round 10).
-_R9_WINDOW = [
+#       each certified by a *_invariants sibling recorded green r8/r9);
+#   (e) oldest-driver-green fill: all 28 remaining round-3-vintage
+#       rows, then round-4 vintage in catalog order (9 of 37 — the
+#       rest queue for round 11).
+_R10_WINDOW = [
     # (c) new this round
-    "mllib_fit_invariants",
-    "mm_decode_pnm_mixed",
-    "ann_ivf_pq_topk",
-    "dedup_minhash_calibration",
-    "mm_pnm_mixed_histogram",
-    "mm_decode_pbm",
-    # (c) changed this round
-    "set_except_nations",
-    "knn_graph_cells",
-    "graph_knn_indegree_profile",
-    "graph_pagerank_vectors",
-    "graph_bfs_reach",
-    "graph_triangle_count",
-    "mm_decode_ppm",
-    "mm_resize_ppm",
-    "mm_tiles_ppm",
+    "ann_ivf_pq_recall",
+    "knn_graph_bucketed",
+    "mm_resize_pnm_mixed",
+    "mm_pnm_tri_histogram",
+    # (c) changed this round (consumers of touched operators)
     "mm_ppm_pixel_histogram",
-    "mm_decode",
-    # (d) rows-only freshness (certified by invariants siblings above)
+    "mm_pnm_mixed_histogram",
+    "ann_ivf_pq_topk",
+    "knn_graph_cells",
+    # (d) rows-only freshness (invariants siblings green r8/r9)
     "kmeans_fit_native",
     "kmeans_fit_mllib",
     "kmeans_fit_lineitem",
     "ann_pq_topk",
     "pipeline_bpe_train",
-    # (e) oldest-green fill: round-2 vintage (catalog order)
-    "set_intersect_nations",
-    "set_union_nations",
-    "join_range_quantity_bands",
-    "asof_events_orders",
-    "events_json_extract",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "agg_percentiles_lineitem",
-    "date_orders_seasonality",
-    "subq_exists_parts",
-    "subq_scalar_threshold",
-    "window_value_funcs",
-    "window_range_frame",
-    # (e) oldest-green fill: round-3 vintage (catalog order)
-    "dedup_components",
-    "ann_ivf_topk",
-    "text_bm25_rank",
-    "events_sessionize",
-    "agg_approx_stats",
-    "q22_dormant_customers",
-    "dedup_latest_event",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "sample_train_split",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "doc_fingerprint",
+    # (e) oldest-green fill: round-3 vintage (catalog order; all 28
+    # pre-verified green by the round-9 judge's vanilla re-runs)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_brute_topk",
+    "mm_metadata",
+    "mm_frame_sample",
+    "q4_late_shipments",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "q21_sole_late_supplier",
+    "sort_global_daily",
+    "text_tfidf_topterms",
+    "text_bpe_tokens",
+    "q10_returned_revenue",
+    "array_higher_order",
+    "lateral_pos_tokens",
+    "generator_order_years",
+    "agg_filter_clause",
+    "window_rows_moving_avg",
+    "date_interval_arith",
+    "hist_order_values",
+    "join_null_safe_status",
+    "q14_promo_revenue",
+    "q19_branded_revenue",
+    "string_customer_profile",
+    "map_event_type_counts",
+    # (e) oldest-green fill: round-4 vintage (catalog order)
+    "pipeline_corpus_curation",
+    "dq_validation_report",
+    "set_multiset_priorities",
+    "case_coalesce_buckets",
+    "array_top_tokens",
+    "agg_collect_sets",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "ann_brute_topk_pandas",
 ]
-assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
-# ROUND-10 LEDGER (write the _R10_WINDOW from this once round 9
-# records): compose as (b) any round-9 reds -> (c) round-10 new/changed
-# -> (d) rows-only freshness -> (e) oldest-green fill with the 26
-# remaining round-3-vintage rows (recompute the latest-round map from
-# CORRECTNESS_r0*.json — the 14 sampled this round move to round 9),
-# then round-4 vintage in catalog order.
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+# ROUND-11 LEDGER (write the _R11_WINDOW from this once round 10
+# records): compose as (b) any round-10 reds -> (c) round-11
+# new/changed -> (d) rows-only freshness -> (e) oldest-green fill with
+# the 28 remaining round-4-vintage rows (recompute the latest-round map
+# from CORRECTNESS_r*.json — the 9 sampled this round move to round
+# 10), then round-5 vintage in catalog order.
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R9_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R10_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,

@@ -19,6 +19,10 @@ the scale story requires.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 
 
@@ -42,6 +46,17 @@ def write_bucketed_table(
     must agree on it, so pick the value once per key domain (at 100 TB:
     O(data size / target task size), a power of two for re-splitting).
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and path is None:
+        # the default catalog is in-memory: a fresh session doesn't
+        # know the table, but its managed LOCATION survives in the
+        # warehouse dir and saveAsTable refuses to create over it
+        # (LOCATION_ALREADY_EXISTS) — drop both the entry and any
+        # orphaned directory so overwrite means overwrite
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(Path(wh.path) / table.lower(), ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)

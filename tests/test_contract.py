@@ -23,29 +23,25 @@ def test_catalog_shapes():
         "pipeline_bpe_train",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — round 9: the new contract/mixed-codec queries, every
-    # query whose implementation changed this round (set-op predicate,
-    # k-NN cell assignment, mm decode dispatch), and the rows-only
+    # entries — round 10: the new batch-28 queries, every query whose
+    # implementation changed this round (histogram P4 arm, ivf_pq_topk
+    # strategy cutoff, knn centroid guard), and the rows-only
     # freshness re-samples must all be inside
     first50 = list(qs)[:50]
-    from kmeans_mapreduce_spark.plans.catalog import _R9_WINDOW
+    from kmeans_mapreduce_spark.plans.catalog import _R10_WINDOW
 
-    assert first50 == _R9_WINDOW, "driver window drifted from the ledger"
+    assert first50 == _R10_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (c) round-9 additions (VERDICT r8 §next #2-3 + batch 27)
-        "mllib_fit_invariants",
-        "mm_decode_pnm_mixed",
-        "ann_ivf_pq_topk",
-        "dedup_minhash_calibration",
-        "mm_pnm_mixed_histogram",
-        "mm_decode_pbm",
+        # (c) round-10 additions (VERDICT r9 §next #2-3, #5 + batch 28)
+        "ann_ivf_pq_recall",
+        "knn_graph_bucketed",
+        "mm_resize_pnm_mixed",
+        "mm_pnm_tri_histogram",
         # (c) changed this round
-        "set_except_nations",
+        "mm_ppm_pixel_histogram",
+        "mm_pnm_mixed_histogram",
+        "ann_ivf_pq_topk",
         "knn_graph_cells",
-        "graph_knn_indegree_profile",
-        "graph_pagerank_vectors",
-        "mm_decode_ppm",
-        "mm_decode",
         # (d) rows-only freshness re-samples
         "kmeans_fit_native",
         "kmeans_fit_mllib",
