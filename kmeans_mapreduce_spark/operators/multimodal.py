@@ -246,18 +246,25 @@ def _pgm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
     return len(payload), width, height, feature
 
 
+def _pbm_bits(width: int, height: int, raster: bytes) -> np.ndarray:
+    """Unpack a P4 packed raster to the TRUE w x h bit grid: unpackbits
+    per byte-padded row, then CROP to width — the single home of the
+    padding-exclusion invariant (the classic P4 off-by-padding bug),
+    shared by the stats and histogram consumers so it cannot drift."""
+    arr = np.frombuffer(raster, dtype=np.uint8)
+    return np.unpackbits(arr.reshape(height, (width + 7) // 8), axis=1)[
+        :, :width
+    ]
+
+
 def _pbm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
     """P4 sibling, same 8-slot feature contract with bit semantics:
-    slot 0 is the count of SET bits over the true w x h grid — i.e.
-    np.unpackbits per padded row, CROPPED to width before summing, so
-    the row-padding bits the raster legitimately carries can never
-    leak into the pixel count (the classic P4 off-by-padding bug this
-    stat exists to catch).  Slots 1-2 are 0.0; byte-level slots
+    slot 0 is the count of SET bits over the true w x h grid (padding
+    cropped by `_pbm_bits`).  Slots 1-2 are 0.0; byte-level slots
     (first/last/min/max) read the RAW packed raster."""
     width, height, raster = _decode_pbm(payload)
     arr = np.frombuffer(raster, dtype=np.uint8)
-    bpr = (width + 7) // 8
-    bits = np.unpackbits(arr.reshape(height, bpr), axis=1)[:, :width]
+    bits = _pbm_bits(width, height, raster)
     feature = [
         float(bits.sum(dtype=np.int64)),
         0.0,
@@ -276,18 +283,21 @@ def _pbm_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
 _REAL_STATS = {PPM_MIME: _ppm_stats, PGM_MIME: _pgm_stats, PBM_MIME: _pbm_stats}
 
 
+_ARM_MIME = {b"P6": PPM_MIME, b"P5": PGM_MIME, b"P4": PBM_MIME}
+
+
 def _attach_pnm(
-    df: DataFrame, id_col: str, text_col: str, mixed: bool
+    df: DataFrame, id_col: str, text_col: str, arms: tuple[bytes, ...]
 ) -> DataFrame:
-    """Shared synthesis for `attach_ppm_payload` / `attach_pnm_mixed_payload`:
+    """Shared synthesis scaffold for every attach_*_payload wrapper:
     dims come from the text's byte length (w = 4 + n % 13,
-    h = 4 + (n // 13) % 11) and raster byte i is (media_id*7 + i) % 256
-    — a generative formula both engines can recompute, while the
-    payload itself is a genuine, parseable netpbm file (header +
-    raster) so the decode boundary is exercised for real.  With
-    ``mixed``, odd media_ids get grayscale P5 (w*h raster bytes, same
-    byte formula), even ones RGB P6 — so one frame drives BOTH real
-    decoder arms through the per-row mime dispatch.
+    h = 4 + (n // 13) % 11), media m gets netpbm arm
+    ``arms[m % len(arms)]``, and raster byte i is (media_id*7 + i) % 256
+    over `_pnm_raster_len` bytes (for P4 those are the PACKED bytes, so
+    padding bits are genuinely present whenever w % 8 != 0) — one
+    generative formula both engines recompute (the _DIMS_CTE oracles),
+    living in exactly one place, while each payload is a genuine,
+    parseable netpbm file so the decode boundary is exercised for real.
 
     Arrow-batched mapInPandas: synthesis is per-batch, partition
     independent — the same shape a real "fetch bytes from blob store"
@@ -305,17 +315,13 @@ def _attach_pnm(
             for mid, n in zip(batch["media_id"], batch["_n"]):
                 w = 4 + int(n) % 13
                 h = 4 + (int(n) // 13) % 11
-                gray = mixed and int(mid) % 2 == 1
-                n_px = (1 if gray else 3) * w * h
-                px = ((int(mid) * 7 + np.arange(n_px)) % 256).astype(
+                magic = arms[int(mid) % len(arms)]
+                n_bytes = _pnm_raster_len(magic, w, h)
+                px = ((int(mid) * 7 + np.arange(n_bytes)) % 256).astype(
                     np.uint8
                 )
-                if gray:
-                    payloads.append(encode_pgm(w, h, px.tobytes()))
-                    mimes.append(PGM_MIME)
-                else:
-                    payloads.append(encode_ppm(w, h, px.tobytes()))
-                    mimes.append(PPM_MIME)
+                payloads.append(_encode_pnm(magic, w, h, px.tobytes()))
+                mimes.append(_ARM_MIME[magic])
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"].values,
@@ -329,7 +335,7 @@ def _attach_pnm(
 
 def attach_ppm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Media table of REAL binary-PPM (P6) images — see `_attach_pnm`."""
-    return _attach_pnm(df, id_col, text_col, mixed=False)
+    return _attach_pnm(df, id_col, text_col, (b"P6",))
 
 
 def attach_pnm_mixed_payload(
@@ -338,94 +344,25 @@ def attach_pnm_mixed_payload(
     """Media table mixing P5 (odd media_ids) and P6 (even) payloads —
     exercises `decode_media`'s per-row mime dispatch with two REAL
     decoder arms in one frame.  See `_attach_pnm`."""
-    return _attach_pnm(df, id_col, text_col, mixed=True)
+    return _attach_pnm(df, id_col, text_col, (b"P6", b"P5"))
 
 
 def attach_pnm_tri_payload(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Media table cycling ALL THREE real netpbm arms by media_id % 3
-    (0 -> P6 RGB, 1 -> P5 grayscale, 2 -> P4 packed bitmap), same dims
-    formula as `_attach_pnm` and the same raster-byte formula
-    (byte i = (media_id*7 + i) % 256 — for P4 that's the PACKED bytes,
-    so padding bits are genuinely present whenever w % 8 != 0).  One
-    frame drives the full per-row mime dispatch including the bit-
-    unpacking arm."""
-    import pandas as pd
-
-    src = df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
-    )
-
-    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for batch in batches:
-            payloads, mimes = [], []
-            for mid, n in zip(batch["media_id"], batch["_n"]):
-                w = 4 + int(n) % 13
-                h = 4 + (int(n) // 13) % 11
-                arm = int(mid) % 3
-                if arm == 2:
-                    n_bytes = ((w + 7) // 8) * h
-                else:
-                    n_bytes = (1 if arm == 1 else 3) * w * h
-                px = ((int(mid) * 7 + np.arange(n_bytes)) % 256).astype(
-                    np.uint8
-                )
-                if arm == 0:
-                    payloads.append(encode_ppm(w, h, px.tobytes()))
-                    mimes.append(PPM_MIME)
-                elif arm == 1:
-                    payloads.append(encode_pgm(w, h, px.tobytes()))
-                    mimes.append(PGM_MIME)
-                else:
-                    payloads.append(encode_pbm(w, h, px.tobytes()))
-                    mimes.append(PBM_MIME)
-            yield pd.DataFrame(
-                {
-                    "media_id": batch["media_id"].values,
-                    "payload": payloads,
-                    "mime": mimes,
-                }
-            )
-
-    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    (0 -> P6 RGB, 1 -> P5 grayscale, 2 -> P4 packed bitmap) — one frame
+    drives the full per-row mime dispatch including the bit-unpacking
+    arm.  See `_attach_pnm`."""
+    return _attach_pnm(df, id_col, text_col, (b"P6", b"P5", b"P4"))
 
 
 def attach_pbm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Media table of REAL binary-PBM (P4) bitmaps: same dims formula
-    as `_attach_pnm` (w = 4 + n % 13, h = 4 + (n // 13) % 11), raster
-    byte i = (media_id*7 + i) % 256 over ceil(w/8)*h PACKED bytes — the
-    payload is a genuine P4 file whose rows carry real padding bits
-    whenever w % 8 != 0 (true for most of the dims range), so the
-    decode stats must mask them or break the oracle hash."""
-    import pandas as pd
-
-    src = df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
-    )
-
-    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for batch in batches:
-            payloads = []
-            for mid, n in zip(batch["media_id"], batch["_n"]):
-                w = 4 + int(n) % 13
-                h = 4 + (int(n) // 13) % 11
-                n_bytes = ((w + 7) // 8) * h
-                px = ((int(mid) * 7 + np.arange(n_bytes)) % 256).astype(
-                    np.uint8
-                )
-                payloads.append(encode_pbm(w, h, px.tobytes()))
-            yield pd.DataFrame(
-                {
-                    "media_id": batch["media_id"].values,
-                    "payload": payloads,
-                    "mime": PBM_MIME,
-                }
-            )
-
-    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    """Media table of REAL binary-PBM (P4) bitmaps whose rows carry
+    real padding bits whenever w % 8 != 0 (true for most of the dims
+    range), so the decode stats must mask them or break the oracle
+    hash.  See `_attach_pnm`."""
+    return _attach_pnm(df, id_col, text_col, (b"P4",))
 
 
 def _decode_fake(payload: bytes):
@@ -699,15 +636,10 @@ def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
                     _, _, raster = _decode_pgm(bytes(payload))
                 elif mime == PBM_MIME:
                     # P4 bits map to gray levels per the PBM convention
-                    # (1 = black = 0, 0 = white = 255), cropped to the
-                    # true width so row-padding bits never get binned
+                    # (1 = black = 0, 0 = white = 255); padding cropped
+                    # by the shared _pbm_bits helper
                     w, h, raster = _decode_pbm(bytes(payload))
-                    bits = np.unpackbits(
-                        np.frombuffer(raster, dtype=np.uint8).reshape(
-                            h, (w + 7) // 8
-                        ),
-                        axis=1,
-                    )[:, :w]
+                    bits = _pbm_bits(w, h, raster)
                     arr = np.where(bits == 1, 0, 255).astype(np.uint8)
                     counts += np.bincount(
                         arr.ravel() // width, minlength=n_buckets

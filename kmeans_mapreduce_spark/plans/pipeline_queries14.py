@@ -84,8 +84,10 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune -> ADC scan -> rank path from `ivf_pq_topk` at n_probe=4,
     scored against the exact brute-force top-10: per query, hits,
     recall@10, and the true-distance ratio (sum of TRUE d2 of the
-    retrieved set over the brute optimum — 1.0 means perfect, the
-    standard ANN quality readout).
+    retrieved set over the brute top-|retrieved| — cardinality-matched
+    so the ratio is >= 1 by prefix optimality even when the probed
+    cells yield fewer than k candidates, and NULL when they yield
+    none; 1.0 means perfect, the standard ANN quality readout).
 
     Exactness: vectors are integer-scaled (floor(x*1000)) and the
     trained centroids/codebooks floor-quantized, so every distance,
@@ -209,15 +211,15 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left",
             )
             .groupBy("query_id")
-            .agg(
-                F.count("arank").cast("int").alias("hits"),
-                F.sum("d2").alias("s_brute"),
-            )
+            .agg(F.count("arank").cast("int").alias("hits"))
         )
         # true d2 of the RETRIEVED set (the approx ranking may pick
         # compression-distorted neighbors — their true cost is what the
-        # ratio audits)
-        s_approx = (
+        # ratio audits); n_ret makes the denominator CARDINALITY-MATCHED
+        # below — a probe set with fewer than k candidates compares
+        # against the brute top-|retrieved|, so dist_ratio >= 1 holds by
+        # the optimality of the brute prefix at every retrieval size
+        sa = (
             approx.join(
                 e.select(
                     F.col("vec_id").alias("neighbor_id"),
@@ -228,6 +230,7 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(qdf), "query_id")
             .groupBy("query_id")
             .agg(
+                F.count("*").alias("n_ret"),
                 F.sum(
                     F.aggregate(
                         F.zip_with(
@@ -236,11 +239,21 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(0.0),
                         lambda acc, x: acc + x,
                     )
-                ).alias("s_approx")
+                ).alias("s_approx"),
             )
         )
+        sb = (
+            brute.join(sa.select("query_id", "n_ret"), "query_id")
+            .where(F.col("rank") <= F.col("n_ret"))
+            .groupBy("query_id")
+            .agg(F.sum("d2").alias("s_brute"))
+        )
+        # LEFT joins: a query whose probed cells held NO candidates
+        # still reports (hits=0, recall=0, dist_ratio NULL) instead of
+        # vanishing from the output
         out = (
-            hits.join(s_approx, "query_id")
+            hits.join(sa, "query_id", "left")
+            .join(sb, "query_id", "left")
             .select(
                 "query_id",
                 "hits",
@@ -361,28 +374,34 @@ bscored AS (
          {_ivf_d2_sql('q.v', 'e.v')} AS d2
   FROM e q CROSS JOIN e WHERE q.id < {_RQ_NQUERY} AND q.id != e.id),
 brute AS MATERIALIZED (
-  SELECT query_id, neighbor_id, d2 FROM (
+  SELECT query_id, neighbor_id, d2, rank FROM (
     SELECT query_id, neighbor_id, d2,
            ROW_NUMBER() OVER (PARTITION BY query_id
                               ORDER BY d2 ASC, neighbor_id ASC) AS rank
     FROM bscored) WHERE rank <= {_RQ_K}),
 perq AS (
-  SELECT b.query_id,
-         COUNT(a.neighbor_id) AS hits,
-         SUM(b.d2) AS s_brute
+  SELECT b.query_id, COUNT(a.neighbor_id) AS hits
   FROM brute b LEFT JOIN approx a
     ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
   GROUP BY b.query_id),
-strue AS (  -- true d2 of the retrieved set
-  SELECT a.query_id, SUM({_ivf_d2_sql('q.v', 'n.v')}) AS s_approx
+strue AS MATERIALIZED (  -- true d2 of the retrieved set + its size
+  SELECT a.query_id, COUNT(*) AS n_ret,
+         SUM({_ivf_d2_sql('q.v', 'n.v')}) AS s_approx
   FROM approx a JOIN e q ON q.id = a.query_id
   JOIN e n ON n.id = a.neighbor_id
-  GROUP BY a.query_id)
+  GROUP BY a.query_id),
+sbrute AS (  -- cardinality-matched denominator: brute top-|retrieved|
+  SELECT b.query_id, SUM(b.d2) AS s_brute
+  FROM brute b JOIN strue s
+    ON s.query_id = b.query_id AND b.rank <= s.n_ret
+  GROUP BY b.query_id)
 SELECT p.query_id,
        CAST(p.hits AS INT) AS hits,
        ROUND(p.hits / {float(_RQ_K)}, 6) AS recall,
-       ROUND(s.s_approx / NULLIF(p.s_brute, 0), 6) AS dist_ratio
-FROM perq p JOIN strue s ON s.query_id = p.query_id
+       ROUND(s.s_approx / NULLIF(sb.s_brute, 0), 6) AS dist_ratio
+FROM perq p
+LEFT JOIN strue s ON s.query_id = p.query_id
+LEFT JOIN sbrute sb ON sb.query_id = p.query_id
 ORDER BY p.query_id
 """
 

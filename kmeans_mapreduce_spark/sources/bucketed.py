@@ -56,7 +56,20 @@ def write_bucketed_table(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         if wh.scheme in ("", "file"):
-            shutil.rmtree(Path(wh.path) / table.lower(), ignore_errors=True)
+            # managed layout: <warehouse>/<table> in the default db,
+            # <warehouse>/<db>.db/<table> otherwise — resolve the db
+            # from a qualified name or the session's current database
+            parts = table.lower().split(".")
+            if len(parts) == 1:
+                db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+            else:
+                db, tbl = parts[-2], parts[-1]
+            loc = (
+                Path(wh.path) / tbl
+                if db == "default"
+                else Path(wh.path) / f"{db}.db" / tbl
+            )
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)

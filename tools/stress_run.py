@@ -425,7 +425,14 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                 time.sleep(0.25)
             batches_before = len(q.recentProgress or [])
             q.stop()
-            committed_mid = spark.read.json(out).count()
+            # metadata-log-aware read only once a batch has COMMITTED;
+            # before that the dir read would count orphan part files
+            # (or throw on an empty dir)
+            committed_mid = (
+                spark.read.json(out).count()
+                if (Path(out) / "_spark_metadata").exists()
+                else 0
+            )
             # resume: same checkpoint, fresh query, drain to completion
             q2 = stream_export_jsonl(
                 documents_stream_source(
@@ -442,17 +449,19 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
             n_ids = exported.select("doc_id").distinct().count()
             corpus = spark.read.parquet(docs_dir).count()
             physical = len(list(Path(out).rglob("part-*.json")))
-            committed = len(
-                [
-                    line
-                    for f in sorted(
-                        (Path(out) / "_spark_metadata").glob("*")
-                    )
-                    if f.is_file() and not f.name.endswith(".crc")
-                    for line in f.read_text().splitlines()
-                    if '"path"' in line
-                ]
-            )
+            # DISTINCT committed paths: a .compact file (appears every
+            # fileSink.log.compactInterval=10 batches) repeats all
+            # earlier entries, so raw line counts double-count
+            committed_paths = set()
+            for f in sorted((Path(out) / "_spark_metadata").glob("*")):
+                if not f.is_file() or f.name.endswith(".crc"):
+                    continue
+                for line in f.read_text().splitlines():
+                    if '"path"' in line:
+                        committed_paths.add(
+                            json.loads(line).get("path", line)
+                        )
+            resumed = len(q2.recentProgress or [])
             results["stream_shard_export"] = {
                 "sec": round(time.time() - t0, 1),
                 "corpus_rows": corpus,
@@ -460,9 +469,15 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                 "distinct_ids": n_ids,
                 "batches_before_kill": batches_before,
                 "rows_committed_at_kill": committed_mid,
-                "resumed_batches": len(q2.recentProgress or []),
+                "resumed_batches": resumed,
                 "files_physical": physical,
-                "files_committed": committed,
+                "files_committed": len(committed_paths),
+                # the evidence is only a crash test if the resume had
+                # real work left — a kill that landed after completion
+                # degrades to a plain rerun and must not certify
+                "killed_mid_run": bool(
+                    resumed > 0 and committed_mid < corpus
+                ),
                 "exactly_once": bool(n_rows == corpus and n_ids == corpus),
             }
             print(
@@ -471,6 +486,13 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
             )
             if not results["stream_shard_export"]["exactly_once"]:
                 rc = 1
+            if not results["stream_shard_export"]["killed_mid_run"]:
+                rc = 1
+                print(
+                    "C shard_export: kill landed after completion — "
+                    "crash evidence invalid, rerun",
+                    file=sys.stderr,
+                )
         except Exception as exc:  # noqa: BLE001
             rc = 1
             results["stream_shard_export"] = {"error": str(exc)[:300]}
