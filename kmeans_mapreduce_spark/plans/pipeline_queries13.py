@@ -142,6 +142,28 @@ _CAL_PERMS = 16
 _CAL_BANDS = 8  # 2 rows/band
 
 
+def portable_minhash_sigs(sh: DataFrame, n_perms: int = _CAL_PERMS) -> DataFrame:
+    """[id, sig: array<bigint>] — MinHash signatures from the portable
+    md5-derived hash family (DD.portable_hash60), so DuckDB recomputes
+    IDENTICAL components.  Shared by the calibration and band-sweep
+    audits; one narrow pass over stored shingle arrays."""
+
+    def _component(p: int):
+        # single-arg closure, NOT `lambda s, p=p`: F.transform treats a
+        # two-parameter lambda as (element, index) and would bind p to
+        # the array-index Column, silently hashing a stringified Column
+        prefix = f"{p}:"
+        return lambda s: DD.portable_hash60(F.concat(F.lit(prefix), s))
+
+    sig_expr = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), _component(p)))
+            for p in range(n_perms)
+        ]
+    )
+    return sh.select("id", sig_expr.alias("sig"))
+
+
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash Jaccard-estimator calibration over banded candidates:
     for every LSH candidate pair (shallow 8x2 banding — see _CAL_BANDS:
@@ -165,21 +187,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-order dependent, decimal is exact and commutative."""
     sh = DD._shingle_frame(_docs(spark, sf_dir), "doc_id", "text", n=2)
     rows = _CAL_PERMS // _CAL_BANDS
-
-    def _component(p: int):
-        # single-arg closure, NOT `lambda s, p=p`: F.transform treats a
-        # two-parameter lambda as (element, index) and would bind p to
-        # the array-index Column, silently hashing a stringified Column
-        prefix = f"{p}:"
-        return lambda s: DD.portable_hash60(F.concat(F.lit(prefix), s))
-
-    sig_expr = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), _component(p)))
-            for p in range(_CAL_PERMS)
-        ]
-    )
-    sig = sh.select("id", sig_expr.alias("sig")).cache()
+    sig = portable_minhash_sigs(sh).cache()
     banded = sig.select(
         "id",
         F.explode(
@@ -253,15 +261,23 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_CALIBRATION_SQL = (
-    _JACCARD_CTE
-    + """,
+# shared portable-signature CTEs (need `s` from _JACCARD_CTE in scope);
+# sigs is MATERIALIZED — it is referenced several times downstream and
+# DuckDB would otherwise inline (recompute) it per reference
+PORTABLE_SIGS_CTE = """,
 h AS (
   SELECT s.doc_id, pp.p,
          MIN(('0x' || substr(md5(CAST(pp.p AS VARCHAR) || ':' || u.tok), 1, 15))::BIGINT) AS mh
   FROM s, UNNEST(s.sh) AS u(tok), UNNEST(range(16)) AS pp(p)
   GROUP BY s.doc_id, pp.p),
-sigs AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM h GROUP BY doc_id),
+sigs AS MATERIALIZED (
+  SELECT doc_id, list(mh ORDER BY p) AS sig FROM h GROUP BY doc_id)"""
+
+
+MINHASH_CALIBRATION_SQL = (
+    _JACCARD_CTE
+    + PORTABLE_SIGS_CTE
+    + """,
 bands AS (
   SELECT doc_id, bb.b,
          CAST(sig[bb.b*2+1] AS VARCHAR) || ',' || CAST(sig[bb.b*2+2] AS VARCHAR) AS key

@@ -75,6 +75,108 @@ def _floor_means(
     )
 
 
+def _trained_ivfpq(spark: SparkSession, sf_dir: str):
+    """Shared trainer for the production-knob ANN calibration queries:
+    integer-scaled vectors, one quantized Lloyd step for the
+    ceil(sqrt(N)) coarse centroids AND the m=8 x 16 PQ codebooks
+    (seeds = first-k corpus vectors / first-16 slices, recenter to
+    floor(mean), empty keeps seed — the reference's keep-old rule,
+    master.go:594-599).  Returns (e, cents, books, qs) with ``e``
+    CACHED — the caller owns the unpersist."""
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import assigned_cells
+
+    e = (
+        _embs(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1000).cast("double"),
+            ).alias("v"),
+        )
+        .cache()
+    )
+    n = e.count()
+    kc = max(1, math.ceil(n**0.5))
+    seeds = [
+        list(r["v"])
+        for r in e.where(F.col("vec_id") < kc).orderBy("vec_id").collect()
+    ]
+    assert len(seeds) == kc, f"need dense 0-based ids for {kc} seeds"
+    head = [
+        list(r["v"])
+        for r in e.where(F.col("vec_id") < _RQ_CODES)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assert len(head) == _RQ_CODES
+    sub = 64 // _RQ_M
+
+    # one quantized Lloyd step for the coarse centroids (keep-old
+    # seeds for empty cells)
+    assigned = assigned_cells(e, seeds)
+    cents = [list(s) for s in seeds]
+    for r in _floor_means(
+        assigned.select("cell", F.posexplode("v").alias("j", "x")),
+        ["cell"],
+        "j",
+        "x",
+    ).collect():
+        cents[r["cell"]][r["j"]] = r["c"]
+
+    # one quantized Lloyd step per PQ subspace (seed codebooks =
+    # first-16 vectors' slices, the ann_pq fixture recipe)
+    books0 = [
+        [head[c][j * sub : (j + 1) * sub] for c in range(_RQ_CODES)]
+        for j in range(_RQ_M)
+    ]
+    enc0 = e.select(
+        "v", F.posexplode(SIM._pq_codes_expr("v", books0)).alias("j", "code")
+    ).select(
+        "j",
+        "code",
+        F.posexplode(
+            F.slice(F.col("v"), F.col("j") * sub + 1, sub)
+        ).alias("i", "x"),
+    )
+    books = [[list(cw) for cw in bj] for bj in books0]
+    for r in _floor_means(enc0, ["j", "code"], "i", "x").collect():
+        books[r["j"]][r["code"]][r["i"]] = r["c"]
+
+    qs = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.where(F.col("vec_id") < _RQ_NQUERY)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return e, cents, books, qs
+
+
+def _brute_topk(e: DataFrame, qdf: DataFrame) -> DataFrame:
+    """Exact brute top-10 per query by true d2 (integer-exact): the
+    O(Q*N) ground-truth pass every ANN evaluation pays, Q a constant
+    50-vector sample.  [query_id, neighbor_id, d2, rank]."""
+    from pyspark.sql import Window
+
+    d2 = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    scored = e.join(
+        F.broadcast(qdf), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= _RQ_K
+    )
+
+
 def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ retrieval quality at the PRODUCTION knobs: k_cells =
     ceil(sqrt(N)) coarse cells and m=8 x 16-codeword codebooks, each
@@ -104,103 +206,15 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-query evaluation sample — ground truth always costs one bounded
     brute pass, at 100 TB exactly as here."""
     from kmeans_mapreduce_spark.operators import similarity as SIM
-    from kmeans_mapreduce_spark.plans.pipeline_queries3 import assigned_cells
 
-    e = (
-        _embs(spark, sf_dir)
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.floor(x * 1000).cast("double"),
-            ).alias("v"),
-        )
-        .cache()
-    )
+    e, cents, books, qs = _trained_ivfpq(spark, sf_dir)
     try:
-        n = e.count()
-        kc = max(1, math.ceil(n**0.5))
-        seeds = [
-            list(r["v"])
-            for r in e.where(F.col("vec_id") < kc).orderBy("vec_id").collect()
-        ]
-        assert len(seeds) == kc, f"need dense 0-based ids for {kc} seeds"
-        head = [
-            list(r["v"])
-            for r in e.where(F.col("vec_id") < _RQ_CODES)
-            .orderBy("vec_id")
-            .collect()
-        ]
-        assert len(head) == _RQ_CODES
-        sub = 64 // _RQ_M
-
-        # one quantized Lloyd step for the coarse centroids (keep-old
-        # seeds for empty cells)
-        assigned = assigned_cells(e, seeds)
-        cents = [list(s) for s in seeds]
-        for r in _floor_means(
-            assigned.select("cell", F.posexplode("v").alias("j", "x")),
-            ["cell"],
-            "j",
-            "x",
-        ).collect():
-            cents[r["cell"]][r["j"]] = r["c"]
-
-        # one quantized Lloyd step per PQ subspace (seed codebooks =
-        # first-16 vectors' slices, the ann_pq fixture recipe)
-        books0 = [
-            [head[c][j * sub : (j + 1) * sub] for c in range(_RQ_CODES)]
-            for j in range(_RQ_M)
-        ]
-        enc0 = e.select(
-            "v", F.posexplode(SIM._pq_codes_expr("v", books0)).alias("j", "code")
-        ).select(
-            "j",
-            "code",
-            F.posexplode(
-                F.slice(F.col("v"), F.col("j") * sub + 1, sub)
-            ).alias("i", "x"),
-        )
-        books = [[list(cw) for cw in bj] for bj in books0]
-        for r in _floor_means(enc0, ["j", "code"], "i", "x").collect():
-            books[r["j"]][r["code"]][r["i"]] = r["c"]
-
-        qs = [
-            (r["vec_id"], list(r["v"]))
-            for r in e.where(F.col("vec_id") < _RQ_NQUERY)
-            .orderBy("vec_id")
-            .collect()
-        ]
         approx = SIM.ivf_pq_topk(
             e, cents, books, qs, k=_RQ_K, n_probe=_RQ_NPROBE,
             id_col="vec_id", vec_col="v",
         )
-
-        # exact ground truth: brute top-10 by true d2 (integer-exact)
-        qdf = spark.createDataFrame(
-            qs, "query_id long, qv array<double>"
-        )
-        d2 = F.aggregate(
-            F.zip_with("qv", "v", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("query_id").orderBy(
-            F.asc("d2"), F.asc("neighbor_id")
-        )
-        scored = (
-            e.join(F.broadcast(qdf), F.col("query_id") != F.col("vec_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                d2.alias("d2"),
-            )
-        )
-        brute = scored.withColumn("rank", F.row_number().over(w)).where(
-            F.col("rank") <= _RQ_K
-        )
+        qdf = spark.createDataFrame(qs, "query_id long, qv array<double>")
+        brute = _brute_topk(e, qdf)
 
         hits = (
             brute.join(
@@ -282,7 +296,13 @@ def _sub_d2_sql(a: str, b: str, sub: int = 8, j: str = "b.j") -> str:
     )
 
 
-ANN_IVF_PQ_RECALL_SQL = f"""
+# Shared oracle prefix for the production-knob IVF-PQ calibration
+# queries: training (quantized one-step Lloyd for cents + books),
+# trained cell assignment, corpus codes, ranked query probe lists
+# (qcellr keeps the probe rank so the sweep can slice it; the recall
+# query filters to its fixed n_probe), per-query ADC LUTs, and the
+# exact brute ground truth.
+_IVFPQ_TRAINED_CTES = f"""
 WITH e AS MATERIALIZED (
   SELECT vec_id AS id,
          list_transform(embedding::DOUBLE[], x -> FLOOR(x*1000)) AS v
@@ -336,11 +356,11 @@ cell AS MATERIALIZED (  -- corpus: nearest trained cell
     SELECT id, cid,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
     FROM cd) WHERE rn = 1),
-qcell AS (  -- queries: {_RQ_NPROBE} nearest trained cells
-  SELECT id, cid AS cell FROM (
+qcellr AS MATERIALIZED (  -- queries: ranked nearest trained cells
+  SELECT id, cid AS cell, rn AS probe_rank FROM (
     SELECT id, cid,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
-    FROM cd WHERE id < {_RQ_NQUERY}) WHERE rn <= {_RQ_NPROBE}),
+    FROM cd WHERE id < {_RQ_NQUERY}) WHERE rn <= 8),
 enc AS (  -- corpus PQ codes under the TRAINED books
   SELECT e.id, b.j, b.code, {_sub_d2_sql('e.v', 'b.cw')} AS d2
   FROM e CROSS JOIN books b),
@@ -353,6 +373,21 @@ codes AS MATERIALIZED (
 lut AS (  -- per-query ADC tables under the TRAINED books
   SELECT q.id AS query_id, b.j, b.code, {_sub_d2_sql('q.v', 'b.cw')} AS d2
   FROM e q CROSS JOIN books b WHERE q.id < {_RQ_NQUERY}),
+bscored AS (
+  SELECT q.id AS query_id, e.id AS neighbor_id,
+         {_ivf_d2_sql('q.v', 'e.v')} AS d2
+  FROM e q CROSS JOIN e WHERE q.id < {_RQ_NQUERY} AND q.id != e.id),
+brute AS MATERIALIZED (
+  SELECT query_id, neighbor_id, d2, rank FROM (
+    SELECT query_id, neighbor_id, d2,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, neighbor_id ASC) AS rank
+    FROM bscored) WHERE rank <= {_RQ_K})"""
+
+
+ANN_IVF_PQ_RECALL_SQL = _IVFPQ_TRAINED_CTES + f""",
+qcell AS (  -- fixed evaluation knob: {_RQ_NPROBE} nearest cells
+  SELECT id, cell FROM qcellr WHERE probe_rank <= {_RQ_NPROBE}),
 cand AS (
   SELECT q.id AS query_id, c.id AS neighbor_id
   FROM qcell q JOIN cell c ON q.cell = c.cell AND q.id != c.id),
@@ -369,16 +404,6 @@ approx AS MATERIALIZED (
            ROW_NUMBER() OVER (PARTITION BY query_id
                               ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
   FROM adc) WHERE rank <= {_RQ_K}),
-bscored AS (
-  SELECT q.id AS query_id, e.id AS neighbor_id,
-         {_ivf_d2_sql('q.v', 'e.v')} AS d2
-  FROM e q CROSS JOIN e WHERE q.id < {_RQ_NQUERY} AND q.id != e.id),
-brute AS MATERIALIZED (
-  SELECT query_id, neighbor_id, d2, rank FROM (
-    SELECT query_id, neighbor_id, d2,
-           ROW_NUMBER() OVER (PARTITION BY query_id
-                              ORDER BY d2 ASC, neighbor_id ASC) AS rank
-    FROM bscored) WHERE rank <= {_RQ_K}),
 perq AS (
   SELECT b.query_id, COUNT(a.neighbor_id) AS hits
   FROM brute b LEFT JOIN approx a
@@ -548,3 +573,366 @@ HAVING SUM(n) > 0
 ORDER BY bucket
 """.replace("{pop}", _POPCOUNT)
 )
+
+
+# --- batch 29: the production tuning curves ----------------------------------
+
+_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def ann_ivf_pq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe tuning curve — the artifact an IVF-PQ operator
+    actually reads before picking the production probe count: for
+    n_probe in 1/2/4/8 over the SAME trained index (`_trained_ivfpq`),
+    mean candidates scanned per query (the cost axis) and mean
+    recall@10 vs the exact brute ground truth (the quality axis).
+    `ann_ivf_pq_recall` reports per-query quality at one knob; this
+    query traces the whole cost/quality frontier in one pass.
+
+    One ADC scan at the WIDEST probe depth serves every level: each
+    candidate carries the probe rank of its cell, so level p is the
+    filter probe_rank <= p — no per-level rescans (prefix-monotone
+    probe sets, the same trick an IVF implementation uses to expose
+    its own sweep).  All arithmetic integer-exact as in the recall
+    query; means divide integer totals by the constant query count, so
+    rounding agrees across engines.
+
+    Reading the curve on this corpus: recall FALLS as n_probe grows
+    (0.334 at 1 probe -> 0.280 at 8 on sf0.01) — not a bug but the
+    classic quantization-limited regime: the one-step-trained 8x16
+    codebooks carry enough ADC distortion (dist_ratio ~1.13 in
+    `ann_ivf_pq_recall`) that each extra probed cell adds mostly
+    noise candidates which outrank true neighbors under approximate
+    distance.  The actionable conclusion a pipeline draws from this
+    exact shape: spend on codebook quality (more Lloyd steps, more
+    codewords, or re-ranking by true distance), not on probes."""
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        assign_clusters_broadcast,
+    )
+    from pyspark.sql import Window
+
+    e, cents, books, qs = _trained_ivfpq(spark, sf_dir)
+    try:
+        indexed = assign_clusters_broadcast(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("features"),
+            ),
+            cents,
+        ).select(
+            "neighbor_id",
+            F.col("cluster_id").cast("int").alias("cell"),
+            SIM._pq_codes_expr("features", books).alias("codes"),
+        )
+        # driver math: ranked probe lists (to the widest level) + ADC
+        # LUTs — k x d + Q x m x k_codes floats, the Lloyd-loop budget;
+        # ties break (d2, lowest cell/code id) matching the SQL rn
+        sub = 64 // _RQ_M
+        max_p = max(_SWEEP_PROBES)
+        qcell_rows, lut_rows = [], []
+        for qid, qv in qs:
+            d2s = [
+                sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in cents
+            ]
+            order = sorted(range(len(cents)), key=lambda i: (d2s[i], i))
+            qcell_rows += [
+                (qid, c, r + 1) for r, c in enumerate(order[:max_p])
+            ]
+            for j, book in enumerate(books):
+                qslice = qv[j * sub : (j + 1) * sub]
+                for c, cw in enumerate(book):
+                    lut_rows.append(
+                        (
+                            qid,
+                            j,
+                            c,
+                            float(
+                                sum(
+                                    (a - b) * (a - b)
+                                    for a, b in zip(qslice, cw)
+                                )
+                            ),
+                        )
+                    )
+        qcells = spark.createDataFrame(
+            qcell_rows, "query_id long, cell int, probe_rank int"
+        )
+        lut = spark.createDataFrame(
+            lut_rows, "query_id long, subspace int, code int, d2 double"
+        )
+        cand = (
+            F.broadcast(qcells)
+            .join(indexed, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                "probe_rank",
+                F.posexplode("codes").alias("subspace", "code"),
+            )
+        )
+        adc = (
+            cand.join(F.broadcast(lut), ["query_id", "subspace", "code"])
+            .groupBy("query_id", "neighbor_id", "probe_rank")
+            .agg(F.sum("d2").alias("approx_d2"))
+        )
+        levels = spark.createDataFrame(
+            [(p,) for p in _SWEEP_PROBES], "n_probe int"
+        )
+        lev = adc.join(
+            F.broadcast(levels), F.col("probe_rank") <= F.col("n_probe")
+        )
+        w = Window.partitionBy("n_probe", "query_id").orderBy(
+            F.asc("approx_d2"), F.asc("neighbor_id")
+        )
+        ranked = lev.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= _RQ_K
+        )
+        qdf = spark.createDataFrame(qs, "query_id long, qv array<double>")
+        brute = _brute_topk(e, qdf).select("query_id", "neighbor_id")
+        hitsq = (
+            ranked.join(brute, ["query_id", "neighbor_id"])
+            .groupBy("n_probe")
+            .agg(F.count("*").alias("hits"))
+        )
+        candsq = lev.groupBy("n_probe").agg(F.count("*").alias("n_cand"))
+        out = (
+            levels.join(candsq, "n_probe", "left")
+            .join(hitsq, "n_probe", "left")
+            .select(
+                "n_probe",
+                F.round(
+                    F.coalesce(F.col("n_cand"), F.lit(0)).cast("double")
+                    / F.lit(float(_RQ_NQUERY)),
+                    6,
+                ).alias("mean_candidates"),
+                F.round(
+                    F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                    / F.lit(float(_RQ_NQUERY * _RQ_K)),
+                    6,
+                ).alias("mean_recall"),
+            )
+            .orderBy("n_probe")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        e.unpersist()
+
+
+ANN_IVF_PQ_PROBE_SWEEP_SQL = _IVFPQ_TRAINED_CTES + f""",
+candr AS (  -- widest probe depth; each candidate keeps its probe rank
+  SELECT q.id AS query_id, q.probe_rank, c.id AS neighbor_id
+  FROM qcellr q JOIN cell c ON q.cell = c.cell AND q.id != c.id),
+adcr AS MATERIALIZED (
+  SELECT candr.query_id, candr.neighbor_id, candr.probe_rank,
+         SUM(lut.d2) AS approx_d2
+  FROM candr
+  JOIN codes ON codes.id = candr.neighbor_id
+  JOIN lut ON lut.query_id = candr.query_id
+          AND lut.j = codes.j AND lut.code = codes.code
+  GROUP BY candr.query_id, candr.neighbor_id, candr.probe_rank),
+levels AS (SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(n_probe)),
+lev AS MATERIALIZED (
+  SELECT l.n_probe, a.query_id, a.neighbor_id, a.approx_d2
+  FROM levels l JOIN adcr a ON a.probe_rank <= l.n_probe),
+ranked AS (
+  SELECT n_probe, query_id, neighbor_id FROM (
+    SELECT n_probe, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+                              ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+    FROM lev) WHERE rank <= {_RQ_K}),
+hitsq AS (
+  SELECT r.n_probe, COUNT(*) AS hits
+  FROM ranked r JOIN brute b
+    ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+  GROUP BY r.n_probe),
+candsq AS (SELECT n_probe, COUNT(*) AS n_cand FROM lev GROUP BY n_probe)
+SELECT CAST(l.n_probe AS INT) AS n_probe,
+       ROUND(CAST(COALESCE(c.n_cand, 0) AS DOUBLE) / {_RQ_NQUERY}, 6)
+         AS mean_candidates,
+       ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / {_RQ_NQUERY * _RQ_K}, 6)
+         AS mean_recall
+FROM levels l
+LEFT JOIN candsq c ON c.n_probe = l.n_probe
+LEFT JOIN hitsq h ON h.n_probe = l.n_probe
+ORDER BY n_probe
+"""
+
+
+_BAND_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+_BS_T = 0.5
+
+
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding tuning curve — the dedup sibling of the probe
+    sweep: over ONE 16-permutation portable signature set, every
+    bands x rows factorization (16x1, 8x2, 4x4, 2x8) generates its own
+    candidate pairs; each config reports candidate volume (the cost
+    axis), true pairs among them at Jaccard >= 0.5, precision, and
+    recall vs the exact ground-truth positive count (the quality axis).
+    Shallow bands over-generate (high recall, low precision); deep
+    bands under-generate — this row IS the curve a production pipeline
+    reads before fixing its banding.
+
+    Scale shape: signatures once (one narrow pass over stored shingle
+    arrays); candidates from banded equi self-joins, never all-pairs;
+    exact Jaccard verification on the DISTINCT union of candidates
+    across configs only.  The ground-truth positive count comes from
+    the prefix-filtered PPJoin operator (ngram_jaccard_pairs at t=0.5)
+    — a 1-row broadcast onto the 4-row output; the all-pairs scan
+    exists ONLY in the DuckDB oracle."""
+    from kmeans_mapreduce_spark.operators import dedup as DD
+    from kmeans_mapreduce_spark.plans.pipeline_queries13 import (
+        portable_minhash_sigs,
+    )
+
+    sh = DD._shingle_frame(_docs(spark, sf_dir), "doc_id", "text", n=2).cache()
+    try:
+        sig = portable_minhash_sigs(sh)
+        entries = []
+        for bands, rows in _BAND_CONFIGS:
+            for b in range(bands):
+                entries.append(
+                    F.struct(
+                        F.lit(bands).alias("bands"),
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows + r].cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                )
+        banded = sig.select(
+            "id", F.explode(F.array(*entries)).alias("bk")
+        ).select("id", "bk.bands", "bk.band", "bk.key")
+        a, b = banded.alias("a"), banded.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.bands") == F.col("b.bands"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.bands").alias("bands"),
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+            )
+            .distinct()
+            .cache()
+        )
+        # exact Jaccard ONCE per distinct candidate pair (configs share
+        # pairs heavily: a 16x1 candidate is a superset generator)
+        pairs = cands.select("id_a", "id_b").distinct()
+        jac = F.round(
+            F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+            / F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double"),
+            6,
+        )
+        jpairs = (
+            pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sa"}), "id_a")
+            .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sb"}), "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
+        )
+        scored = cands.join(jpairs, ["id_a", "id_b"])
+        # ground truth via the production PPJoin path (no all-pairs)
+        npos = DD.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", threshold=_BS_T, n=2
+        ).agg(F.count("*").alias("n_pos"))
+        cfg = spark.createDataFrame(
+            [(bands,) for bands, _ in _BAND_CONFIGS], "bands int"
+        )
+        agg = scored.groupBy("bands").agg(
+            F.count("*").alias("n_candidates"),
+            F.count_if(F.col("jaccard") >= _BS_T).alias("true_pairs"),
+        )
+        out = (
+            cfg.join(agg, "bands", "left")
+            .crossJoin(F.broadcast(npos))
+            .select(
+                "bands",
+                (F.lit(16) / F.col("bands")).cast("int").alias("rows_per_band"),
+                F.coalesce(F.col("n_candidates"), F.lit(0))
+                .cast("bigint")
+                .alias("n_candidates"),
+                F.coalesce(F.col("true_pairs"), F.lit(0))
+                .cast("bigint")
+                .alias("true_pairs"),
+                F.col("n_pos").cast("bigint").alias("n_pos"),
+                F.round(
+                    F.col("true_pairs").cast("double")
+                    / F.nullif(F.col("n_candidates"), F.lit(0)),
+                    6,
+                ).alias("prec"),
+                F.round(
+                    F.coalesce(F.col("true_pairs"), F.lit(0)).cast("double")
+                    / F.nullif(F.col("n_pos"), F.lit(0)),
+                    6,
+                ).alias("recall"),
+            )
+            .orderBy("bands")
+            .localCheckpoint(eager=True)
+        )
+        cands.unpersist()
+        return out
+    finally:
+        sh.unpersist()
+
+
+def _band_sweep_sql() -> str:
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _JACCARD_CTE
+    from kmeans_mapreduce_spark.plans.pipeline_queries13 import (
+        PORTABLE_SIGS_CTE,
+    )
+
+    # pairs is referenced twice (candidate verify + ground truth) —
+    # MATERIALIZE it or DuckDB recomputes the all-pairs join per use
+    jcte = _JACCARD_CTE.replace("pairs AS (", "pairs AS MATERIALIZED (", 1)
+    return (
+        jcte
+        + PORTABLE_SIGS_CTE
+        + f""",
+cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8))
+        AS t(bands, rpb)),
+bnd AS (
+  SELECT g.doc_id, c.bands,
+         bb.b,
+         array_to_string(list_transform(range(c.rpb),
+             r -> CAST(g.sig[bb.b*c.rpb + r + 1] AS VARCHAR)), ',') AS key
+  FROM sigs g CROSS JOIN cfg c, UNNEST(range(c.bands)) AS bb(b)),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b
+    ON a.bands = b.bands AND a.b = b.b AND a.key = b.key
+   AND a.doc_id < b.doc_id),
+scoredc AS (
+  SELECT c.bands, p.jaccard
+  FROM cand c JOIN pairs p ON p.id_a = c.id_a AND p.id_b = c.id_b),
+npos AS (SELECT COUNT(*) AS n_pos FROM pairs WHERE jaccard >= {_BS_T}),
+agg AS (
+  SELECT bands, COUNT(*) AS n_candidates,
+         COUNT(*) FILTER (WHERE jaccard >= {_BS_T}) AS true_pairs
+  FROM scoredc GROUP BY bands)
+SELECT CAST(c.bands AS INT) AS bands,
+       CAST(c.rpb AS INT) AS rows_per_band,
+       CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(a.true_pairs, 0) AS BIGINT) AS true_pairs,
+       CAST(n.n_pos AS BIGINT) AS n_pos,
+       ROUND(CAST(a.true_pairs AS DOUBLE) / NULLIF(a.n_candidates, 0), 6)
+         AS prec,
+       ROUND(CAST(COALESCE(a.true_pairs, 0) AS DOUBLE)
+             / NULLIF(n.n_pos, 0), 6) AS recall
+FROM cfg c CROSS JOIN npos n
+LEFT JOIN agg a ON a.bands = c.bands
+ORDER BY bands
+"""
+    )
+
+
+MINHASH_BAND_SWEEP_SQL = _band_sweep_sql()

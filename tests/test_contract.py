@@ -32,8 +32,10 @@ def test_catalog_shapes():
 
     assert first50 == _R10_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (c) round-10 additions (VERDICT r9 §next #2-3, #5 + batch 28)
+        # (c) round-10 additions (VERDICT r9 §next #2-3, #5 + batches 28-29)
         "ann_ivf_pq_recall",
+        "ann_ivf_pq_probe_sweep",
+        "dedup_minhash_band_sweep",
         "knn_graph_bucketed",
         "mm_resize_pnm_mixed",
         "mm_pnm_tri_histogram",
