@@ -763,6 +763,7 @@ ORDER BY n_probe
 
 _BAND_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
 _BS_T = 0.5
+_BS_SAMPLE = 2000  # id-prefix calibration sample (whole corpus at sf<=0.01)
 
 
 def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,13 +783,18 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     across configs only.  The ground-truth positive count comes from
     the prefix-filtered PPJoin operator (ngram_jaccard_pairs at t=0.5)
     — a 1-row broadcast onto the 4-row output; the all-pairs scan
-    exists ONLY in the DuckDB oracle."""
+    exists ONLY in the DuckDB oracle.  The audit runs on a bounded
+    _BS_SAMPLE-doc id-prefix sample — calibration is a sampling
+    activity, and the shallow 16x1 config's candidate mass (already
+    40k pairs at 500 docs) grows ~quadratically in corpus size, which
+    is precisely the cost this curve exists to expose, not to pay."""
     from kmeans_mapreduce_spark.operators import dedup as DD
     from kmeans_mapreduce_spark.plans.pipeline_queries13 import (
         portable_minhash_sigs,
     )
 
-    sh = DD._shingle_frame(_docs(spark, sf_dir), "doc_id", "text", n=2).cache()
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < _BS_SAMPLE)
+    sh = DD._shingle_frame(docs, "doc_id", "text", n=2).cache()
     try:
         sig = portable_minhash_sigs(sh)
         entries = []
@@ -843,7 +849,7 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = cands.join(jpairs, ["id_a", "id_b"])
         # ground truth via the production PPJoin path (no all-pairs)
         npos = DD.ngram_jaccard_pairs(
-            _docs(spark, sf_dir), "doc_id", "text", threshold=_BS_T, n=2
+            docs, "doc_id", "text", threshold=_BS_T, n=2
         ).agg(F.count("*").alias("n_pos"))
         cfg = spark.createDataFrame(
             [(bands,) for bands, _ in _BAND_CONFIGS], "bands int"
@@ -892,8 +898,15 @@ def _band_sweep_sql() -> str:
     )
 
     # pairs is referenced twice (candidate verify + ground truth) —
-    # MATERIALIZE it or DuckDB recomputes the all-pairs join per use
-    jcte = _JACCARD_CTE.replace("pairs AS (", "pairs AS MATERIALIZED (", 1)
+    # MATERIALIZE it or DuckDB recomputes the all-pairs join per use;
+    # and the same id-prefix calibration sample as the Spark side
+    jcte = _JACCARD_CTE.replace(
+        "pairs AS (", "pairs AS MATERIALIZED (", 1
+    ).replace(
+        "FROM documents WHERE NOT (",
+        f"FROM documents WHERE doc_id < {_BS_SAMPLE} AND NOT (",
+        1,
+    )
     return (
         jcte
         + PORTABLE_SIGS_CTE
