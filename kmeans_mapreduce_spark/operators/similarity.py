@@ -679,6 +679,67 @@ def pq_topk_rerank(
     )
 
 
+def ivf_pq_topk_rerank(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF-PQ with exact re-ranking — the full production retrieval
+    stack (FAISS IndexIVFPQ + refine): coarse cells prune the scan,
+    ADC over compressed codes ranks a per-query ``shortlist`` (cheap,
+    codes-only), and ONLY those candidates fetch raw vectors for exact
+    euclidean re-ranking.  Recall becomes shortlist-coverage-bounded
+    instead of quantization-error-bounded — the fix for the falling
+    recall-vs-n_probe curve `ann_ivf_pq_probe_sweep` diagnoses.
+
+    Cost shape at 100 TB: the exact stage reads |queries| x shortlist
+    full vectors (a broadcast-joinable sliver), never the corpus —
+    composition of `ivf_pq_topk`'s pruned compressed scan with
+    `pq_topk_rerank`'s refine stage."""
+    cand = ivf_pq_topk(
+        corpus,
+        centroids,
+        codebooks,
+        query_vectors,
+        k=shortlist,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        [(qid, qv) for qid, qv in query_vectors],
+        "query_id long, qv array<double>",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_d2"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", F.round(d2, 6).alias("exact_d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "exact_d2")
+    )
+
+
 def write_pq_index(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],

@@ -471,6 +471,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # precision/recall vs bands x rows over one signature set
     "ann_ivf_pq_probe_sweep": PQ14.ann_ivf_pq_probe_sweep,
     "dedup_minhash_band_sweep": PQ14.dedup_minhash_band_sweep,
+    # Round-10 batch 30: the refine stage (exact re-rank of the ADC
+    # shortlist — the fix the probe sweep prescribes) and the last
+    # missing TPC-H number
+    "ann_ivf_pq_rerank_recall": PQ14.ann_ivf_pq_rerank_recall,
+    "q17_small_quantity_revenue": RX3.q17_small_quantity_revenue,
 }
 
 # ---------------------------------------------------------------------------
@@ -498,17 +503,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #       shortfall guard);
 #   (d) rows-only freshness re-samples (trained/seed-sensitive paths,
 #       each certified by a *_invariants sibling recorded green r8/r9);
-#       also new: ann_ivf_pq_probe_sweep and dedup_minhash_band_sweep
-#       (batch 29 — the production tuning curves);
+#       also new: ann_ivf_pq_probe_sweep + dedup_minhash_band_sweep
+#       (batch 29 — the production tuning curves) and
+#       ann_ivf_pq_rerank_recall + q17_small_quantity_revenue
+#       (batch 30 — the refine stage + the last TPC-H number);
 #   (e) oldest-driver-green fill: all 28 remaining round-3-vintage
-#       rows, then round-4 vintage in catalog order (7 of 37 — the
-#       rest queue for round 11, including ann_lsh_topk and
-#       ann_brute_topk_pandas displaced by batch 29).
+#       rows, then round-4 vintage in catalog order (5 of 37 — the
+#       rest queue for round 11, including the four rows displaced by
+#       batches 29-30: agg_collect_sets, dedup_embedding_cosine,
+#       ann_lsh_topk, ann_brute_topk_pandas).
 _R10_WINDOW = [
     # (c) new this round
     "ann_ivf_pq_recall",
     "ann_ivf_pq_probe_sweep",
+    "ann_ivf_pq_rerank_recall",
     "dedup_minhash_band_sweep",
+    "q17_small_quantity_revenue",
     "knn_graph_bucketed",
     "mm_resize_pnm_mixed",
     "mm_pnm_tri_histogram",
@@ -559,18 +569,16 @@ _R10_WINDOW = [
     "set_multiset_priorities",
     "case_coalesce_buckets",
     "array_top_tokens",
-    "agg_collect_sets",
-    "dedup_embedding_cosine",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 # ROUND-11 LEDGER (write the _R11_WINDOW from this once round 10
 # records): compose as (b) any round-10 reds -> (c) round-11
 # new/changed -> (d) rows-only freshness -> (e) oldest-green fill with
-# the 30 remaining round-4-vintage rows (recompute the latest-round map
-# from CORRECTNESS_r*.json — the 7 sampled this round move to round
-# 10; ann_lsh_topk / ann_brute_topk_pandas rejoin the round-4 queue),
-# then round-5 vintage in catalog order.  All 28 round-4 rows NOT in
-# _R10_WINDOW were pre-verified vanilla-green at round-10 close.
+# the 32 remaining round-4-vintage rows (recompute the latest-round map
+# from CORRECTNESS_r*.json — the 5 sampled this round move to round 10;
+# the four displaced rows rejoin the round-4 queue), then round-5
+# vintage in catalog order.  All round-4 rows NOT in _R10_WINDOW were
+# pre-verified vanilla-green at round-10 close.
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
 QUERIES = {**{n: QUERIES[n] for n in _R10_WINDOW}, **QUERIES}
@@ -652,6 +660,8 @@ ORACLES: dict[str, str] = {
     "mm_pnm_tri_histogram": PQ14.MM_PNM_TRI_HISTOGRAM_SQL,
     "ann_ivf_pq_probe_sweep": PQ14.ANN_IVF_PQ_PROBE_SWEEP_SQL,
     "dedup_minhash_band_sweep": PQ14.MINHASH_BAND_SWEEP_SQL,
+    "ann_ivf_pq_rerank_recall": PQ14.ANN_IVF_PQ_RERANK_SQL,
+    "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,
     "events_tumbling_window": R.EVENTS_WINDOW_SQL,

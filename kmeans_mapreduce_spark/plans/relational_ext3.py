@@ -663,3 +663,66 @@ SELECT c_mktsegment, c_custkey, acctbal, pct_rank, cume FROM (
 WHERE rn <= 3
 ORDER BY c_mktsegment, acctbal DESC, c_custkey
 """
+
+
+# --- TPC-H Q17: small-quantity-order revenue --------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 adapted (this schema has no p_container, so the filter is
+    brand-only): average yearly revenue lost if small-quantity orders
+    for Brand#4 parts were not filled — lineitems whose quantity is
+    below 0.2x THAT part's average quantity, summed and divided by 7.
+
+    TPC-H states the threshold as a correlated scalar subquery per
+    part; the scale-correct plan is one lineitem scan computing every
+    per-part average at once (map-side-combined HashAggregate on the
+    pre-filtered brand parts), then the ~|brand parts|-row threshold
+    table BROADCASTS back onto lineitem — no correlated re-scan, no
+    shuffle of the fact side beyond the one partial agg.  Revenue sums
+    as decimal (exact, commutative) before the final divide so the
+    6-dp round is shuffle-order-proof; the 0.2 factor is written as an
+    explicit DOUBLE cast on both engines (a bare 0.2 is DECIMAL in
+    DuckDB)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = branded.groupBy("l_partkey").agg(
+        (F.lit(0.2).cast("double") * F.avg("l_quantity")).alias("lim")
+    )
+    small = branded.join(
+        F.broadcast(thr.withColumnRenamed("l_partkey", "t_partkey")),
+        F.col("l_partkey") == F.col("t_partkey"),
+    ).where(F.col("l_quantity") < F.col("lim"))
+    return small.agg(
+        F.count("*").alias("n_small"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,18)"))
+            .cast("double")
+            / 7.0,
+            6,
+        ).alias("avg_yearly"),
+    )
+
+
+Q17_SQL = """
+WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN p ON p_partkey = l_partkey),
+thr AS (
+  SELECT l_partkey, CAST(0.2 AS DOUBLE) * AVG(l_quantity) AS lim
+  FROM branded GROUP BY l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM branded b JOIN thr ON thr.l_partkey = b.l_partkey
+WHERE b.l_quantity < thr.lim
+"""

@@ -35,7 +35,9 @@ def test_catalog_shapes():
         # (c) round-10 additions (VERDICT r9 §next #2-3, #5 + batches 28-29)
         "ann_ivf_pq_recall",
         "ann_ivf_pq_probe_sweep",
+        "ann_ivf_pq_rerank_recall",
         "dedup_minhash_band_sweep",
+        "q17_small_quantity_revenue",
         "knn_graph_bucketed",
         "mm_resize_pnm_mixed",
         "mm_pnm_tri_histogram",

@@ -115,3 +115,58 @@ def test_knn_graph_cells_asserts_on_centroid_shortfall(spark, sf_dir, monkeypatc
 
     with pytest.raises(AssertionError, match="centroid shortfall"):
         PQ3.knn_graph_cells(spark, sf_dir, k_cells=10**9)
+
+
+def test_rerank_dominates_adc_per_query(spark, sf_dir):
+    """Exact re-ranking can only surface MORE true neighbors: the
+    true-top members of the shortlist are exactly its smallest true
+    distances, so hits_rerank >= hits_adc must hold for EVERY query,
+    not just on average."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries14 import (
+        ann_ivf_pq_rerank_recall,
+    )
+
+    rows = ann_ivf_pq_rerank_recall(spark, sf_dir).collect()
+    assert rows
+    assert all(r["hits_rerank"] >= r["hits_adc"] for r in rows)
+    # and the refine stage actually earns its cost on this corpus
+    assert sum(r["hits_rerank"] for r in rows) > sum(
+        r["hits_adc"] for r in rows
+    )
+
+
+def test_ivf_pq_rerank_operator_matches_query_path(spark):
+    """The public ivf_pq_topk_rerank operator and the query's inline
+    composition implement the same semantics: on a small corpus the
+    operator's top-k equals a brute re-rank of its own shortlist."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randint(0, 40, 16)]) for i in range(30)]
+    e = spark.createDataFrame(vecs, "id long, v array<double>")
+    cents = [list(v) for _, v in vecs[:4]]
+    books = [
+        [[float(x) for x in rng.randint(0, 40, 8)] for _ in range(4)]
+        for _ in range(2)
+    ]
+    qs = vecs[:2]
+    out = SIM.ivf_pq_topk_rerank(
+        e, cents, books, qs, k=3, n_probe=2, shortlist=8
+    ).collect()
+    shortlist = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_pq_topk(
+            e, cents, books, qs, k=8, n_probe=2
+        ).collect()
+    }
+    by_id = dict(vecs)
+    for r in out:
+        assert (r["query_id"], r["neighbor_id"]) in shortlist
+        qv, nv = by_id[r["query_id"]], by_id[r["neighbor_id"]]
+        want = sum((a - b) * (a - b) for a, b in zip(qv, nv))
+        assert r["exact_d2"] == want
+    for qid in {r["query_id"] for r in out}:
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == qid)
+        assert ranks == [1, 2, 3]
