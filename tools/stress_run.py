@@ -92,6 +92,12 @@ PHASE_B = [
     "pipeline_pack_efficiency",
     "pipeline_quality_prune_sweep",
     "embedding_pq_distortion",
+    # round-10 batch 28/30: the trained IVF-PQ calibrations at the
+    # production knob — at 20k vectors kc = ceil(sqrt(N)) = 142 cells,
+    # deep in the broadcast-assignment regime; the brute ground-truth
+    # leg stays the bounded 50-query x N pass
+    "ann_ivf_pq_recall",
+    "ann_ivf_pq_rerank_recall",
 ]
 
 # Phase C streaming workloads (names usable as subset args too)
