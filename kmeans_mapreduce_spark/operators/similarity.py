@@ -653,7 +653,27 @@ def pq_topk_rerank(
     100 TB that is the difference between scanning 64-byte codes for
     everything and reading full vectors for a few thousand rows."""
     cand = pq_topk(codes, codebooks, query_vectors, k=shortlist)
-    spark = codes.sparkSession
+    return exact_rerank(
+        cand, corpus, query_vectors, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """The refine stage shared by every *_rerank operator and the
+    rerank calibration query: exact euclidean re-ranking of an
+    already-generated candidate frame [query_id, neighbor_id, ...] —
+    ONLY those candidates fetch raw vectors (a broadcast query side
+    onto a |queries| x shortlist sliver).  One implementation so the
+    d2 fold order, rounding and (exact_d2, neighbor_id) tie-break stay
+    in one place.  Returns [query_id, rank, neighbor_id, exact_d2]."""
+    spark = corpus.sparkSession
     q = spark.createDataFrame(
         [(qid, qv) for qid, qv in query_vectors],
         "query_id long, qv array<double>",
@@ -667,7 +687,9 @@ def pq_topk_rerank(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("exact_d2"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("exact_d2"), F.asc("neighbor_id")
+    )
     return (
         cand.select("query_id", "neighbor_id")
         .join(c, "neighbor_id")
@@ -700,8 +722,8 @@ def ivf_pq_topk_rerank(
 
     Cost shape at 100 TB: the exact stage reads |queries| x shortlist
     full vectors (a broadcast-joinable sliver), never the corpus —
-    composition of `ivf_pq_topk`'s pruned compressed scan with
-    `pq_topk_rerank`'s refine stage."""
+    composition of `ivf_pq_topk`'s pruned compressed scan with the
+    shared `exact_rerank` refine stage."""
     cand = ivf_pq_topk(
         corpus,
         centroids,
@@ -712,31 +734,8 @@ def ivf_pq_topk_rerank(
         id_col=id_col,
         vec_col=vec_col,
     )
-    spark = corpus.sparkSession
-    q = spark.createDataFrame(
-        [(qid, qv) for qid, qv in query_vectors],
-        "query_id long, qv array<double>",
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("exact_d2"), F.asc("neighbor_id")
-    )
-    return (
-        cand.select("query_id", "neighbor_id")
-        .join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", F.round(d2, 6).alias("exact_d2"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "exact_d2")
+    return exact_rerank(
+        cand, corpus, query_vectors, k=k, id_col=id_col, vec_col=vec_col
     )
 
 
@@ -819,70 +818,12 @@ def ivf_pq_topk(
     co-located.  Scoring explodes candidate codes to (query, id,
     subspace, code) rows against the broadcast LUT: no full-dimension
     vector crosses a shuffle anywhere."""
-    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
-
-    spark = corpus.sparkSession
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    # cell-assignment strategy by cell count, same measured cutoff as
-    # pipeline_queries3.assigned_cells: small fixed sets inline as plan
-    # literals (whole-stage codegen); cell counts that scale with N
-    # (ceil(sqrt(N)) production knob) ride the broadcast centroid
-    # relation — a sqrt(N) x d literal plan blows up codegen.  The PQ
-    # codes stay literal either way: m x k_codes x (dim/m) is a FIXED
-    # parameter set, not N-dependent.
-    if len(centroids) <= 8:
-        dists = _dist2_to_centroids("cv", centroids)
-        indexed = cv.select(
-            "neighbor_id",
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias("cell"),
-            _pq_codes_expr("cv", codebooks).alias("codes"),
-        )
-    else:
-        from kmeans_mapreduce_spark.operators.kmeans import (
-            assign_clusters_broadcast,
-        )
-
-        indexed = assign_clusters_broadcast(
-            cv, centroids, features_col="cv"
-        ).select(
-            "neighbor_id",
-            F.col("cluster_id").cast("int").alias("cell"),
-            _pq_codes_expr("cv", codebooks).alias("codes"),
-        )
-    # driver-side probe cells + ADC LUTs; ties break on lowest cell /
-    # code id, matching the corpus argmin and the SQL oracle
-    qcell_rows, lut_rows = [], []
-    sub = len(codebooks[0][0])
-    for qid, qv in query_vectors:
-        d2s = [
-            sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in centroids
-        ]
-        probes = sorted(range(len(centroids)), key=lambda i: (d2s[i], i))
-        qcell_rows += [(qid, c) for c in probes[:n_probe]]
-        for j, book in enumerate(codebooks):
-            qs = qv[j * sub : (j + 1) * sub]
-            for c, cw in enumerate(book):
-                lut_rows.append(
-                    (
-                        qid,
-                        j,
-                        c,
-                        float(
-                            sum((a - b) * (a - b) for a, b in zip(qs, cw))
-                        ),
-                    )
-                )
-    qcells = spark.createDataFrame(qcell_rows, "query_id long, cell int")
-    lut = spark.createDataFrame(
-        lut_rows, "query_id long, subspace int, code int, d2 double"
+    indexed, qcells, lut = ivf_pq_index_parts(
+        corpus, centroids, codebooks, query_vectors,
+        max_probe=n_probe, id_col=id_col, vec_col=vec_col,
     )
     cands = (
-        F.broadcast(qcells)
+        F.broadcast(qcells.drop("probe_rank"))
         .join(indexed, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -904,3 +845,89 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "approx_d2")
     )
+
+
+def ivf_pq_index_parts(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vectors: list[tuple[int, list[float]]],
+    max_probe: int,
+    id_col: str = "id",
+    vec_col: str = "v",
+):
+    """The three building blocks every IVF-PQ consumer shares —
+    `ivf_pq_topk` and the probe-sweep calibration both assemble their
+    plans from EXACTLY these, so argmin tie-breaks and LUT math live in
+    one place:
+
+    - indexed[neighbor_id, cell, codes]: ONE corpus pass computing cell
+      + PQ codes as sibling map-side expressions; cell-assignment
+      strategy by the measured cutoff (<=8 cells: plan literals for
+      whole-stage codegen; above: the broadcast centroid relation a
+      sqrt(N) x d literal plan cannot replace — the PQ codes stay
+      literal either way, m x k_codes x (dim/m) is FIXED, not
+      N-dependent);
+    - qcells[query_id, cell, probe_rank]: each query's ``max_probe``
+      nearest cells WITH their probe rank (driver math, ties to the
+      lowest cell id — matching the corpus argmin and the SQL oracles);
+    - lut[query_id, subspace, code, d2]: the per-query ADC tables
+      (driver math, m x k_codes floats per query)."""
+    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
+
+    spark = corpus.sparkSession
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    if len(centroids) <= 8:
+        dists = _dist2_to_centroids("cv", centroids)
+        indexed = cv.select(
+            "neighbor_id",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cell"),
+            _pq_codes_expr("cv", codebooks).alias("codes"),
+        )
+    else:
+        from kmeans_mapreduce_spark.operators.kmeans import (
+            assign_clusters_broadcast,
+        )
+
+        indexed = assign_clusters_broadcast(
+            cv, centroids, features_col="cv"
+        ).select(
+            "neighbor_id",
+            F.col("cluster_id").cast("int").alias("cell"),
+            _pq_codes_expr("cv", codebooks).alias("codes"),
+        )
+    qcell_rows, lut_rows = [], []
+    sub = len(codebooks[0][0])
+    for qid, qv in query_vectors:
+        d2s = [
+            sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in centroids
+        ]
+        probes = sorted(range(len(centroids)), key=lambda i: (d2s[i], i))
+        qcell_rows += [
+            (qid, c, r + 1) for r, c in enumerate(probes[:max_probe])
+        ]
+        for j, book in enumerate(codebooks):
+            qs = qv[j * sub : (j + 1) * sub]
+            for c, cw in enumerate(book):
+                lut_rows.append(
+                    (
+                        qid,
+                        j,
+                        c,
+                        float(
+                            sum((a - b) * (a - b) for a, b in zip(qs, cw))
+                        ),
+                    )
+                )
+    qcells = spark.createDataFrame(
+        qcell_rows, "query_id long, cell int, probe_rank int"
+    )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, subspace int, code int, d2 double"
+    )
+    return indexed, qcells, lut

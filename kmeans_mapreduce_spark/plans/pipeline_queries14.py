@@ -59,6 +59,11 @@ _RQ_K = 10        # recall@10
 _RQ_NPROBE = 4    # probed coarse cells per query
 _RQ_M = 8         # PQ subspaces (64 dims / 8)
 _RQ_CODES = 16    # codewords per subspace
+# probe levels the sweep traces; the shared oracle prefix ranks query
+# cells to max(_SWEEP_PROBES), so the fixed-knob queries' n_probe must
+# stay within it
+_SWEEP_PROBES = (1, 2, 4, 8)
+assert _RQ_NPROBE <= max(_SWEEP_PROBES)
 
 
 def _floor_means(
@@ -82,10 +87,8 @@ def _trained_ivfpq(spark: SparkSession, sf_dir: str):
     (seeds = first-k corpus vectors / first-16 slices, recenter to
     floor(mean), empty keeps seed — the reference's keep-old rule,
     master.go:594-599).  Returns (e, cents, books, qs) with ``e``
-    CACHED — the caller owns the unpersist."""
-    from kmeans_mapreduce_spark.operators import similarity as SIM
-    from kmeans_mapreduce_spark.plans.pipeline_queries3 import assigned_cells
-
+    CACHED — the caller owns the unpersist once this returns; training
+    failures unpersist before re-raising."""
     e = (
         _embs(spark, sf_dir)
         .select(
@@ -97,6 +100,19 @@ def _trained_ivfpq(spark: SparkSession, sf_dir: str):
         )
         .cache()
     )
+    try:
+        return (e, *_train_on(e))
+    except BaseException:
+        # the caller's try/finally only exists once we RETURN — an
+        # assert or job failure mid-training must not leave e pinned
+        e.unpersist()
+        raise
+
+
+def _train_on(e: DataFrame):
+    from kmeans_mapreduce_spark.operators import similarity as SIM
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import assigned_cells
+
     n = e.count()
     kc = max(1, math.ceil(n**0.5))
     seeds = [
@@ -150,7 +166,7 @@ def _trained_ivfpq(spark: SparkSession, sf_dir: str):
         .orderBy("vec_id")
         .collect()
     ]
-    return e, cents, books, qs
+    return cents, books, qs
 
 
 def _brute_topk(e: DataFrame, qdf: DataFrame) -> DataFrame:
@@ -360,7 +376,7 @@ qcellr AS MATERIALIZED (  -- queries: ranked nearest trained cells
   SELECT id, cid AS cell, rn AS probe_rank FROM (
     SELECT id, cid,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
-    FROM cd WHERE id < {_RQ_NQUERY}) WHERE rn <= 8),
+    FROM cd WHERE id < {_RQ_NQUERY}) WHERE rn <= {max(_SWEEP_PROBES)}),
 enc AS (  -- corpus PQ codes under the TRAINED books
   SELECT e.id, b.j, b.code, {_sub_d2_sql('e.v', 'b.cw')} AS d2
   FROM e CROSS JOIN books b),
@@ -577,9 +593,6 @@ ORDER BY bucket
 
 # --- batch 29: the production tuning curves ----------------------------------
 
-_SWEEP_PROBES = (1, 2, 4, 8)
-
-
 def ann_ivf_pq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The n_probe tuning curve — the artifact an IVF-PQ operator
     actually reads before picking the production probe count: for
@@ -607,59 +620,16 @@ def ann_ivf_pq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shape: spend on codebook quality (more Lloyd steps, more
     codewords, or re-ranking by true distance), not on probes."""
     from kmeans_mapreduce_spark.operators import similarity as SIM
-    from kmeans_mapreduce_spark.operators.kmeans import (
-        assign_clusters_broadcast,
-    )
     from pyspark.sql import Window
 
     e, cents, books, qs = _trained_ivfpq(spark, sf_dir)
     try:
-        indexed = assign_clusters_broadcast(
-            e.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("v").alias("features"),
-            ),
-            cents,
-        ).select(
-            "neighbor_id",
-            F.col("cluster_id").cast("int").alias("cell"),
-            SIM._pq_codes_expr("features", books).alias("codes"),
-        )
-        # driver math: ranked probe lists (to the widest level) + ADC
-        # LUTs — k x d + Q x m x k_codes floats, the Lloyd-loop budget;
-        # ties break (d2, lowest cell/code id) matching the SQL rn
-        sub = 64 // _RQ_M
-        max_p = max(_SWEEP_PROBES)
-        qcell_rows, lut_rows = [], []
-        for qid, qv in qs:
-            d2s = [
-                sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in cents
-            ]
-            order = sorted(range(len(cents)), key=lambda i: (d2s[i], i))
-            qcell_rows += [
-                (qid, c, r + 1) for r, c in enumerate(order[:max_p])
-            ]
-            for j, book in enumerate(books):
-                qslice = qv[j * sub : (j + 1) * sub]
-                for c, cw in enumerate(book):
-                    lut_rows.append(
-                        (
-                            qid,
-                            j,
-                            c,
-                            float(
-                                sum(
-                                    (a - b) * (a - b)
-                                    for a, b in zip(qslice, cw)
-                                )
-                            ),
-                        )
-                    )
-        qcells = spark.createDataFrame(
-            qcell_rows, "query_id long, cell int, probe_rank int"
-        )
-        lut = spark.createDataFrame(
-            lut_rows, "query_id long, subspace int, code int, d2 double"
+        # the SAME three building blocks ivf_pq_topk assembles — one
+        # home for the argmin tie-breaks and LUT math — just probed to
+        # the widest sweep level so probe_rank slices every level out
+        indexed, qcells, lut = SIM.ivf_pq_index_parts(
+            e, cents, books, qs,
+            max_probe=max(_SWEEP_PROBES), id_col="vec_id", vec_col="v",
         )
         cand = (
             F.broadcast(qcells)
@@ -733,7 +703,7 @@ adcr AS MATERIALIZED (
   JOIN lut ON lut.query_id = candr.query_id
           AND lut.j = codes.j AND lut.code = codes.code
   GROUP BY candr.query_id, candr.neighbor_id, candr.probe_rank),
-levels AS (SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(n_probe)),
+levels AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in _SWEEP_PROBES)}) AS t(n_probe)),
 lev AS MATERIALIZED (
   SELECT l.n_probe, a.query_id, a.neighbor_id, a.approx_d2
   FROM levels l JOIN adcr a ON a.probe_rank <= l.n_probe),
@@ -795,8 +765,13 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < _BS_SAMPLE)
     sh = DD._shingle_frame(docs, "doc_id", "text", n=2).cache()
+    sig = cands = None
     try:
-        sig = portable_minhash_sigs(sh)
+        # cached: the banded frame feeds BOTH sides of the self-join —
+        # without the barrier the 16-permutation signature pipeline
+        # evaluates twice (the calibration sibling caches for the same
+        # reason)
+        sig = portable_minhash_sigs(sh).cache()
         entries = []
         for bands, rows in _BAND_CONFIGS:
             for b in range(bands):
@@ -851,8 +826,11 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         npos = DD.ngram_jaccard_pairs(
             docs, "doc_id", "text", threshold=_BS_T, n=2
         ).agg(F.count("*").alias("n_pos"))
+        # carry (bands, rows) PAIRS like the SQL VALUES list — deriving
+        # rows as 16/bands would silently misreport if the perm count
+        # or a config ever changed
         cfg = spark.createDataFrame(
-            [(bands,) for bands, _ in _BAND_CONFIGS], "bands int"
+            list(_BAND_CONFIGS), "bands int, rows_per_band int"
         )
         agg = scored.groupBy("bands").agg(
             F.count("*").alias("n_candidates"),
@@ -863,7 +841,7 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(npos))
             .select(
                 "bands",
-                (F.lit(16) / F.col("bands")).cast("int").alias("rows_per_band"),
+                "rows_per_band",
                 F.coalesce(F.col("n_candidates"), F.lit(0))
                 .cast("bigint")
                 .alias("n_candidates"),
@@ -885,9 +863,12 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bands")
             .localCheckpoint(eager=True)
         )
-        cands.unpersist()
         return out
     finally:
+        if sig is not None:
+            sig.unpersist()
+        if cands is not None:
+            cands.unpersist()
         sh.unpersist()
 
 
@@ -899,14 +880,19 @@ def _band_sweep_sql() -> str:
 
     # pairs is referenced twice (candidate verify + ground truth) —
     # MATERIALIZE it or DuckDB recomputes the all-pairs join per use;
-    # and the same id-prefix calibration sample as the Spark side
-    jcte = _JACCARD_CTE.replace(
-        "pairs AS (", "pairs AS MATERIALIZED (", 1
-    ).replace(
+    # and the same id-prefix calibration sample as the Spark side.
+    # Assert each patch LANDED: a silent no-op here (someone reformats
+    # _JACCARD_CTE) would drop the sample filter and diverge engines
+    # with nothing but a hash mismatch to debug.
+    jcte = _JACCARD_CTE.replace("pairs AS (", "pairs AS MATERIALIZED (", 1)
+    assert jcte != _JACCARD_CTE, "MATERIALIZED patch missed pairs CTE"
+    sampled = jcte.replace(
         "FROM documents WHERE NOT (",
         f"FROM documents WHERE doc_id < {_BS_SAMPLE} AND NOT (",
         1,
     )
+    assert sampled != jcte, "sample-filter patch missed the t CTE"
+    jcte = sampled
     return (
         jcte
         + PORTABLE_SIGS_CTE
@@ -982,7 +968,6 @@ def ann_ivf_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     true-top members of the shortlist are exactly its smallest true
     distances, so exact re-ranking can only surface more of them."""
     from kmeans_mapreduce_spark.operators import similarity as SIM
-    from pyspark.sql import Window
 
     e, cents, books, qs = _trained_ivfpq(spark, sf_dir)
     try:
@@ -992,29 +977,11 @@ def ann_ivf_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id", vec_col="v",
         )
         qdf = spark.createDataFrame(qs, "query_id long, qv array<double>")
-        d2 = F.aggregate(
-            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.asc("exact_d2"), F.asc("neighbor_id")
-        )
-        rerank = (
-            shortlist.select("query_id", "neighbor_id")
-            .join(
-                e.select(
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.col("v").alias("cv"),
-                ),
-                "neighbor_id",
-            )
-            .join(F.broadcast(qdf), "query_id")
-            .select("query_id", "neighbor_id", d2.alias("exact_d2"))
-            .withColumn("rr", F.row_number().over(w))
-            .where(F.col("rr") <= _RQ_K)
-            .select("query_id", "neighbor_id")
-        )
+        # the shared refine stage (operators/similarity.exact_rerank) —
+        # same fold order / rounding / tie-break as every *_rerank
+        rerank = SIM.exact_rerank(
+            shortlist, e, qs, k=_RQ_K, id_col="vec_id", vec_col="v"
+        ).select("query_id", "neighbor_id")
         adc10 = shortlist.where(F.col("rank") <= _RQ_K).select(
             "query_id", "neighbor_id"
         )
