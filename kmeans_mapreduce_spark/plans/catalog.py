@@ -577,8 +577,9 @@ assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 # the 32 remaining round-4-vintage rows (recompute the latest-round map
 # from CORRECTNESS_r*.json — the 5 sampled this round move to round 10;
 # the four displaced rows rejoin the round-4 queue), then round-5
-# vintage in catalog order.  All round-4 rows NOT in _R10_WINDOW were
-# pre-verified vanilla-green at round-10 close.
+# vintage in catalog order.  Rotation risk is PRE-CLEARED two rounds
+# deep: all round-4 rows NOT in _R10_WINDOW and ALL 48 round-5-vintage
+# rows were verified vanilla-green at round-10 close.
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
 QUERIES = {**{n: QUERIES[n] for n in _R10_WINDOW}, **QUERIES}
