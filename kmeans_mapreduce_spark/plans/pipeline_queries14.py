@@ -463,7 +463,14 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: this IS the 100 TB layout — the corpus is written
     bucketed-by-cell once, and every downstream within-cell self-join
     (k-NN graph, SemDeDup, ANN verify) reads co-located buckets with
-    no exchange before the rank window's."""
+    no exchange before the rank window's.
+
+    Warehouse note: the write lands under the FIXED table name
+    ``knn_cells_bucketed_q`` in the session warehouse — catalog queries
+    must not run concurrently against one warehouse dir (two runs would
+    race the overwrite pre-clean against an active reader).  The
+    single-driver harness serializes runs, so this holds by
+    construction here."""
     from kmeans_mapreduce_spark.plans.kmeans_queries import _fixed_centroids
     from kmeans_mapreduce_spark.plans.pipeline_queries3 import (
         assigned_cells,

@@ -48,28 +48,43 @@ def write_bucketed_table(
     """
     spark = df.sparkSession
     if mode == "overwrite" and path is None:
-        # the default catalog is in-memory: a fresh session doesn't
-        # know the table, but its managed LOCATION survives in the
-        # warehouse dir and saveAsTable refuses to create over it
-        # (LOCATION_ALREADY_EXISTS) — drop both the entry and any
-        # orphaned directory so overwrite means overwrite
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        if wh.scheme in ("", "file"):
-            # managed layout: <warehouse>/<table> in the default db,
-            # <warehouse>/<db>.db/<table> otherwise — resolve the db
-            # from a qualified name or the session's current database
-            parts = table.lower().split(".")
-            if len(parts) == 1:
-                db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
-            else:
-                db, tbl = parts[-2], parts[-1]
-            loc = (
-                Path(wh.path) / tbl
-                if db == "default"
-                else Path(wh.path) / f"{db}.db" / tbl
-            )
-            shutil.rmtree(loc, ignore_errors=True)
+        if spark.catalog.tableExists(table):
+            # resolve the REAL location + type from the catalog before
+            # dropping: only a MANAGED table's directory belongs to the
+            # drop — rmtree'ing a derived warehouse path could hit an
+            # EXTERNAL table's data or miss a custom location
+            typ = loc = None
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+                if r["col_name"] == "Type":
+                    typ = r["data_type"]
+                elif r["col_name"] == "Location":
+                    loc = r["data_type"]
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            if typ == "MANAGED" and loc:
+                p = urlparse(loc)
+                if p.scheme in ("", "file"):
+                    shutil.rmtree(p.path, ignore_errors=True)
+        else:
+            # the default catalog is in-memory: a fresh session doesn't
+            # know the table, but a PREVIOUS session's managed LOCATION
+            # survives in the warehouse dir and saveAsTable refuses to
+            # create over it (LOCATION_ALREADY_EXISTS) — with no catalog
+            # entry to consult, fall back to the default managed layout:
+            # <warehouse>/<table> in the default db,
+            # <warehouse>/<db>.db/<table> otherwise
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+            if wh.scheme in ("", "file"):
+                parts = table.lower().split(".")
+                if len(parts) == 1:
+                    db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+                else:
+                    db, tbl = parts[-2], parts[-1]
+                loc = (
+                    Path(wh.path) / tbl
+                    if db == "default"
+                    else Path(wh.path) / f"{db}.db" / tbl
+                )
+                shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)

@@ -53,10 +53,12 @@ def stream_export_jsonl(
     checkpoint's _spark_metadata log — reprocessed batches overwrite
     rather than double-append.
 
-    ``await_termination=False`` returns the live StreamingQuery instead
-    of draining it — the crash/resume harness (tools/stress_run.py
-    stream_shard_export) uses this to kill an export mid-run and prove
-    the checkpoint resume commits no duplicate shards.
+    Always returns the StreamingQuery (already terminated when
+    ``await_termination=True``, live otherwise) — one return type, so a
+    caller can read ``q.lastProgress``/``recentProgress`` either way.
+    The crash/resume harness (tools/stress_run.py stream_shard_export)
+    passes ``await_termination=False`` to kill an export mid-run and
+    prove the checkpoint resume commits no duplicate shards.
     """
     h = F.md5(F.col(id_col).cast("string"))
     shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n_shards)
@@ -69,7 +71,6 @@ def stream_export_jsonl(
         .trigger(availableNow=True)
         .start()
     )
-    if not await_termination:
-        return q
-    q.awaitTermination()
-    return None
+    if await_termination:
+        q.awaitTermination()
+    return q

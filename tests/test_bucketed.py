@@ -88,3 +88,35 @@ def test_bucketed_cell_self_join_is_shuffle_free(
         assert full_plan.count("Exchange hashpartitioning") == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS knn_cells_test")
+
+
+def test_overwrite_preserves_external_data_of_prior_table(
+    spark, sf_dir, tmp_path
+):
+    """Overwrite pre-clean must resolve the prior table's location from
+    the CATALOG, not a naming convention: dropping an EXTERNAL table of
+    the same name may not delete its data directory, and no warehouse
+    path may be rmtree'd on its behalf."""
+    from kmeans_mapreduce_spark.sources.bucketed import write_bucketed_table
+
+    assigned = _assigned(spark, sf_dir)
+    ext_dir = tmp_path / "ext_data"
+    spark.sql("DROP TABLE IF EXISTS bucketed_overwrite_t")
+    try:
+        write_bucketed_table(
+            assigned, "bucketed_overwrite_t", "cell", 4, path=str(ext_dir)
+        )
+        n_ext = len(list(ext_dir.glob("*.parquet")))
+        assert n_ext > 0
+        # same name, now managed: the pre-clean drops the EXTERNAL entry
+        # but must leave its data files alone
+        tbl = write_bucketed_table(assigned, "bucketed_overwrite_t", "cell", 4)
+        assert tbl.count() == assigned.count()
+        assert len(list(ext_dir.glob("*.parquet"))) == n_ext
+        # and a managed->managed overwrite still works (the catalog-
+        # resolved MANAGED location is cleaned, so no
+        # LOCATION_ALREADY_EXISTS)
+        tbl = write_bucketed_table(assigned, "bucketed_overwrite_t", "cell", 4)
+        assert tbl.count() == assigned.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_overwrite_t")

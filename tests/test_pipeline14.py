@@ -107,7 +107,7 @@ def test_recall_query_contract(spark, sf_dir):
         assert r["dist_ratio"] is None or r["dist_ratio"] >= 1.0
 
 
-def test_knn_graph_cells_asserts_on_centroid_shortfall(spark, sf_dir, monkeypatch):
+def test_knn_graph_cells_asserts_on_centroid_shortfall(spark, sf_dir):
     """A sparse/non-dense id space must fail loudly, not silently build
     a coarser graph: with k_cells above the max id count the predicate
     recipe comes up short and the guard trips."""
