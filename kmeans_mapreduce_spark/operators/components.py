@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 
 _CHECKPOINT_EVERY = 5
 
+# Observability: rounds executed by the most recent connected_components
+# call in this process.  The plan audit (tools/audit_plans.py) reports
+# iterative operators as "per-round shape x observed rounds" — walking
+# the returned frame's full pre-checkpoint lineage instead would count
+# every round's nodes as if they were one executed plan.
+LAST_RUN_ROUNDS = 0
+
 
 def connected_components(
     edges: DataFrame,
@@ -77,8 +84,10 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .cache()
     )
+    global LAST_RUN_ROUNDS
     try:
         for i in range(max_iter):
+            LAST_RUN_ROUNDS = i + 1
             new_labels = (
                 adj.join(labels, adj.b == labels.id)
                 .groupBy("a")

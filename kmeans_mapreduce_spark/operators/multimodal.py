@@ -6,13 +6,17 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas functions over ``mapInPandas`` so each task streams record
 batches without materializing a partition in memory.
 
-The container has no image/audio codec libraries, so most formats are
-STUBBED (deterministic fake, clearly marked) — but ONE format is decoded
-for real: binary PPM (P6), parsed by a dependency-free pure-Python
-decoder (`_decode_ppm`).  Rows whose mime is ``image/x-portable-pixmap``
-flow through genuine bytes -> header parse -> pixel extraction in both
-``decode_media`` and ``resize_media``; everything else keeps the fake
-path, and `_decode_real` remains the hook for PIL/av on a real cluster.
+The container has no image/audio codec libraries, so codec-library
+formats (JPEG/PNG/MP3/video) are STUBBED (deterministic fake, clearly
+marked) — but TWO structurally different container families are decoded
+for real by dependency-free pure-Python decoders: the binary netpbm
+image family (P6 RGB / P5 gray / P4 packed-bit, `_decode_pnm`) and
+RIFF/WAVE PCM16 audio (`_decode_wav` — a genuine chunk walk with the
+odd-size pad-byte rule).  Rows with those mimes flow through real
+bytes -> container parse -> raster/sample extraction in
+``decode_media``, ``resize_media`` and the wav_* feature stages;
+everything else keeps the fake path, and `_decode_real` remains the
+hook for PIL/av on a real cluster.
 """
 
 from __future__ import annotations
@@ -363,6 +367,258 @@ def attach_pbm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     range), so the decode stats must mask them or break the oracle
     hash.  See `_attach_pnm`."""
     return _attach_pnm(df, id_col, text_col, (b"P4",))
+
+
+WAV_MIME = "audio/x-wav"
+
+
+def encode_wav(
+    sample_rate: int, samples: "np.ndarray", note: bytes = b""
+) -> bytes:
+    """Serialize int16 mono PCM samples as a RIFF/WAVE file — pure
+    Python, no dependencies.  The container is a chunk list: ``fmt ``
+    (PCM, 1 channel, 16-bit), an optional ``note`` metadata chunk
+    BETWEEN fmt and data (so any reader must genuinely walk chunks to
+    find the raster rather than assume a fixed 44-byte header), then
+    ``data``.  Odd-sized chunks get the RIFF pad byte — the alignment
+    rule every naive WAV reader gets wrong (the audio sibling of P4's
+    row padding)."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    chunks = chunk(b"fmt ", fmt)
+    if note:
+        chunks += chunk(b"note", note)
+    chunks += chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """REAL RIFF/WAVE decoder: bytes -> (sample_rate, int16 samples).
+
+    Full chunk walk, not a fixed-offset slice: verify the RIFF/WAVE
+    magic and the declared RIFF size, then iterate chunks — id, u32 LE
+    size, body, and the PAD BYTE after every odd-sized body (skipping
+    it wrong misaligns every subsequent chunk id).  Unknown chunks are
+    skipped (that's the point of a chunked container); ``fmt `` is
+    validated as 16-bit mono PCM with a consistent byte rate / block
+    align; ``data`` must exist and hold whole samples.  Raises
+    ValueError on anything malformed."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE file (magic {payload[:4]!r}/{payload[8:12]!r})"
+        )
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if riff_size != len(payload) - 8:
+        raise ValueError(
+            f"RIFF size {riff_size} != {len(payload) - 8} actual"
+        )
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos < n:
+        if pos + 8 > n:
+            raise ValueError("truncated chunk header")
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"chunk {cid!r} truncated ({len(body)}/{size})")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        # RIFF alignment: odd-sized bodies are followed by one pad byte
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk has {len(fmt)} bytes, need >= 16")
+    audio_format, channels, rate, byte_rate, block_align, bits = (
+        struct.unpack("<HHIIHH", fmt[:16])
+    )
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"only 16-bit mono PCM supported, got format={audio_format} "
+            f"channels={channels} bits={bits}"
+        )
+    if byte_rate != rate * 2 or block_align != 2:
+        raise ValueError("inconsistent byte_rate/block_align for PCM16 mono")
+    if len(data) % 2:
+        raise ValueError("data chunk holds a torn sample")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def _wav_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """WAV arm of the decode_media dispatch, same 8-slot feature
+    contract as the image arms with sample semantics: width carries
+    n_samples (height 1 — a waveform is a 1 x N raster), slot 0 the
+    exact int64 sample sum, slots 3-4 the first/last sample, 6-7
+    min/max.  Slots 1-2 stay 0.0 (no G/B planes)."""
+    _, smp = _decode_wav(payload)
+    s = smp.astype(np.int64)
+    feature = [
+        float(s.sum()),
+        0.0,
+        0.0,
+        float(s[0]),
+        float(s[-1]),
+        float(len(s)),
+        float(s.min()),
+        float(s.max()),
+    ]
+    return len(payload), len(s), 1, feature
+
+
+_REAL_STATS[WAV_MIME] = _wav_stats
+
+
+def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Media table of REAL RIFF/WAVE PCM16 payloads, synthesized by one
+    generative formula both engines recompute (the WAV sibling of
+    `_attach_pnm`): n = byte length of the text column,
+    n_samples = 64 + n % 128, sample_rate = 8000 + 1000 * (media_id % 3),
+    sample i = ((media_id*11 + i*7) % 4001) - 2000, and a ``note``
+    chunk of 1 + media_id % 5 bytes between fmt and data — odd note
+    sizes (3 of the 5 residues) put a genuine RIFF pad byte in the
+    chunk walk.  Every payload is a real, parseable WAV file, so the
+    decode boundary is exercised for real."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            payloads = []
+            for mid, n in zip(batch["media_id"], batch["_n"]):
+                mid, n = int(mid), int(n)
+                ns = 64 + n % 128
+                rate = 8000 + 1000 * (mid % 3)
+                smp = ((mid * 11 + np.arange(ns) * 7) % 4001) - 2000
+                note = bytes(
+                    (mid * 3 + j) % 256 for j in range(1 + mid % 5)
+                )
+                payloads.append(
+                    encode_wav(rate, smp.astype("<i2"), note=note)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].values,
+                    "payload": payloads,
+                    "mime": [WAV_MIME] * len(payloads),
+                }
+            )
+
+    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sum_s", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("n_zero_cross", T.LongType()),
+    ]
+)
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """Per-file audio features over REAL decoded PCM: sample rate and
+    count (chunk-walk-sensitive: both live in the fmt/data chunks the
+    walk must find past the odd-sized note chunk), total payload bytes
+    (pad-byte-sensitive), exact int64 sample sum and sum of squares
+    (energy), and the zero-crossing count (sign(x) := x >= 0 changes
+    between consecutive samples — the standard voiced/unvoiced
+    heuristic).  All integer-exact, so the formula oracle replays them
+    bit-for-bit.  Arrow-batched mapInPandas, decode + features in one
+    stage — no shuffle."""
+    import pandas as pd
+
+    def feat(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            out = {k: [] for k in WAV_FEATURES_SCHEMA.fieldNames()}
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                raw = bytes(payload)
+                rate, smp = _decode_wav(raw)
+                s = smp.astype(np.int64)
+                zc = (
+                    int(np.count_nonzero((s[:-1] >= 0) != (s[1:] >= 0)))
+                    if len(s) > 1
+                    else 0
+                )
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["n_bytes"].append(len(raw))
+                out["sum_s"].append(int(s.sum()))
+                out["sum_sq"].append(int((s * s).sum()))
+                out["n_zero_cross"].append(zc)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(feat, schema=WAV_FEATURES_SCHEMA)
+
+
+WAV_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("start_sample", T.IntegerType()),
+        T.StructField("win_sum_sq", T.LongType()),
+        T.StructField("win_peak", T.IntegerType()),
+    ]
+)
+
+
+def wav_window_energy(
+    df: DataFrame, window_samples: int = 32, hop_samples: int = 25
+) -> DataFrame:
+    """Windowed energy over REAL decoded PCM: decode -> frame (the same
+    window grammar as `audio_pcm_windows`: windows of ``window_samples``
+    every ``hop_samples``, tails shorter than a window dropped) ->
+    per-window exact sum of squares + peak |sample|, all inside ONE
+    mapInPandas stage (decode, framing and feature share the task — no
+    shuffle between them, the composition `resize_media` demonstrates
+    for images applied to the audio arm).  At 100 TB the fan-out is
+    bounded by n_samples/hop per file and parallelizes per-window
+    downstream."""
+    import pandas as pd
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            out = {k: [] for k in WAV_WINDOW_SCHEMA.fieldNames()}
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                _, smp = _decode_wav(bytes(payload))
+                s = smp.astype(np.int64)
+                if len(s) < window_samples:
+                    continue
+                n_w = (len(s) - window_samples) // hop_samples + 1
+                for wi in range(n_w):
+                    start = wi * hop_samples
+                    w = s[start : start + window_samples]
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(wi)
+                    out["start_sample"].append(start)
+                    out["win_sum_sq"].append(int((w * w).sum()))
+                    out["win_peak"].append(int(np.abs(w).max()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(frames, schema=WAV_WINDOW_SCHEMA)
 
 
 def _decode_fake(payload: bytes):

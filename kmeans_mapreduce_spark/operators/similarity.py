@@ -822,21 +822,7 @@ def ivf_pq_topk(
         corpus, centroids, codebooks, query_vectors,
         max_probe=n_probe, id_col=id_col, vec_col=vec_col,
     )
-    cands = (
-        F.broadcast(qcells.drop("probe_rank"))
-        .join(indexed, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.posexplode("codes").alias("subspace", "code"),
-        )
-    )
-    scored = (
-        cands.join(F.broadcast(lut), ["query_id", "subspace", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
-    )
+    scored = ivf_pq_adc_scores(indexed, qcells, lut)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("neighbor_id")
     )
@@ -844,6 +830,40 @@ def ivf_pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "approx_d2")
+    )
+
+
+def ivf_pq_adc_scores(
+    indexed: DataFrame,
+    qcells: DataFrame,
+    lut: DataFrame,
+    carry_probe_rank: bool = False,
+) -> DataFrame:
+    """Candidate generation + ADC scoring over `ivf_pq_index_parts`'s
+    building blocks — the ONE home for the probe join, code explode,
+    LUT join and the sum's rounding policy (round to 6 dp before any
+    ranking; integer-exact inputs make it a no-op today, but a single
+    site keeps every consumer's tie-break identical by construction
+    rather than by parallel maintenance).
+
+    ``carry_probe_rank=True`` keeps each candidate's probe rank through
+    the aggregation — the sweep queries slice probe levels out of ONE
+    widest-depth scan via that column instead of rescanning per level.
+    Returns [query_id, neighbor_id, (probe_rank,) approx_d2]."""
+    keys = ["query_id", "neighbor_id"] + (
+        ["probe_rank"] if carry_probe_rank else []
+    )
+    q = qcells if carry_probe_rank else qcells.drop("probe_rank")
+    cands = (
+        F.broadcast(q)
+        .join(indexed, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(*keys, F.posexplode("codes").alias("subspace", "code"))
+    )
+    return (
+        cands.join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy(*keys)
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
     )
 
 

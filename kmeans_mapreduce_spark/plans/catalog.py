@@ -46,6 +46,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries11 as PQ11
 from kmeans_mapreduce_spark.plans import pipeline_queries12 as PQ12
 from kmeans_mapreduce_spark.plans import pipeline_queries13 as PQ13
 from kmeans_mapreduce_spark.plans import pipeline_queries14 as PQ14
+from kmeans_mapreduce_spark.plans import pipeline_queries15 as PQ15
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +477,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # missing TPC-H number
     "ann_ivf_pq_rerank_recall": PQ14.ann_ivf_pq_rerank_recall,
     "q17_small_quantity_revenue": RX3.q17_small_quantity_revenue,
+    # Round-11 batch 31: the shortlist axis of the ANN tuning-curve
+    # family, and the RIFF/WAVE real-codec arm (first non-netpbm real
+    # decode: chunk walk + pad byte -> per-file features + windowed
+    # energy)
+    "ann_rerank_shortlist_sweep": PQ15.ann_rerank_shortlist_sweep,
+    "mm_wav_features": PQ15.mm_wav_features,
+    "mm_wav_window_energy": PQ15.mm_wav_window_energy,
 }
 
 # ---------------------------------------------------------------------------
@@ -662,6 +670,9 @@ ORACLES: dict[str, str] = {
     "ann_ivf_pq_probe_sweep": PQ14.ANN_IVF_PQ_PROBE_SWEEP_SQL,
     "dedup_minhash_band_sweep": PQ14.MINHASH_BAND_SWEEP_SQL,
     "ann_ivf_pq_rerank_recall": PQ14.ANN_IVF_PQ_RERANK_SQL,
+    "ann_rerank_shortlist_sweep": PQ15.ANN_RERANK_SHORTLIST_SWEEP_SQL,
+    "mm_wav_features": PQ15.MM_WAV_FEATURES_SQL,
+    "mm_wav_window_energy": PQ15.MM_WAV_WINDOW_ENERGY_SQL,
     "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,

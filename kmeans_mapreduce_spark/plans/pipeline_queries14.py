@@ -631,28 +631,16 @@ def ann_ivf_pq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e, cents, books, qs = _trained_ivfpq(spark, sf_dir)
     try:
-        # the SAME three building blocks ivf_pq_topk assembles — one
-        # home for the argmin tie-breaks and LUT math — just probed to
-        # the widest sweep level so probe_rank slices every level out
+        # the SAME building blocks + candidate/ADC assembly ivf_pq_topk
+        # uses (similarity.ivf_pq_adc_scores — one home for tie-breaks,
+        # LUT math AND the rounding policy), just probed to the widest
+        # sweep level so probe_rank slices every level out
         indexed, qcells, lut = SIM.ivf_pq_index_parts(
             e, cents, books, qs,
             max_probe=max(_SWEEP_PROBES), id_col="vec_id", vec_col="v",
         )
-        cand = (
-            F.broadcast(qcells)
-            .join(indexed, "cell")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                "probe_rank",
-                F.posexplode("codes").alias("subspace", "code"),
-            )
-        )
-        adc = (
-            cand.join(F.broadcast(lut), ["query_id", "subspace", "code"])
-            .groupBy("query_id", "neighbor_id", "probe_rank")
-            .agg(F.sum("d2").alias("approx_d2"))
+        adc = SIM.ivf_pq_adc_scores(
+            indexed, qcells, lut, carry_probe_rank=True
         )
         levels = spark.createDataFrame(
             [(p,) for p in _SWEEP_PROBES], "n_probe int"

@@ -17,6 +17,13 @@ runtime re-planning; AQE can only improve them).  Iterative queries
 row reports the FINAL returned frame's plan, with loop economics
 documented in PLANS.md instead.
 
+Iterative MIN-LABEL queries (connected components) are special-cased:
+their returned frame's lineage spans every pre-checkpoint round, so a
+raw node count walks the full unrolled DAG (350+ "shuffles") while the
+EXECUTED shape is two shuffles per round over a checkpoint-truncated
+prefix.  Their rows report per-round shape x observed rounds instead
+of raw lineage counts.
+
 Usage: python tools/audit_plans.py [sf_dir] > PLAN_INVENTORY.md
 """
 
@@ -29,6 +36,28 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+
+def _cc_rounds() -> int:
+    from kmeans_mapreduce_spark.operators import components
+
+    return components.LAST_RUN_ROUNDS
+
+
+# query name -> per-round executed shape (the driver loop materializes
+# each round as its own job; _cc_rounds() reads the count the build
+# just executed).  The trailing "+ ..." names the one-off finalization
+# plan on top of the loop.
+ITERATIVE = {
+    "dedup_components": lambda: (
+        f"2 shuffles/round x {_cc_rounds()} rounds (observed), "
+        "localCheckpoint every 5"
+    ),
+    "dedup_cluster_representatives": lambda: (
+        f"2 shuffles/round x {_cc_rounds()} rounds (observed), "
+        "localCheckpoint every 5, + 1 join to pick representatives"
+    ),
+}
 
 
 def main() -> None:
@@ -44,6 +73,21 @@ def main() -> None:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
+            if name in ITERATIVE:
+                rows.append(
+                    (
+                        name,
+                        ITERATIVE[name](),
+                        "—",
+                        "—",
+                        "—",
+                        "—",
+                        "—",
+                        f"{time.time() - t0:.1f}",
+                    )
+                )
+                print(f"{name} done", file=sys.stderr, flush=True)
+                continue
             plan = df._jdf.queryExecution().executedPlan().toString()
             rows.append(
                 (
