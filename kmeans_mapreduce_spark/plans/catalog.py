@@ -494,103 +494,106 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the contract test pin).
 
 
-# ROUND-10 DRIVER WINDOW.  Cumulative coverage is 245/245 with zero
-# latest-red after round 9, so the window is pure freshness rotation.
-# Composition per the round-10 ledger (judge pre-verified all 28
-# round-3-vintage fill rows green in the round-9 vanilla re-runs):
-#   (b) round-9 reds: none;
-#   (c) new this round: ann_ivf_pq_recall (production-knob recall
-#       calibration — trained quantized centroids/codebooks at
-#       k_cells=ceil(sqrt(N)), n_probe=4, vs exact brute top-10),
-#       knn_graph_bucketed (the co-location contract driver-visible),
-#       mm_resize_pnm_mixed (resize-path channel dispatch) and
-#       mm_pnm_tri_histogram (all three netpbm arms in one histogram);
-#       changed this round: the pixel-histogram consumers (P4 arm
-#       added to the shared operator), ann_ivf_pq_topk (cell-assignment
-#       strategy cutoff in ivf_pq_topk), knn_graph_cells (centroid
-#       shortfall guard);
+# ROUND-11 DRIVER WINDOW.  Cumulative coverage is 253/253 with zero
+# latest-red after round 10, so the window is pure freshness rotation.
+# Composition per the round-11 ledger (rotation risk pre-cleared two
+# rounds deep at round-10 close: all 32 round-4 remainder rows and all
+# 48 round-5-vintage rows verified vanilla-green):
+#   (b) round-10 reds: none;
+#   (c) new this round (batch 31): ann_rerank_shortlist_sweep (the
+#       shortlist axis of the ANN tuning-curve family — recall@10 vs
+#       rerank shortlist from one widest-level ADC scan),
+#       mm_wav_features + mm_wav_window_energy (the RIFF/WAVE real
+#       codec arm: chunk walk + pad byte, per-file features and
+#       windowed energy under formula oracles);
+#       changed this round: every consumer of the shared IVF-PQ
+#       candidate/ADC assembly (similarity.ivf_pq_adc_scores refactor:
+#       ann_ivf_pq_topk, ann_ivf_pq_recall, ann_ivf_pq_probe_sweep,
+#       ann_ivf_pq_rerank_recall), knn_graph_bucketed (catalog-resolved
+#       overwrite pre-clean in sources/bucketed.py), and the
+#       connected-components consumers (observed-rounds counter in
+#       operators/components.py: dedup_components,
+#       dedup_cluster_representatives — the latter is also the first
+#       round-4 fill row, counted once);
 #   (d) rows-only freshness re-samples (trained/seed-sensitive paths,
-#       each certified by a *_invariants sibling recorded green r8/r9);
-#       also new: ann_ivf_pq_probe_sweep + dedup_minhash_band_sweep
-#       (batch 29 — the production tuning curves) and
-#       ann_ivf_pq_rerank_recall + q17_small_quantity_revenue
-#       (batch 30 — the refine stage + the last TPC-H number);
-#   (e) oldest-driver-green fill: all 28 remaining round-3-vintage
-#       rows, then round-4 vintage in catalog order (5 of 37 — the
-#       rest queue for round 11, including the four rows displaced by
-#       batches 29-30: agg_collect_sets, dedup_embedding_cosine,
-#       ann_lsh_topk, ann_brute_topk_pandas).
-_R10_WINDOW = [
-    # (c) new this round
+#       each certified by a *_invariants sibling; last sampled r10);
+#   (e) oldest-driver-green fill: the 31 remaining round-4-vintage
+#       rows (emptying the round-4 freshness bucket), then round-5
+#       vintage in catalog order (4 of 48 — the rest queue for
+#       round 12).
+_R11_WINDOW = [
+    # (c) new this round (batch 31)
+    "ann_rerank_shortlist_sweep",
+    "mm_wav_features",
+    "mm_wav_window_energy",
+    # (c) changed this round (consumers of touched operators)
+    "ann_ivf_pq_topk",
     "ann_ivf_pq_recall",
     "ann_ivf_pq_probe_sweep",
     "ann_ivf_pq_rerank_recall",
-    "dedup_minhash_band_sweep",
-    "q17_small_quantity_revenue",
     "knn_graph_bucketed",
-    "mm_resize_pnm_mixed",
-    "mm_pnm_tri_histogram",
-    # (c) changed this round (consumers of touched operators)
-    "mm_ppm_pixel_histogram",
-    "mm_pnm_mixed_histogram",
-    "ann_ivf_pq_topk",
-    "knn_graph_cells",
+    "dedup_components",
+    "dedup_cluster_representatives",
     # (d) rows-only freshness (invariants siblings green r8/r9)
     "kmeans_fit_native",
     "kmeans_fit_mllib",
     "kmeans_fit_lineitem",
     "ann_pq_topk",
     "pipeline_bpe_train",
-    # (e) oldest-green fill: round-3 vintage (catalog order; all 28
-    # pre-verified green by the round-9 judge's vanilla re-runs)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "ann_brute_topk",
-    "mm_metadata",
-    "mm_frame_sample",
-    "q4_late_shipments",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q18_large_volume",
-    "q21_sole_late_supplier",
-    "sort_global_daily",
-    "text_tfidf_topterms",
-    "text_bpe_tokens",
-    "q10_returned_revenue",
-    "array_higher_order",
-    "lateral_pos_tokens",
-    "generator_order_years",
-    "agg_filter_clause",
-    "window_rows_moving_avg",
-    "date_interval_arith",
-    "hist_order_values",
-    "join_null_safe_status",
-    "q14_promo_revenue",
-    "q19_branded_revenue",
-    "string_customer_profile",
-    "map_event_type_counts",
-    # (e) oldest-green fill: round-4 vintage (catalog order)
-    "pipeline_corpus_curation",
-    "dq_validation_report",
-    "set_multiset_priorities",
-    "case_coalesce_buckets",
-    "array_top_tokens",
+    # (e) oldest-green fill: the 31 remaining round-4-vintage rows
+    # (catalog order; all pre-verified vanilla-green at round-10 close
+    # and 6 re-sampled green by the round-10 judge)
+    "agg_collect_sets",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "ann_brute_topk_pandas",
+    "pipeline_contamination_check",
+    "pipeline_seq_packing",
+    "pipeline_domain_mix",
+    "text_repetition_score",
+    "window_percentile_customers",
+    "dedup_semantic_clusters",
+    "pipeline_lang_rebalance",
+    "text_pii_scrub",
+    "embedding_dim_stats",
+    "text_quality_zscore",
+    "pipeline_shuffle_shards",
+    "pipeline_stratified_sample",
+    "pipeline_dataset_card",
+    "pipeline_bpe_pair_counts",
+    "text_char_entropy",
+    "dedup_substring_pairs",
+    "table_column_stats",
+    "hybrid_search_rrf",
+    "corpus_drift_psi",
+    "q2_min_cost_supplier",
+    "q9_nation_profit",
+    "q12_priority_shipping",
+    "q20_dominant_suppliers",
+    "pipeline_doc_chunks",
+    "linkage_fuzzy_parts",
+    "snapshot_diff_orders",
+    "dedup_minhash",
+    # (e) oldest-green fill: round-5 vintage (catalog order)
+    "events_funnel",
+    "events_retention_cohorts",
+    "sketch_rollup_weekly_users",
+    "ann_pq_fixed_topk",
 ]
-assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
-# ROUND-11 LEDGER (write the _R11_WINDOW from this once round 10
-# records): compose as (b) any round-10 reds -> (c) round-11
-# new/changed -> (d) rows-only freshness -> (e) oldest-green fill with
-# the 32 remaining round-4-vintage rows (recompute the latest-round map
-# from CORRECTNESS_r*.json — the 5 sampled this round move to round 10;
-# the four displaced rows rejoin the round-4 queue), then round-5
-# vintage in catalog order.  Rotation risk is PRE-CLEARED two rounds
-# deep: all round-4 rows NOT in _R10_WINDOW and ALL 48 round-5-vintage
-# rows were verified vanilla-green at round-10 close.
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+# ROUND-12 LEDGER (write the _R12_WINDOW from this once round 11
+# records): compose as (b) any round-11 reds -> (c) round-12
+# new/changed -> (d) rows-only freshness (the 5 rows-only entries are
+# sampled in THIS window, so they age out at round 13 — re-sample no
+# later than that) -> (e) oldest-green fill with the 44 remaining
+# round-5-vintage rows in catalog order (recompute the latest-round
+# map from CORRECTNESS_r*.json — the 4 sampled this round move to
+# round 11), then round-7 vintage in catalog order.  Rotation risk is
+# PRE-CLEARED one round deep: all 48 round-5-vintage rows were
+# verified vanilla-green at round-10 close.
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R10_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R11_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,

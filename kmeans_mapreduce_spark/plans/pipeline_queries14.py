@@ -80,6 +80,19 @@ def _floor_means(
     )
 
 
+# One training per corpus per process: the four calibration queries
+# (recall, probe sweep, rerank recall, shortlist sweep) share ONE
+# trained index by construction — training is a deterministic function
+# of the corpus (fixed seeds, quantized one-step Lloyd), so the first
+# query in a process trains and the rest reuse the k x d + m x 16 x d/m
+# floats of driver state.  The DuckDB oracles still replay training
+# per query (each is a self-contained full-pipeline certificate); this
+# memo only removes the redundant Spark-side retraining when a gate or
+# bench runs the family back-to-back.  Keyed by sf_dir (the stress
+# harness trains its own corpus under a different key).
+_TRAIN_MEMO: dict[str, tuple] = {}
+
+
 def _trained_ivfpq(spark: SparkSession, sf_dir: str):
     """Shared trainer for the production-knob ANN calibration queries:
     integer-scaled vectors, one quantized Lloyd step for the
@@ -88,7 +101,8 @@ def _trained_ivfpq(spark: SparkSession, sf_dir: str):
     floor(mean), empty keeps seed — the reference's keep-old rule,
     master.go:594-599).  Returns (e, cents, books, qs) with ``e``
     CACHED — the caller owns the unpersist once this returns; training
-    failures unpersist before re-raising."""
+    failures unpersist before re-raising.  Deterministic per corpus,
+    so results are memoized per sf_dir (see _TRAIN_MEMO)."""
     e = (
         _embs(spark, sf_dir)
         .select(
@@ -100,13 +114,17 @@ def _trained_ivfpq(spark: SparkSession, sf_dir: str):
         )
         .cache()
     )
+    if sf_dir in _TRAIN_MEMO:
+        return (e, *_TRAIN_MEMO[sf_dir])
     try:
-        return (e, *_train_on(e))
+        parts = _train_on(e)
     except BaseException:
         # the caller's try/finally only exists once we RETURN — an
         # assert or job failure mid-training must not leave e pinned
         e.unpersist()
         raise
+    _TRAIN_MEMO[sf_dir] = parts
+    return (e, *parts)
 
 
 def _train_on(e: DataFrame):

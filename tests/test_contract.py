@@ -23,29 +23,27 @@ def test_catalog_shapes():
         "pipeline_bpe_train",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — round 10: the new batch-28 queries, every query whose
-    # implementation changed this round (histogram P4 arm, ivf_pq_topk
-    # strategy cutoff, knn centroid guard), and the rows-only
-    # freshness re-samples must all be inside
+    # entries — round 11: the new batch-31 queries, every query whose
+    # implementation changed this round (shared ADC assembly, bucketed
+    # overwrite pre-clean, components rounds counter), and the
+    # rows-only freshness re-samples must all be inside
     first50 = list(qs)[:50]
-    from kmeans_mapreduce_spark.plans.catalog import _R10_WINDOW
+    from kmeans_mapreduce_spark.plans.catalog import _R11_WINDOW
 
-    assert first50 == _R10_WINDOW, "driver window drifted from the ledger"
+    assert first50 == _R11_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (c) round-10 additions (VERDICT r9 §next #2-3, #5 + batches 28-29)
+        # (c) round-11 additions (VERDICT r10 §next #2-3, batch 31)
+        "ann_rerank_shortlist_sweep",
+        "mm_wav_features",
+        "mm_wav_window_energy",
+        # (c) changed this round
+        "ann_ivf_pq_topk",
         "ann_ivf_pq_recall",
         "ann_ivf_pq_probe_sweep",
         "ann_ivf_pq_rerank_recall",
-        "dedup_minhash_band_sweep",
-        "q17_small_quantity_revenue",
         "knn_graph_bucketed",
-        "mm_resize_pnm_mixed",
-        "mm_pnm_tri_histogram",
-        # (c) changed this round
-        "mm_ppm_pixel_histogram",
-        "mm_pnm_mixed_histogram",
-        "ann_ivf_pq_topk",
-        "knn_graph_cells",
+        "dedup_components",
+        "dedup_cluster_representatives",
         # (d) rows-only freshness re-samples
         "kmeans_fit_native",
         "kmeans_fit_mllib",

@@ -165,3 +165,24 @@ def test_shortlist_sweep_recall_monotone(spark, sf_dir):
     # the available-shortlist cost axis never exceeds the level
     for r in rows:
         assert r["mean_shortlist"] <= r["shortlist"]
+
+
+def test_trained_ivfpq_memo_reuses_training(spark, sf_dir):
+    """The four calibration queries share one trained index per
+    process: a second _trained_ivfpq call for the same corpus returns
+    the memoized artifacts (same objects), and the returned frame is
+    freshly cached so each caller's unpersist stays balanced."""
+    from kmeans_mapreduce_spark.plans import pipeline_queries14 as PQ14
+
+    PQ14._TRAIN_MEMO.pop(sf_dir, None)
+    e1, c1, b1, q1 = PQ14._trained_ivfpq(spark, sf_dir)
+    e1.unpersist()
+    e2, c2, b2, q2 = PQ14._trained_ivfpq(spark, sf_dir)
+    try:
+        assert c2 is c1 and b2 is b1 and q2 is q1
+        # the memo stores driver lists only — the frame is rebuilt, so
+        # a prior caller's unpersist cannot starve the next query
+        assert e2.count() > 0
+    finally:
+        e2.unpersist()
+        PQ14._TRAIN_MEMO.pop(sf_dir, None)

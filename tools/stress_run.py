@@ -116,7 +116,106 @@ PHASE_C = [
 # k_cells ~ sqrt(N) — was argued in a docstring but never executed.
 # These entries run the same operators over knn_edges_scaled (sqrt(N)
 # cells ~ 141 at 20k vectors) so the claim is measured, not argued.
-PHASE_D = ["graph_pagerank_sqrtcells", "graph_triangle_sqrtcells"]
+PHASE_D = [
+    "graph_pagerank_sqrtcells",
+    "graph_triangle_sqrtcells",
+    "knn_bucketed_ab",
+]
+
+
+def knn_bucketed_ab(spark, results: dict) -> int:
+    """The 100 TB layout claim, EXECUTED at the 100x point: write the
+    stress corpus's assigned cells (sqrt(N) knob, ~142 cells at 20k
+    vectors) through write_bucketed_table and A/B the within-cell
+    self-join (rank_cell_pairs, the k-NN/SemDeDup consumer) against the
+    shuffle build over the plain frame — wall clock AND Exchange
+    hashpartitioning count, with auto-broadcast disabled so the join
+    strategy is decided by distribution alone (at real scale neither
+    side broadcasts).  `knn_graph_bucketed` pins this contract at
+    fixture scale (4 cells, driver-hash-checked); this row measures it
+    where the layout actually pays."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _embs
+    from kmeans_mapreduce_spark.plans.pipeline_queries3 import (
+        assigned_cells,
+        rank_cell_pairs,
+    )
+    from kmeans_mapreduce_spark.sources.bucketed import write_bucketed_table
+
+    def checksum(df):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum("neighbor_id").alias("s_nb"),
+            F.sum(F.col("rank") * F.col("node_id")).alias("s_rk"),
+        ).collect()[0]
+        return (r["n"], r["s_nb"], r["s_rk"])
+
+    def exchanges(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    e = (
+        _embs(spark, STRESS_DIR)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .cache()
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n = e.count()
+        k_cells = max(1, math.ceil(n**0.5))
+        cents = [
+            list(r["v"])
+            for r in e.orderBy("vec_id").limit(k_cells).collect()
+        ]
+        assigned = assigned_cells(e, cents)
+
+        # A: shuffle build (both join sides exchange on cell)
+        t0 = time.time()
+        shuffle_sum = checksum(rank_cell_pairs(assigned, 3))
+        shuffle_sec = round(time.time() - t0, 1)
+        shuffle_ex = exchanges(rank_cell_pairs(assigned, 3))
+
+        # B: the bucketed layout — write once (the layout cost a real
+        # pipeline amortizes over every downstream join), then the
+        # co-located read
+        t0 = time.time()
+        tbl = write_bucketed_table(
+            assigned, "knn_cells_stress_ab", "cell", n_buckets=64
+        )
+        write_sec = round(time.time() - t0, 1)
+        t0 = time.time()
+        buck_sum = checksum(rank_cell_pairs(tbl, 3))
+        buck_sec = round(time.time() - t0, 1)
+        buck_ex = exchanges(rank_cell_pairs(tbl, 3))
+
+        ok = shuffle_sum == buck_sum and buck_ex < shuffle_ex
+        results["knn_bucketed_ab"] = {
+            "n_vectors": n,
+            "k_cells": k_cells,
+            "shuffle_join_sec": shuffle_sec,
+            "shuffle_exchanges": shuffle_ex,
+            "bucketed_write_sec": write_sec,
+            "bucketed_join_sec": buck_sec,
+            "bucketed_exchanges": buck_ex,
+            "rows": shuffle_sum[0],
+            "results_equal": shuffle_sum == buck_sum,
+        }
+        print(f"D bucketed A/B: {results['knn_bucketed_ab']}", file=sys.stderr)
+        return 0 if ok else 1
+    except Exception as exc:  # noqa: BLE001
+        results["knn_bucketed_ab"] = {"error": str(exc)[:300]}
+        print(f"D bucketed A/B: ERROR {exc}", file=sys.stderr)
+        return 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS knn_cells_stress_ab")
+        e.unpersist()
 
 
 def phase_d(spark, results: dict, names: list[str]) -> int:
@@ -130,6 +229,10 @@ def phase_d(spark, results: dict, names: list[str]) -> int:
     )
 
     rc = 0
+    if "knn_bucketed_ab" in names:
+        rc = knn_bucketed_ab(spark, results) or rc
+    if not ({"graph_pagerank_sqrtcells", "graph_triangle_sqrtcells"} & set(names)):
+        return rc
     t0 = time.time()
     # knn_edges_scaled returns a MATERIALIZED (localCheckpoint) frame —
     # both consumers below read the checkpoint blocks, no extra cache
