@@ -47,6 +47,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries12 as PQ12
 from kmeans_mapreduce_spark.plans import pipeline_queries13 as PQ13
 from kmeans_mapreduce_spark.plans import pipeline_queries14 as PQ14
 from kmeans_mapreduce_spark.plans import pipeline_queries15 as PQ15
+from kmeans_mapreduce_spark.plans import pipeline_queries16 as PQ16
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,6 +485,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_rerank_shortlist_sweep": PQ15.ann_rerank_shortlist_sweep,
     "mm_wav_features": PQ15.mm_wav_features,
     "mm_wav_window_energy": PQ15.mm_wav_window_energy,
+    # Round-11 batch 32: the PNG (compressed) and AVI (video container)
+    # real-codec arms, and the codebook axis of the ANN tuning-curve
+    # family
+    "mm_png_decode_stats": PQ16.mm_png_decode_stats,
+    "mm_png_pixel_histogram": PQ16.mm_png_pixel_histogram,
+    "mm_avi_frame_sample": PQ16.mm_avi_frame_sample,
+    "ann_ivf_pq_codebook_sweep": PQ16.ann_ivf_pq_codebook_sweep,
 }
 
 # ---------------------------------------------------------------------------
@@ -515,18 +523,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #       operators/components.py: dedup_components,
 #       dedup_cluster_representatives — the latter is also the first
 #       round-4 fill row, counted once);
+#       Batch 32 (added later in round 11): mm_png_decode_stats +
+#       mm_png_pixel_histogram (the PNG compressed-codec arm),
+#       mm_avi_frame_sample (the AVI video-container arm),
+#       ann_ivf_pq_codebook_sweep (the codebook axis of the tuning
+#       family), plus mm_pnm_tri_histogram as the changed-consumer
+#       sample for ppm_pixel_histogram's additive PNG branch (its
+#       three legacy netpbm arms all run through the edited function).
+#       The other consumers of the additive multimodal changes (new
+#       _REAL_STATS dict keys; no legacy key's path changed) were all
+#       re-verified vanilla-green at authoring time: every mm_* catalog
+#       row hash-matched DuckDB after the batch-32 edits.
 #   (d) rows-only freshness re-samples (trained/seed-sensitive paths,
-#       each certified by a *_invariants sibling; last sampled r10);
+#       each certified by a *_invariants sibling; last sampled r10 —
+#       ann_pq_topk's slot went to the batch-32 changed-consumer row;
+#       it re-samples in round 12, inside the two-round policy);
 #   (e) oldest-driver-green fill: the 31 remaining round-4-vintage
-#       rows (emptying the round-4 freshness bucket), then round-5
-#       vintage in catalog order (4 of 48 — the rest queue for
-#       round 12).
+#       rows (emptying the round-4 freshness bucket); the round-5
+#       vintage fill queues for round 12 (its 4 slots went to
+#       batch 32).
 _R11_WINDOW = [
     # (c) new this round (batch 31)
     "ann_rerank_shortlist_sweep",
     "mm_wav_features",
     "mm_wav_window_energy",
+    # (c) new this round (batch 32)
+    "mm_png_decode_stats",
+    "mm_png_pixel_histogram",
+    "mm_avi_frame_sample",
+    "ann_ivf_pq_codebook_sweep",
     # (c) changed this round (consumers of touched operators)
+    "mm_pnm_tri_histogram",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_recall",
     "ann_ivf_pq_probe_sweep",
@@ -538,7 +565,6 @@ _R11_WINDOW = [
     "kmeans_fit_native",
     "kmeans_fit_mllib",
     "kmeans_fit_lineitem",
-    "ann_pq_topk",
     "pipeline_bpe_train",
     # (e) oldest-green fill: the 31 remaining round-4-vintage rows
     # (catalog order; all pre-verified vanilla-green at round-10 close
@@ -574,23 +600,19 @@ _R11_WINDOW = [
     "linkage_fuzzy_parts",
     "snapshot_diff_orders",
     "dedup_minhash",
-    # (e) oldest-green fill: round-5 vintage (catalog order)
-    "events_funnel",
-    "events_retention_cohorts",
-    "sketch_rollup_weekly_users",
-    "ann_pq_fixed_topk",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 # ROUND-12 LEDGER (write the _R12_WINDOW from this once round 11
 # records): compose as (b) any round-11 reds -> (c) round-12
-# new/changed -> (d) rows-only freshness (the 5 rows-only entries are
-# sampled in THIS window, so they age out at round 13 — re-sample no
-# later than that) -> (e) oldest-green fill with the 44 remaining
-# round-5-vintage rows in catalog order (recompute the latest-round
-# map from CORRECTNESS_r*.json — the 4 sampled this round move to
-# round 11), then round-7 vintage in catalog order.  Rotation risk is
-# PRE-CLEARED one round deep: all 48 round-5-vintage rows were
-# verified vanilla-green at round-10 close.
+# new/changed -> (d) rows-only freshness: ann_pq_topk MUST re-sample
+# in round 12 (last sampled r10; its r11 slot went to batch 32), the
+# other four rows-only entries are sampled in THIS window and age out
+# at round 13 -> (e) oldest-green fill with all 48 round-5-vintage
+# rows in catalog order (none were sampled in round 11 — batch 32
+# took their slots; recompute the latest-round map from
+# CORRECTNESS_r*.json), then round-7 vintage in catalog order.
+# Rotation risk is PRE-CLEARED one round deep: all 48 round-5-vintage
+# rows were verified vanilla-green at round-10 close.
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
 QUERIES = {**{n: QUERIES[n] for n in _R11_WINDOW}, **QUERIES}
@@ -676,6 +698,10 @@ ORACLES: dict[str, str] = {
     "ann_rerank_shortlist_sweep": PQ15.ANN_RERANK_SHORTLIST_SWEEP_SQL,
     "mm_wav_features": PQ15.MM_WAV_FEATURES_SQL,
     "mm_wav_window_energy": PQ15.MM_WAV_WINDOW_ENERGY_SQL,
+    "mm_png_decode_stats": PQ16.MM_PNG_DECODE_STATS_SQL,
+    "mm_png_pixel_histogram": PQ16.MM_PNG_PIXEL_HISTOGRAM_SQL,
+    "mm_avi_frame_sample": PQ16.MM_AVI_FRAME_SAMPLE_SQL,
+    "ann_ivf_pq_codebook_sweep": PQ16.ANN_IVF_PQ_CODEBOOK_SWEEP_SQL,
     "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,

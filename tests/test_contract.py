@@ -36,6 +36,13 @@ def test_catalog_shapes():
         "ann_rerank_shortlist_sweep",
         "mm_wav_features",
         "mm_wav_window_energy",
+        # (c) round-11 additions (batch 32: PNG/AVI codec arms +
+        # codebook sweep, with the changed-consumer histogram sample)
+        "mm_png_decode_stats",
+        "mm_png_pixel_histogram",
+        "mm_avi_frame_sample",
+        "ann_ivf_pq_codebook_sweep",
+        "mm_pnm_tri_histogram",
         # (c) changed this round
         "ann_ivf_pq_topk",
         "ann_ivf_pq_recall",
@@ -44,11 +51,11 @@ def test_catalog_shapes():
         "knn_graph_bucketed",
         "dedup_components",
         "dedup_cluster_representatives",
-        # (d) rows-only freshness re-samples
+        # (d) rows-only freshness re-samples (ann_pq_topk deferred to
+        # round 12 — its slot went to batch 32)
         "kmeans_fit_native",
         "kmeans_fit_mllib",
         "kmeans_fit_lineitem",
-        "ann_pq_topk",
         "pipeline_bpe_train",
     ):
         assert name in first50, f"{name} fell outside the correctness window"

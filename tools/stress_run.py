@@ -98,6 +98,14 @@ PHASE_B = [
     # leg stays the bounded 50-query x N pass
     "ann_ivf_pq_recall",
     "ann_ivf_pq_rerank_recall",
+    # round-11 batch 32: the compressed/video codec arms (decode is a
+    # linear mapInPandas scan — the stress point is 50k real
+    # inflate+unfilter / nested-walk parses per run) and the codebook
+    # sweep (4 ADC legs + 3 extra codebook trainings over the 142-cell
+    # trained index; the m-level trainings memoize per corpus)
+    "mm_png_decode_stats",
+    "mm_avi_frame_sample",
+    "ann_ivf_pq_codebook_sweep",
 ]
 
 # Phase C streaming workloads (names usable as subset args too)
