@@ -7,10 +7,11 @@ pandas functions over ``mapInPandas`` so each task streams record
 batches without materializing a partition in memory.
 
 The container has no image/audio codec libraries, so codec-library
-formats (JPEG/MP3/MPEG) are STUBBED (deterministic fake, clearly
-marked) — but FOUR structurally different container families are
-decoded for real by dependency-free pure-Python (+ stdlib zlib)
-decoders, one per modality axis:
+formats (JPEG/MP3/MPEG — the DSP-heavy ones) are STUBBED
+(deterministic fake, clearly marked) — but FIVE structurally different
+container families are decoded for real by dependency-free pure-Python
+(+ stdlib zlib) decoders, spanning image/audio/video and two
+compression schemes:
 
 - binary netpbm images (P6 RGB / P5 gray / P4 packed-bit,
   `_decode_pnm` — byte-padded bit rows are the P4 trap);
@@ -20,13 +21,17 @@ decoders, one per modality axis:
   concatenation, stdlib-zlib inflate, and per-row reconstruction of
   all five scanline filters: the first COMPRESSED arm);
 - RIFF/AVI video (`_decode_avi` — a NESTED LIST walk: hdrl/strl
-  headers, movi '00db' frame chunks, idx1 cross-check).
+  headers, movi '00db' frame chunks, idx1 cross-check);
+- GIF (`_decode_gif` — the decompressor itself is HAND-ROLLED:
+  variable-width LZW codes read LSB-first, width growth, the KwKwK
+  case, 4096-entry freeze; PNG outsources DEFLATE to zlib, here the
+  entropy coding is ours end to end).
 
 Rows with those mimes flow through real bytes -> container parse ->
 raster/sample/frame extraction in ``decode_media``, ``resize_media``
-and the wav_*/png_*/avi_* feature stages; everything else keeps the
-fake path, and `_decode_real` remains the hook for PIL/av on a real
-cluster.
+and the wav_*/png_*/avi_*/gif_* feature stages; everything else keeps
+the fake path, and `_decode_real` remains the hook for PIL/av on a
+real cluster.
 """
 
 from __future__ import annotations
@@ -1559,3 +1564,352 @@ def avi_frame_sample(df: DataFrame, stride: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(sample, schema=AVI_FRAMES_SCHEMA)
+
+
+# --- GIF: a HAND-ROLLED decompressor (LZW), the second compressed arm --------
+
+GIF_MIME = "image/gif"
+_GIF_MAX_WIDTH = 12  # LZW codes cap at 12 bits per the GIF spec
+
+
+def _lzw_compress(indices: "np.ndarray", code_bits: int) -> bytes:
+    """GIF-variant LZW compressor, implemented from the spec (no
+    library does LZW for us — unlike PNG's DEFLATE this decompressor
+    pair is hand-rolled end to end).  Emits the clear code, then
+    greedy longest-match phrases; code width starts at code_bits+1 and
+    grows in lockstep with the decoder: the width check runs AFTER each
+    emission and BEFORE registering that step's new phrase (the
+    ordering that keeps both sides' tables synchronized — moving the
+    check after the add desyncs every code that straddles a width
+    boundary).  Table freezes at 4096 entries (no adaptive clears; the
+    decoder handles them anyway).  Bits pack LSB-first into the byte
+    stream per the spec."""
+    clear = 1 << code_bits
+    end = clear + 1
+    width = code_bits + 1
+    next_code = end + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    bits: list[int] = []
+
+    def emit(code: int) -> None:
+        for b in range(width):
+            bits.append((code >> b) & 1)
+
+    emit(clear)
+    w = (int(indices[0]),)
+    for k in indices[1:]:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code > (1 << width) - 1 and width < _GIF_MAX_WIDTH:
+            width += 1
+        if next_code < (1 << _GIF_MAX_WIDTH):
+            table[wk] = next_code
+            next_code += 1
+        w = (int(k),)
+    emit(table[w])
+    if next_code > (1 << width) - 1 and width < _GIF_MAX_WIDTH:
+        width += 1
+    emit(end)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, code_bits: int, n_expected: int) -> bytes:
+    """GIF-variant LZW decompressor, from the spec: variable-width
+    codes read LSB-first (width = code_bits+1, growing when the table
+    reaches 2^width, cap 12 — GIF's rule, NOT TIFF's off-by-one 'early
+    change'), clear-code table resets, the KwKwK case (a code equal to
+    the next unassigned entry decodes as prev + prev[0]), and an
+    explicit end code.  Raises ValueError on codes beyond the table,
+    missing end code, or output size != n_expected."""
+    clear = 1 << code_bits
+    end = clear + 1
+    width = code_bits + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    pos = 0
+    total_bits = len(data) * 8
+    while True:
+        if pos + width > total_bits:
+            raise ValueError("LZW stream ended without an end code")
+        code = 0
+        for b in range(width):
+            i = pos + b
+            code |= ((data[i >> 3] >> (i & 7)) & 1) << b
+        pos += width
+        if code == clear:
+            table = table[: clear + 2]
+            width = code_bits + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"first code {code} is not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"code {code} beyond table size {len(table)}")
+        out += entry
+        if prev is not None and len(table) < (1 << _GIF_MAX_WIDTH):
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) and width < _GIF_MAX_WIDTH:
+            width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(f"decoded {len(out)} pixels, expected {n_expected}")
+    return bytes(out)
+
+
+def encode_gif(
+    width: int, height: int, indices: bytes, *, comment: bytes = b""
+) -> bytes:
+    """Serialize 4-bit palette indices as a REAL GIF89a — pure Python,
+    hand-rolled LZW.  16-entry grayscale global color table
+    (entry i = (17i, 17i, 17i)), an optional Comment Extension the
+    decoder's block walk must skip, one image descriptor, LZW data in
+    length-prefixed sub-blocks (<= 255 bytes each)."""
+    import struct
+
+    if len(indices) != width * height:
+        raise ValueError(
+            f"need {width * height} indices for {width}x{height}, "
+            f"got {len(indices)}"
+        )
+    arr = np.frombuffer(indices, dtype=np.uint8)
+    if arr.size and int(arr.max()) > 15:
+        raise ValueError("indices must be 4-bit (0..15)")
+    # logical screen descriptor: GCT present, 16 entries (size bits 3)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xB3, 0, 0)
+    for i in range(16):
+        out += bytes([17 * i, 17 * i, 17 * i])
+    if comment:
+        out += b"\x21\xfe"
+        for i in range(0, len(comment), 255):
+            blk = comment[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(4)  # LZW minimum code size for a 16-color image
+    lzw = _lzw_compress(arr, 4)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
+    """REAL GIF decoder: bytes -> (width, height, palette indices,
+    global color table) — pure Python, hand-rolled LZW.
+
+    Full block walk per the spec: header (87a or 89a), logical screen
+    descriptor, global color table when flagged, extension blocks
+    (label + sub-block chain, skipped — the Comment Extension makes
+    the skip load-bearing), the image descriptor (+ local color table
+    skip when flagged), the LZW minimum code size, the sub-block chain
+    reassembled before decompression, and the trailer.  The LZW stream
+    itself is decoded by `_lzw_decompress` (variable-width codes,
+    KwKwK, width growth, clear handling)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF (header {payload[:6]!r})")
+    w_screen, h_screen, packed, _bg, _ar = struct.unpack(
+        "<HHBBB", payload[6:13]
+    )
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated sub-block chain")
+            n = payload[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    while True:
+        if pos >= len(payload):
+            raise ValueError("missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("trailer before any image data")
+        if block == 0x21:  # extension: label byte + sub-block chain
+            if pos >= len(payload):
+                raise ValueError("truncated extension")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if block == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            if w < 1 or h < 1 or left + w > w_screen or top + h > h_screen:
+                raise ValueError(
+                    f"image {w}x{h}@{left},{top} exceeds screen "
+                    f"{w_screen}x{h_screen}"
+                )
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIFs unsupported")
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            code_bits = payload[pos]
+            pos += 1
+            if not 2 <= code_bits <= 8:
+                raise ValueError(f"LZW min code size {code_bits} out of range")
+            chunks = []
+            while True:
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                chunks.append(payload[pos : pos + n])
+                if len(chunks[-1]) != n:
+                    raise ValueError("truncated image sub-block")
+                pos += n
+            idx = _lzw_decompress(b"".join(chunks), code_bits, w * h)
+            n_colors = (len(gct) // 3) if gct else (1 << code_bits)
+            bad = np.frombuffer(idx, dtype=np.uint8)
+            if bad.size and int(bad.max()) >= n_colors:
+                raise ValueError(
+                    f"palette index {int(bad.max())} >= {n_colors} colors"
+                )
+            if pos >= len(payload) or payload[pos] != 0x3B:
+                raise ValueError("missing trailer after image data")
+            return w, h, idx, gct
+        raise ValueError(f"unknown block type 0x{block:02x}")
+
+
+def _gif_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """GIF arm of the decode_media dispatch, same 8-slot contract: a
+    GIF pixel IS a palette lookup, so the stats run over the
+    palette-MAPPED gray values (table entry i = 17i here), all
+    downstream of the hand-rolled LZW — a code-width or KwKwK bug
+    moves every slot."""
+    w, h, idx, gct = _decode_gif(payload)
+    arr = np.frombuffer(idx, dtype=np.uint8)
+    pal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[:, 0]
+    px = pal[arr].astype(np.int64)
+    feature = [
+        float(px.sum()),
+        0.0,
+        0.0,
+        float(px[0]),
+        float(px[-1]),
+        float(w * h),
+        float(px.min()),
+        float(px.max()),
+    ]
+    return len(payload), w, h, feature
+
+
+_REAL_STATS[GIF_MIME] = _gif_stats
+
+
+def attach_gif_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Media table of REAL GIF payloads, one generative formula both
+    engines recompute: the netpbm dims grammar (w = 4 + n % 13,
+    h = 4 + (n // 13) % 11), palette index i = (media_id*7 + i) % 16,
+    and a Comment Extension of 1 + media_id % 6 bytes before the image
+    descriptor.  The 4-bit palette makes LZW width growth routine
+    (codes start at 5 bits and cross boundaries within ~14 phrases),
+    so the variable-width machinery is exercised by nearly every
+    payload, not by a corner case."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            payloads = []
+            for mid, n in zip(batch["media_id"], batch["_n"]):
+                mid, n = int(mid), int(n)
+                w = 4 + n % 13
+                h = 4 + (n // 13) % 11
+                idx = ((mid * 7 + np.arange(w * h)) % 16).astype(np.uint8)
+                payloads.append(
+                    encode_gif(
+                        w,
+                        h,
+                        idx.tobytes(),
+                        comment=bytes(
+                            (mid * 5 + j) % 256 for j in range(1 + mid % 6)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].values,
+                    "payload": payloads,
+                    "mime": [GIF_MIME] * len(payloads),
+                }
+            )
+
+    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("idx_sum", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("first_px", T.IntegerType()),
+        T.StructField("last_px", T.IntegerType()),
+    ]
+)
+
+
+def gif_decode_stats(df: DataFrame) -> DataFrame:
+    """Per-file GIF decode report: parsed dims, the exact sum of
+    decoded palette INDICES (pure LZW output) and of palette-mapped
+    gray VALUES (the lookup a real consumer performs), first/last
+    mapped pixel.  Arrow-batched mapInPandas, decode + stats in one
+    stage — no shuffle."""
+    import pandas as pd
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            out = {k: [] for k in GIF_STATS_SCHEMA.fieldNames()}
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                w, h, idx, gct = _decode_gif(bytes(payload))
+                arr = np.frombuffer(idx, dtype=np.uint8)
+                pal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[:, 0]
+                px = pal[arr].astype(np.int64)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["idx_sum"].append(int(arr.sum(dtype=np.int64)))
+                out["px_sum"].append(int(px.sum()))
+                out["first_px"].append(int(px[0]))
+                out["last_px"].append(int(px[-1]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(stats, schema=GIF_STATS_SCHEMA)

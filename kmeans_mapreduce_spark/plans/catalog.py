@@ -492,6 +492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_png_pixel_histogram": PQ16.mm_png_pixel_histogram,
     "mm_avi_frame_sample": PQ16.mm_avi_frame_sample,
     "ann_ivf_pq_codebook_sweep": PQ16.ann_ivf_pq_codebook_sweep,
+    "mm_gif_decode_stats": PQ16.mm_gif_decode_stats,
 }
 
 # ---------------------------------------------------------------------------
@@ -527,7 +528,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #       mm_png_pixel_histogram (the PNG compressed-codec arm),
 #       mm_avi_frame_sample (the AVI video-container arm),
 #       ann_ivf_pq_codebook_sweep (the codebook axis of the tuning
-#       family), plus mm_pnm_tri_histogram as the changed-consumer
+#       family), mm_gif_decode_stats (the GIF arm: the decompressor
+#       itself — variable-width LZW — is hand-rolled and spec-pinned
+#       by hand-packed fixtures), plus mm_pnm_tri_histogram as the changed-consumer
 #       sample for ppm_pixel_histogram's additive PNG branch (its
 #       three legacy netpbm arms all run through the edited function).
 #       The other consumers of the additive multimodal changes (new
@@ -552,6 +555,7 @@ _R11_WINDOW = [
     "mm_png_pixel_histogram",
     "mm_avi_frame_sample",
     "ann_ivf_pq_codebook_sweep",
+    "mm_gif_decode_stats",
     # (c) changed this round (consumers of touched operators)
     "mm_pnm_tri_histogram",
     "ann_ivf_pq_topk",
@@ -561,9 +565,11 @@ _R11_WINDOW = [
     "knn_graph_bucketed",
     "dedup_components",
     "dedup_cluster_representatives",
-    # (d) rows-only freshness (invariants siblings green r8/r9)
+    # (d) rows-only freshness (invariants siblings green r8/r9;
+    # ann_pq_topk and kmeans_fit_mllib re-sample in round 12 — their
+    # slots went to batch 32, still inside the two-round policy since
+    # both were sampled in round 10)
     "kmeans_fit_native",
-    "kmeans_fit_mllib",
     "kmeans_fit_lineitem",
     "pipeline_bpe_train",
     # (e) oldest-green fill: the 31 remaining round-4-vintage rows
@@ -604,10 +610,11 @@ _R11_WINDOW = [
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 # ROUND-12 LEDGER (write the _R12_WINDOW from this once round 11
 # records): compose as (b) any round-11 reds -> (c) round-12
-# new/changed -> (d) rows-only freshness: ann_pq_topk MUST re-sample
-# in round 12 (last sampled r10; its r11 slot went to batch 32), the
-# other four rows-only entries are sampled in THIS window and age out
-# at round 13 -> (e) oldest-green fill with all 48 round-5-vintage
+# new/changed -> (d) rows-only freshness: ann_pq_topk AND
+# kmeans_fit_mllib MUST re-sample in round 12 (last sampled r10; their
+# r11 slots went to batch 32), the other three rows-only entries are
+# sampled in THIS window and age out at round 13 -> (e) oldest-green
+# fill with all 48 round-5-vintage
 # rows in catalog order (none were sampled in round 11 — batch 32
 # took their slots; recompute the latest-round map from
 # CORRECTNESS_r*.json), then round-7 vintage in catalog order.
@@ -702,6 +709,7 @@ ORACLES: dict[str, str] = {
     "mm_png_pixel_histogram": PQ16.MM_PNG_PIXEL_HISTOGRAM_SQL,
     "mm_avi_frame_sample": PQ16.MM_AVI_FRAME_SAMPLE_SQL,
     "ann_ivf_pq_codebook_sweep": PQ16.ANN_IVF_PQ_CODEBOOK_SWEEP_SQL,
+    "mm_gif_decode_stats": PQ16.MM_GIF_DECODE_STATS_SQL,
     "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,

@@ -405,3 +405,50 @@ LEFT JOIN ({" UNION ALL ".join(f"SELECT * FROM hits_m{m}" for m in _CB_LEVELS)})
 ORDER BY m
 """
 )
+
+
+# --- the GIF real-codec arm (hand-rolled LZW) ---------------------------------
+
+
+def mm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second compressed codec arm, with the decompressor itself
+    HAND-ROLLED: genuine GIF89a payloads (16-color grayscale palette,
+    a Comment Extension the block walk must skip, LZW data in
+    sub-block chains) decoded end-to-end by `_decode_gif` — variable
+    width codes read LSB-first, width growing at each table-capacity
+    boundary (GIF's rule, not TIFF's early-change), the KwKwK case,
+    and the 4096-entry freeze.  PNG outsources DEFLATE to stdlib zlib;
+    here every bit of the entropy coding is our own, pinned to the
+    spec by hand-packed fixtures in tests/test_pipeline16.py.
+
+    Reported per file: parsed dims, the decoded palette-index sum
+    (pure LZW output), the palette-MAPPED gray sum (a GIF pixel IS a
+    lookup), first/last mapped pixel.  The oracle replays the
+    generative index formula (index i = (media_id*7 + i) % 16, gray =
+    17 * index) — one wrong code width anywhere shifts every later
+    code and breaks the hash.
+
+    Scale shape: synthesis and decode+stats are chained mapInPandas
+    stages in one task pipeline, no shuffle."""
+    media = MM.attach_gif_payload(_docs(spark, sf_dir), "doc_id", "text")
+    return MM.gif_decode_stats(media).orderBy("media_id")
+
+
+MM_GIF_DECODE_STATS_SQL = (
+    _PNG_CTE  # same dims grammar; the ch column is simply unused here
+    + """
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, w * h),
+                                    i -> (media_id * 7 + i) % 16))
+         AS BIGINT) AS idx_sum,
+       CAST(17 * list_sum(list_transform(range(0, w * h),
+                                         i -> (media_id * 7 + i) % 16))
+         AS BIGINT) AS px_sum,
+       CAST(17 * ((media_id * 7) % 16) AS INT) AS first_px,
+       CAST(17 * ((media_id * 7 + w * h - 1) % 16) AS INT) AS last_px
+FROM d
+ORDER BY media_id
+"""
+)

@@ -42,6 +42,7 @@ def test_catalog_shapes():
         "mm_png_pixel_histogram",
         "mm_avi_frame_sample",
         "ann_ivf_pq_codebook_sweep",
+        "mm_gif_decode_stats",
         "mm_pnm_tri_histogram",
         # (c) changed this round
         "ann_ivf_pq_topk",
@@ -51,10 +52,9 @@ def test_catalog_shapes():
         "knn_graph_bucketed",
         "dedup_components",
         "dedup_cluster_representatives",
-        # (d) rows-only freshness re-samples (ann_pq_topk deferred to
-        # round 12 — its slot went to batch 32)
+        # (d) rows-only freshness re-samples (ann_pq_topk and
+        # kmeans_fit_mllib deferred to round 12 — slots went to batch 32)
         "kmeans_fit_native",
-        "kmeans_fit_mllib",
         "kmeans_fit_lineitem",
         "pipeline_bpe_train",
     ):

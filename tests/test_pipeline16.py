@@ -264,3 +264,130 @@ def test_codebook_sweep_contains_production_point(spark, sf_dir):
     want = round(sum(r["recall"] for r in per_query) / len(per_query), 6)
     got = next(r["mean_recall"] for r in rows if r["m"] == 8)
     assert abs(got - want) <= 1e-6, (got, want)
+
+
+# --- GIF: hand-rolled LZW, pure-Python, no Spark needed ----------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=14),
+    height=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+    comment=st.binary(min_size=0, max_size=9),
+)
+def test_gif_roundtrip(width, height, seed, comment):
+    """encode -> decode is the identity on palette indices for every
+    dim/comment combination — most cases cross at least one LZW code
+    width boundary (4-bit palette: growth starts ~14 phrases in)."""
+    from kmeans_mapreduce_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    idx = ((seed + np.arange(width * height) * 7) % 16).astype(np.uint8)
+    w, h, out, gct = _decode_gif(
+        encode_gif(width, height, idx.tobytes(), comment=comment)
+    )
+    assert (w, h) == (width, height)
+    assert out == idx.tobytes()
+    assert len(gct) == 48  # 16 grayscale entries
+
+
+def test_gif_lzw_deep_growth_and_freeze():
+    """A large random image drives the code width through several
+    boundaries; a 150x150 one crosses the 4096-entry freeze — both must
+    reconstruct exactly."""
+    from kmeans_mapreduce_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    for dim in (60, 150):
+        idx = rng.integers(0, 16, size=dim * dim).astype(np.uint8)
+        assert _decode_gif(encode_gif(dim, dim, idx.tobytes()))[2] == idx.tobytes()
+    # constant image: the KwKwK code chain from the first phrase on
+    idx = np.zeros(200, dtype=np.uint8)
+    assert _decode_gif(encode_gif(20, 10, idx.tobytes()))[2] == idx.tobytes()
+
+
+def test_gif_lzw_decoder_matches_hand_packed_spec_fixture():
+    """A hand-packed LZW stream (every bit written out by hand from the
+    GIF spec's LZW rules) decodes to the expected indices — this pins
+    `_lzw_decompress` to the SPEC independently of our encoder, and the
+    stream deliberately contains a KwKwK code AND a width bump:
+      codes (value,width): (4,3)=clear (1,3) (6,3)=KwKwK (1,3)
+                           -> table hits 8 entries, width bumps to 4 ->
+                           (2,4) (2,4) (5,4)=end
+      expected output: [1, 1, 1, 1, 2, 2]
+    packed LSB-first into 0x8C 0x23 0x52."""
+    from kmeans_mapreduce_spark.operators.multimodal import _lzw_decompress
+
+    assert _lzw_decompress(bytes([0x8C, 0x23, 0x52]), 2, 6) == bytes(
+        [1, 1, 1, 1, 2, 2]
+    )
+
+
+def test_gif_decoder_walks_container_fixture():
+    """A hand-built GIF87a container (4-color table, one image, the
+    hand-packed LZW stream) parses end-to-end — header grammar, LSD,
+    GCT size math, image descriptor and sub-block chain all pinned
+    independently of `encode_gif` (which always writes 89a + 16
+    colors)."""
+    from kmeans_mapreduce_spark.operators.multimodal import _decode_gif
+
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HHBBB", 3, 2, 0x91, 0, 0)  # GCT, 4 entries
+    for i in range(4):
+        gif += bytes([85 * i] * 3)
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 2, 0)
+    gif.append(2)  # LZW min code size
+    gif += bytes([3]) + bytes([0x8C, 0x23, 0x52]) + b"\x00"
+    gif += b"\x3b"
+    w, h, idx, gct = _decode_gif(bytes(gif))
+    assert (w, h) == (3, 2)
+    assert idx == bytes([1, 1, 1, 1, 2, 2])
+    assert gct[:6] == bytes([0, 0, 0, 85, 85, 85])
+
+
+def test_gif_rejects_malformed():
+    from kmeans_mapreduce_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    good = encode_gif(5, 4, bytes([i % 16 for i in range(20)]), comment=b"c")
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"JIF87a" + good[6:])
+    with pytest.raises(ValueError, match="trailer"):
+        _decode_gif(good[:-1])
+    # truncated mid-LZW: the stream must end WITH an end code
+    i = good.index(b"\x2c")
+    with pytest.raises(ValueError, match="truncated|end code|trailer"):
+        _decode_gif(good[: i + 15])
+    with pytest.raises(ValueError, match="indices must be 4-bit"):
+        encode_gif(2, 2, bytes([1, 2, 3, 200]))
+    with pytest.raises(ValueError, match="need 4 indices"):
+        encode_gif(2, 2, bytes([1, 2, 3]))
+
+
+def test_gif_stats_in_decode_media_dispatch(spark, sf_dir):
+    """The GIF arm participates in decode_media's dispatch with
+    palette-mapped semantics: slot 0 is the gray-value sum
+    (17 * index sum under the grayscale table)."""
+    from kmeans_mapreduce_spark.operators.multimodal import (
+        GIF_MIME,
+        attach_gif_payload,
+        decode_media,
+    )
+    from kmeans_mapreduce_spark.plans.pipeline_queries import _docs
+
+    media = attach_gif_payload(_docs(spark, sf_dir).limit(8), "doc_id", "text")
+    rows = decode_media(media).collect()
+    assert rows and all(r["mime"] == GIF_MIME for r in rows)
+    for r in rows:
+        mid, w, h = r["media_id"], r["width"], r["height"]
+        idx = (mid * 7 + np.arange(w * h)) % 16
+        assert r["feature"][0] == float(17 * idx.sum())
+        assert r["feature"][5] == float(w * h)

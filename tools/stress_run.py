@@ -105,6 +105,7 @@ PHASE_B = [
     # trained index; the m-level trainings memoize per corpus)
     "mm_png_decode_stats",
     "mm_avi_frame_sample",
+    "mm_gif_decode_stats",
     "ann_ivf_pq_codebook_sweep",
 ]
 
