@@ -883,18 +883,21 @@ HIST_SCHEMA = T.StructType(
 )
 
 
-def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
-    """Corpus-wide pixel-value histogram over REAL decoded rasters
-    (all three netpbm arms): each task decodes its media payloads, bins
-    every pixel byte (256 // n_buckets wide buckets, vectorized
-    bincount), and emits ONE partial histogram per Arrow batch —
-    textbook map-side combine: the shuffle carries n_buckets rows per
-    batch no matter how many pixels were decoded.  The final
-    groupBy-sum is a 16-row aggregate.  P4 bitmaps bin as gray levels
-    under the PBM convention (set bit = black = 0, clear = white =
-    255), padding-cropped; PNG payloads bin their RECONSTRUCTED
-    pixels (the inflate + unfilter path feeds the counts); mimes
-    without a real decoder are skipped (no raster exists to bin)."""
+def ppm_pixel_histogram_partials(
+    df: DataFrame, n_buckets: int = 16
+) -> DataFrame:
+    """The decode-and-bin stage of `ppm_pixel_histogram` WITHOUT the
+    final aggregate: one partial n_buckets-row histogram per Arrow
+    batch.  Exposed separately because the partial frame is
+    aggregation-free, so it runs unchanged on a STREAMING DataFrame —
+    the incremental-histogram MV fold (tests/test_codec_stream.py)
+    feeds these partials to foreachBatch and folds them additively,
+    the same map-side-combine contract applied across micro-batches.
+    P4 bitmaps bin as gray levels under the PBM convention (set bit =
+    black = 0, clear = white = 255), padding-cropped; PNG payloads bin
+    their RECONSTRUCTED pixels (the inflate + unfilter path feeds the
+    counts); mimes without a real decoder are skipped (no raster
+    exists to bin)."""
     import pandas as pd
 
     width = 256 // n_buckets
@@ -923,6 +926,14 @@ def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
                     # the whole inflate + unfilter path feeds the bucket
                     # counts
                     _, _, _, raster, _, _ = _decode_png(bytes(payload))
+                elif mime == GIF_MIME:
+                    # a GIF pixel IS a palette lookup: bin the MAPPED
+                    # gray values, downstream of the hand-rolled LZW
+                    _, _, idx, gct = _decode_gif(bytes(payload))
+                    pal = np.frombuffer(gct, dtype=np.uint8).reshape(
+                        -1, 3
+                    )[:, 0]
+                    raster = pal[np.frombuffer(idx, dtype=np.uint8)].tobytes()
                 else:  # mimes without a real decoder have no raster to bin
                     continue
                 arr = np.frombuffer(raster, dtype=np.uint8)
@@ -931,7 +942,16 @@ def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
                 {"bucket": np.arange(n_buckets), "n_px": counts}
             )
 
-    partial = df.mapInPandas(hist_batches, schema=HIST_SCHEMA)
+    return df.mapInPandas(hist_batches, schema=HIST_SCHEMA)
+
+
+def ppm_pixel_histogram(df: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Corpus-wide pixel-value histogram over REAL decoded rasters:
+    the per-batch partials of `ppm_pixel_histogram_partials` (textbook
+    map-side combine — the shuffle carries n_buckets rows per batch no
+    matter how many pixels were decoded) under a final n_buckets-row
+    groupBy-sum."""
+    partial = ppm_pixel_histogram_partials(df, n_buckets)
     return (
         partial.groupBy("bucket")
         .agg(F.sum("n_px").alias("n_px"))
