@@ -48,6 +48,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries13 as PQ13
 from kmeans_mapreduce_spark.plans import pipeline_queries14 as PQ14
 from kmeans_mapreduce_spark.plans import pipeline_queries15 as PQ15
 from kmeans_mapreduce_spark.plans import pipeline_queries16 as PQ16
+from kmeans_mapreduce_spark.plans import pipeline_queries17 as PQ17
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,6 +494,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_avi_frame_sample": PQ16.mm_avi_frame_sample,
     "ann_ivf_pq_codebook_sweep": PQ16.ann_ivf_pq_codebook_sweep,
     "mm_gif_decode_stats": PQ16.mm_gif_decode_stats,
+    # Round-11 batch 33: distributed classifier training with a FULL
+    # oracle (integer batch perceptron — the quality-filter trainer)
+    "quality_perceptron_fit": PQ17.quality_perceptron_fit,
+    "quality_perceptron_holdout": PQ17.quality_perceptron_holdout,
 }
 
 # ---------------------------------------------------------------------------
@@ -556,6 +561,8 @@ _R11_WINDOW = [
     "mm_avi_frame_sample",
     "ann_ivf_pq_codebook_sweep",
     "mm_gif_decode_stats",
+    "quality_perceptron_fit",
+    "quality_perceptron_holdout",
     # (c) changed this round (consumers of touched operators)
     "mm_pnm_tri_histogram",
     "ann_ivf_pq_topk",
@@ -565,12 +572,13 @@ _R11_WINDOW = [
     "knn_graph_bucketed",
     "dedup_components",
     "dedup_cluster_representatives",
-    # (d) rows-only freshness (invariants siblings green r8/r9;
-    # ann_pq_topk and kmeans_fit_mllib re-sample in round 12 — their
-    # slots went to batch 32, still inside the two-round policy since
-    # both were sampled in round 10)
-    "kmeans_fit_native",
-    "kmeans_fit_lineitem",
+    # (d) rows-only freshness: the five rows-only entries were all
+    # sampled in round 10 and now re-sample AS A BLOCK in round 12 —
+    # still inside the two-round policy — because their round-11 slots
+    # went to the batch-32/33 influx (new oracle-checked queries are
+    # the stronger freshness class).  pipeline_bpe_train keeps a slot
+    # as the family's in-window representative; kmeans_fit_native
+    # additionally has standing driver signal via entry() every round.
     "pipeline_bpe_train",
     # (e) oldest-green fill: the 31 remaining round-4-vintage rows
     # (catalog order; all pre-verified vanilla-green at round-10 close
@@ -610,11 +618,12 @@ _R11_WINDOW = [
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 # ROUND-12 LEDGER (write the _R12_WINDOW from this once round 11
 # records): compose as (b) any round-11 reds -> (c) round-12
-# new/changed -> (d) rows-only freshness: ann_pq_topk AND
-# kmeans_fit_mllib MUST re-sample in round 12 (last sampled r10; their
-# r11 slots went to batch 32), the other three rows-only entries are
-# sampled in THIS window and age out at round 13 -> (e) oldest-green
-# fill with all 48 round-5-vintage
+# new/changed -> (d) rows-only freshness: ann_pq_topk,
+# kmeans_fit_mllib, kmeans_fit_native and kmeans_fit_lineitem MUST
+# re-sample in round 12 (last sampled r10; their r11 slots went to
+# batches 32/33 — the two-round policy bound is round 12, so this is
+# the last compliant round for them); pipeline_bpe_train is sampled in
+# THIS window and ages out at round 13 -> (e) oldest-green fill with all 48 round-5-vintage
 # rows in catalog order (none were sampled in round 11 — batch 32
 # took their slots; recompute the latest-round map from
 # CORRECTNESS_r*.json), then round-7 vintage in catalog order.
@@ -710,6 +719,8 @@ ORACLES: dict[str, str] = {
     "mm_avi_frame_sample": PQ16.MM_AVI_FRAME_SAMPLE_SQL,
     "ann_ivf_pq_codebook_sweep": PQ16.ANN_IVF_PQ_CODEBOOK_SWEEP_SQL,
     "mm_gif_decode_stats": PQ16.MM_GIF_DECODE_STATS_SQL,
+    "quality_perceptron_fit": PQ17.QUALITY_PERCEPTRON_FIT_SQL,
+    "quality_perceptron_holdout": PQ17.QUALITY_PERCEPTRON_HOLDOUT_SQL,
     "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,

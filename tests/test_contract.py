@@ -43,6 +43,10 @@ def test_catalog_shapes():
         "mm_avi_frame_sample",
         "ann_ivf_pq_codebook_sweep",
         "mm_gif_decode_stats",
+        # (c) round-11 additions (batch 33: the oracle-replayable
+        # perceptron trainer)
+        "quality_perceptron_fit",
+        "quality_perceptron_holdout",
         "mm_pnm_tri_histogram",
         # (c) changed this round
         "ann_ivf_pq_topk",
@@ -52,10 +56,9 @@ def test_catalog_shapes():
         "knn_graph_bucketed",
         "dedup_components",
         "dedup_cluster_representatives",
-        # (d) rows-only freshness re-samples (ann_pq_topk and
-        # kmeans_fit_mllib deferred to round 12 — slots went to batch 32)
-        "kmeans_fit_native",
-        "kmeans_fit_lineitem",
+        # (d) rows-only freshness: the family re-samples as a block in
+        # round 12 (policy bound; slots went to batches 32/33);
+        # pipeline_bpe_train stays as the in-window representative
         "pipeline_bpe_train",
     ):
         assert name in first50, f"{name} fell outside the correctness window"

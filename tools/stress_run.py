@@ -107,6 +107,10 @@ PHASE_B = [
     "mm_avi_frame_sample",
     "mm_gif_decode_stats",
     "ann_ivf_pq_codebook_sweep",
+    # round-11 batch 33: the oracle-replayable trainer at 50k docs —
+    # 3 epochs x (broadcast join + two bounded aggs) over ~50k-doc
+    # token features; driver state stays 33 ints at any corpus size
+    "quality_perceptron_fit",
 ]
 
 # Phase C streaming workloads (names usable as subset args too)
