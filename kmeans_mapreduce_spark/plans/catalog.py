@@ -498,6 +498,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle (integer batch perceptron — the quality-filter trainer)
     "quality_perceptron_fit": PQ17.quality_perceptron_fit,
     "quality_perceptron_holdout": PQ17.quality_perceptron_holdout,
+    # Round-11 batch 34: Z-order layout pruning (outside the r11
+    # window — queued as a round-12 (a) entry; pre-verified vanilla)
+    "layout_zorder_pruning": PQ17.layout_zorder_pruning,
 }
 
 # ---------------------------------------------------------------------------
@@ -618,7 +621,10 @@ _R11_WINDOW = [
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 # ROUND-12 LEDGER (write the _R12_WINDOW from this once round 11
 # records): compose as (b) any round-11 reds -> (c) round-12
-# new/changed -> (d) rows-only freshness: ann_pq_topk,
+# new/changed — layout_zorder_pruning (batch 34) has NO driver
+# record yet (added outside the full r11 window; pre-verified
+# vanilla-green) and is a mandatory (a) entry -> (d) rows-only
+# freshness: ann_pq_topk,
 # kmeans_fit_mllib, kmeans_fit_native and kmeans_fit_lineitem MUST
 # re-sample in round 12 (last sampled r10; their r11 slots went to
 # batches 32/33 — the two-round policy bound is round 12, so this is
@@ -721,6 +727,7 @@ ORACLES: dict[str, str] = {
     "mm_gif_decode_stats": PQ16.MM_GIF_DECODE_STATS_SQL,
     "quality_perceptron_fit": PQ17.QUALITY_PERCEPTRON_FIT_SQL,
     "quality_perceptron_holdout": PQ17.QUALITY_PERCEPTRON_HOLDOUT_SQL,
+    "layout_zorder_pruning": PQ17.LAYOUT_ZORDER_PRUNING_SQL,
     "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,

@@ -291,3 +291,142 @@ SELECT CAST(n_train AS BIGINT) AS n_train,
 FROM sizes
 """
 )
+
+
+# --- batch 34: Z-order layout pruning ----------------------------------------
+
+_ZO_BITS = 8     # coordinates quantized to [0, 256)
+_ZO_BUCKETS = 64  # model files = 64 contiguous key ranges
+# the 2-D box query the layouts are scored against (x, y inclusive)
+_ZO_BOX = (32, 95, 64, 127)
+
+
+def _morton_sql(x: str, y: str, bits: int = _ZO_BITS) -> str:
+    """The Morton interleave as portable integer bit arithmetic (the
+    SQL mirror of sources/zorder.zorder_key): bit b of x -> 2b, bit b
+    of y -> 2b+1.  Disjoint target bits make + equivalent to OR."""
+    return " + ".join(
+        f"((({x} >> {b}) & 1) << {2 * b}) + ((({y} >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+
+
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order layout's pruning power, measured with an
+    engine-portable bucket model: orders rows carry 8-bit coordinates
+    (x = o_custkey % 256, y = floor(o_totalprice) % 256) and are
+    assigned to 64 model files two ways — LINEAR (contiguous
+    o_orderkey ranges: the natural insert-order layout) and ZORDER
+    (contiguous Morton-curve ranges: what `write_zordered`'s
+    repartitionByRange produces, bucket = morton >> 10).  Per layout,
+    each bucket's (x, y) bounding box is aggregated and scored against
+    a fixed 64x64 box query exactly the way a min/max reader skips
+    files; the output is files-touched per layout plus the row count
+    the box actually selects (identical across layouts — layout
+    changes COST, never results).
+
+    The readout is crisp by construction: a Z-order bucket of 1024
+    curve positions IS a 32x32 spatial tile, so the 64x64 box touches
+    exactly 4 of 64 z-buckets, while the linear layout scatters both
+    coordinates across every o_orderkey range — all 64 buckets'
+    bounding boxes intersect the box.  16x fewer files read for the
+    same answer: the multi-dimensional-clustering claim, stated as a
+    number a reader can recompute.
+
+    Scale shape: two groupBys over map-side-computed integer keys (no
+    global sort, no window — the value-range bucket model mirrors
+    repartitionByRange without a skew-prone rank); at 100 TB this is
+    footer-stats skipping, demonstrated physically on written files in
+    tests/test_zorder.py."""
+    xlo, xhi, ylo, yhi = _ZO_BOX
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (F.floor("o_totalprice").cast("long") % 256).alias("y"),
+    )
+    span = o.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    lo, width = span["lo"], span["hi"] - span["lo"] + 1
+    from kmeans_mapreduce_spark.sources.zorder import zorder_key
+
+    keyed = o.select(
+        "x",
+        "y",
+        F.expr(
+            f"(o_orderkey - {lo}) * {_ZO_BUCKETS} div {width}"
+        ).alias("b_lin"),
+        F.shiftright(
+            zorder_key("x", "y", _ZO_BITS), 2 * _ZO_BITS - 6
+        ).alias("b_z"),
+    )
+    legs = []
+    for layout, bcol in (("linear", "b_lin"), ("zorder", "b_z")):
+        boxes = keyed.groupBy(F.col(bcol).alias("bucket")).agg(
+            F.min("x").alias("x0"),
+            F.max("x").alias("x1"),
+            F.min("y").alias("y0"),
+            F.max("y").alias("y1"),
+        )
+        touched = (
+            F.col("x1") >= xlo
+        ) & (F.col("x0") <= xhi) & (F.col("y1") >= ylo) & (F.col("y0") <= yhi)
+        legs.append(
+            boxes.agg(
+                F.count("*").alias("n_buckets"),
+                F.sum(touched.cast("long")).alias("n_touched"),
+            ).select(F.lit(layout).alias("layout"), "n_buckets", "n_touched")
+        )
+    from functools import reduce as _reduce
+
+    stats = _reduce(DataFrame.unionByName, legs)
+    n_box = o.where(
+        (F.col("x") >= xlo)
+        & (F.col("x") <= xhi)
+        & (F.col("y") >= ylo)
+        & (F.col("y") <= yhi)
+    ).count()
+    return (
+        stats.select(
+            "layout",
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.col("n_touched").cast("bigint").alias("n_touched"),
+            F.lit(n_box).cast("bigint").alias("n_box_rows"),
+        ).orderBy("layout")
+    )
+
+
+LAYOUT_ZORDER_PRUNING_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 256 AS BIGINT) AS x,
+         CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 256 AS BIGINT) AS y
+  FROM orders),
+span AS (SELECT MIN(o_orderkey) AS lo,
+                MAX(o_orderkey) - MIN(o_orderkey) + 1 AS width FROM o),
+keyed AS (
+  SELECT x, y,
+         (o_orderkey - s.lo) * {_ZO_BUCKETS} // s.width AS b_lin,
+         ({_morton_sql('x', 'y')}) >> {2 * _ZO_BITS - 6} AS b_z
+  FROM o CROSS JOIN span s),
+legs AS (
+  SELECT 'linear' AS layout, b_lin AS bucket, x, y FROM keyed
+  UNION ALL
+  SELECT 'zorder', b_z, x, y FROM keyed),
+boxes AS (
+  SELECT layout, bucket,
+         MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+  FROM legs GROUP BY layout, bucket),
+nbox AS (SELECT COUNT(*) AS n FROM o
+         WHERE x BETWEEN {_ZO_BOX[0]} AND {_ZO_BOX[1]}
+           AND y BETWEEN {_ZO_BOX[2]} AND {_ZO_BOX[3]})
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN x1 >= {_ZO_BOX[0]} AND x0 <= {_ZO_BOX[1]}
+                      AND y1 >= {_ZO_BOX[2]} AND y0 <= {_ZO_BOX[3]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+       CAST((SELECT n FROM nbox) AS BIGINT) AS n_box_rows
+FROM boxes
+GROUP BY layout
+ORDER BY layout
+"""
