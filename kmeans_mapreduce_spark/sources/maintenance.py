@@ -397,3 +397,89 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    target_dir: str,
+    max_files: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> list[str]:
+    """In-place small-file compaction for a hive-partitioned parquet
+    table: rewrite ONLY partitions holding more than ``max_files``
+    parquet files into ~target-size files, leaving every other
+    partition's files untouched (not opened, not moved — their mtimes
+    prove it in tests).  Returns the compacted partition dir names.
+
+    This is the maintenance half of the small-files problem at 100 TB:
+    streaming sinks and frequent upserts leave thousands of KB-scale
+    files per hot partition, and scan cost becomes listing + open
+    overhead instead of bytes.  Whole-table `compact_parquet` rewrites
+    everything; this one bounds the rewrite to offending partitions —
+    run it per day/hour partition as data lands.
+
+    Durability: each offender stages OUTSIDE the table root (a staged
+    sibling INSIDE it, e.g. ``c=5__old``, would parse as a bogus
+    partition value mid-operation), then swaps via two renames with the
+    live copy parked in the stage root between them — the same
+    "recoverable between renames" contract as `_staged_swap_write`.  A
+    crash mid-swap leaves the partition parked, never torn, and the
+    RECOVERY PREAMBLE of the next call renames it back before doing any
+    new work, so retry-after-crash is the complete repair procedure."""
+    fs, jtarget = _fs_path(spark, target_dir)
+    stage_root = target_dir.rstrip("/") + "__compactstage"
+    _, jstage = _fs_path(spark, stage_root)
+
+    # recovery preamble: a previous crash may have parked a live
+    # partition as <name>__old in the stage root without completing the
+    # swap — restore any such partition whose live dir is absent.
+    if fs.exists(jstage):
+        for st in fs.listStatus(jstage):
+            name = st.getPath().getName()
+            if not name.endswith("__old"):
+                continue
+            live = name[: -len("__old")]
+            _, jlive = _fs_path(spark, f"{target_dir.rstrip('/')}/{live}")
+            if not fs.exists(jlive):
+                fs.rename(st.getPath(), jlive)
+            else:
+                fs.delete(st.getPath(), True)
+
+    compacted: list[str] = []
+    for st in fs.listStatus(jtarget):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if "=" not in name:
+            continue
+        files = [
+            f
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        if len(files) <= max_files:
+            continue
+        nbytes = sum(f.getLen() for f in files)
+        n_out = max(1, math.ceil(nbytes / target_file_bytes))
+        if n_out >= len(files):
+            continue  # already at/below the achievable count
+        part_dir = f"{target_dir.rstrip('/')}/{name}"
+        staged = f"{stage_root}/{name}"
+        (
+            spark.read.parquet(part_dir)
+            .repartition(n_out)
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        _, jlive = _fs_path(spark, part_dir)
+        _, jstaged = _fs_path(spark, staged)
+        _, jold = _fs_path(spark, f"{stage_root}/{name}__old")
+        if fs.exists(jold):
+            fs.delete(jold, True)
+        fs.rename(jlive, jold)       # park the live copy (recoverable)
+        fs.rename(jstaged, jlive)    # promote the compacted copy
+        fs.delete(jold, True)
+        compacted.append(name)
+    if fs.exists(jstage) and len(fs.listStatus(jstage)) == 0:
+        fs.delete(jstage, True)
+    return compacted

@@ -277,3 +277,90 @@ def test_hive_dirname_rejects_unsupported_types_and_escapes_del(spark):
     for bad in (1.5, datetime.datetime(2024, 1, 2, 3, 4, 5), b"x"):
         with _pytest.raises(TypeError):
             _hive_partition_dirname("c", bad)
+
+
+# --- partition-scoped compaction ---------------------------------------------
+
+
+def _part_files(spark, tdir, name):
+    from kmeans_mapreduce_spark.sources.maintenance import _fs_path
+
+    fs, jp = _fs_path(spark, f"{tdir}/{name}")
+    return sorted(
+        (st.getPath().getName(), st.getModificationTime())
+        for st in fs.listStatus(jp)
+        if st.getPath().getName().endswith(".parquet")
+    )
+
+
+def _fragmented_table(spark, tdir):
+    """day=hot gets 12 tiny files, day=cold gets 2."""
+    hot = spark.range(1200).selectExpr(
+        "id AS k", "'hot' AS day", "id * 3 AS v"
+    )
+    cold = spark.range(200).selectExpr(
+        "id + 10000 AS k", "'cold' AS day", "id AS v"
+    )
+    hot.repartition(12).write.partitionBy("day").mode("overwrite").parquet(tdir)
+    cold.repartition(2).write.partitionBy("day").mode("append").parquet(tdir)
+
+
+def test_compact_partitions_rewrites_only_offenders(spark, tmp_path):
+    from kmeans_mapreduce_spark.sources.maintenance import compact_partitions
+
+    tdir = str(tmp_path / "t")
+    _fragmented_table(spark, tdir)
+    before = {
+        r["k"]: (r["day"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    }
+    cold_before = _part_files(spark, tdir, "day=cold")
+    assert len(_part_files(spark, tdir, "day=hot")) == 12
+
+    done = compact_partitions(spark, tdir, max_files=4)
+    assert done == ["day=hot"]
+    # offender compacted to a small file count; data identical
+    assert len(_part_files(spark, tdir, "day=hot")) <= 4
+    after = {
+        r["k"]: (r["day"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    }
+    assert after == before
+    # untouched partition: SAME files, SAME mtimes (never opened/moved)
+    assert _part_files(spark, tdir, "day=cold") == cold_before
+    # idempotent: second run finds nothing to do
+    assert compact_partitions(spark, tdir, max_files=4) == []
+
+
+def test_compact_partitions_recovers_parked_partition(spark, tmp_path):
+    """Crash simulation: the live dir was renamed into the stage root
+    (the window between the two renames) — the next call restores it
+    before compacting, so retry IS the repair procedure."""
+    from kmeans_mapreduce_spark.sources.maintenance import (
+        _fs_path,
+        compact_partitions,
+    )
+
+    tdir = str(tmp_path / "t")
+    _fragmented_table(spark, tdir)
+    before = {
+        r["k"]: (r["day"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    }
+    fs, _ = _fs_path(spark, tdir)
+    stage = tdir + "__compactstage"
+    _, jstage = _fs_path(spark, stage)
+    fs.mkdirs(jstage)
+    _, jlive = _fs_path(spark, f"{tdir}/day=hot")
+    _, jold = _fs_path(spark, f"{stage}/day=hot__old")
+    fs.rename(jlive, jold)  # the mid-swap crash state
+    assert "day=hot" not in {
+        r["day"] for r in spark.read.parquet(tdir).select("day").collect()
+    }
+    done = compact_partitions(spark, tdir, max_files=4)
+    assert done == ["day=hot"]  # restored, then compacted
+    after = {
+        r["k"]: (r["day"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    }
+    assert after == before
