@@ -28,10 +28,11 @@ compression schemes:
   entropy coding is ours end to end).
 
 Rows with those mimes flow through real bytes -> container parse ->
-raster/sample/frame extraction in ``decode_media``, ``resize_media``
-and the wav_*/png_*/avi_*/gif_* feature stages; everything else keeps
-the fake path, and `_decode_real` remains the hook for PIL/av on a
-real cluster.
+raster/sample/frame extraction in ``decode_media``, the
+wav_*/png_*/avi_*/gif_* feature stages, and — for the raster image
+arms (PPM/PGM/PNG) — ``resize_media``; everything else keeps the
+fake path, and `_decode_real` remains the hook for PIL/av on a real
+cluster.
 """
 
 from __future__ import annotations
@@ -388,6 +389,40 @@ def attach_pbm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 WAV_MIME = "audio/x-wav"
 
 
+def _attach_media(
+    df: DataFrame, id_col: str, text_col: str, mime: str, payload_fn
+) -> DataFrame:
+    """Shared synthesis scaffold for the single-mime formula-payload
+    wrappers (WAV/PNG/AVI/GIF): project (media_id, text byte length),
+    then one Arrow-batched mapInPandas stage calls ``payload_fn(mid,
+    n) -> bytes`` per row.  One home for the projection, batching and
+    MEDIA_SCHEMA assembly; each arm contributes only its generative
+    formula.  (`_attach_pnm` keeps its own scaffold — its mime varies
+    per row across the netpbm arms.)"""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
+    )
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            payloads = [
+                payload_fn(int(m), int(n))
+                for m, n in zip(batch["media_id"], batch["_n"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].values,
+                    "payload": payloads,
+                    "mime": [mime] * len(payloads),
+                }
+            )
+
+    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
 def encode_wav(
     sample_rate: int, samples: "np.ndarray", note: bytes = b""
 ) -> bytes:
@@ -421,14 +456,15 @@ def encode_wav(
 def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """REAL RIFF/WAVE decoder: bytes -> (sample_rate, int16 samples).
 
-    Full chunk walk, not a fixed-offset slice: verify the RIFF/WAVE
-    magic and the declared RIFF size, then iterate chunks — id, u32 LE
-    size, body, and the PAD BYTE after every odd-sized body (skipping
-    it wrong misaligns every subsequent chunk id).  Unknown chunks are
-    skipped (that's the point of a chunked container); ``fmt `` is
-    validated as 16-bit mono PCM with a consistent byte rate / block
-    align; ``data`` must exist and hold whole samples.  Raises
-    ValueError on anything malformed."""
+    Full chunk walk via `_riff_iter` — the ONE home of the id/size/
+    body grammar and the PAD BYTE rule after every odd-sized body
+    (skipping it wrong misaligns every subsequent chunk id), shared
+    with the nested AVI walk so the parsing invariant cannot drift
+    between the two containers.  Unknown chunks are skipped (that's
+    the point of a chunked container); ``fmt `` is validated as 16-bit
+    mono PCM with a consistent byte rate / block align; ``data`` must
+    exist and hold whole samples.  Raises ValueError on anything
+    malformed."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -440,22 +476,12 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         raise ValueError(
             f"RIFF size {riff_size} != {len(payload) - 8} actual"
         )
-    pos, n = 12, len(payload)
     fmt = data = None
-    while pos < n:
-        if pos + 8 > n:
-            raise ValueError("truncated chunk header")
-        cid = payload[pos : pos + 4]
-        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
-        body = payload[pos + 8 : pos + 8 + size]
-        if len(body) != size:
-            raise ValueError(f"chunk {cid!r} truncated ({len(body)}/{size})")
+    for cid, body in _riff_iter(payload[12:]):
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
             data = body
-        # RIFF alignment: odd-sized bodies are followed by one pad byte
-        pos += 8 + size + (size % 2)
     if fmt is None or data is None:
         raise ValueError("missing fmt / data chunk")
     if len(fmt) < 16:
@@ -509,36 +535,15 @@ def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sizes (3 of the 5 residues) put a genuine RIFF pad byte in the
     chunk walk.  Every payload is a real, parseable WAV file, so the
     decode boundary is exercised for real."""
-    import pandas as pd
 
-    src = df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
-    )
+    def wav_payload(mid: int, n: int) -> bytes:
+        ns = 64 + n % 128
+        rate = 8000 + 1000 * (mid % 3)
+        smp = ((mid * 11 + np.arange(ns) * 7) % 4001) - 2000
+        note = bytes((mid * 3 + j) % 256 for j in range(1 + mid % 5))
+        return encode_wav(rate, smp.astype("<i2"), note=note)
 
-    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for batch in batches:
-            payloads = []
-            for mid, n in zip(batch["media_id"], batch["_n"]):
-                mid, n = int(mid), int(n)
-                ns = 64 + n % 128
-                rate = 8000 + 1000 * (mid % 3)
-                smp = ((mid * 11 + np.arange(ns) * 7) % 4001) - 2000
-                note = bytes(
-                    (mid * 3 + j) % 256 for j in range(1 + mid % 5)
-                )
-                payloads.append(
-                    encode_wav(rate, smp.astype("<i2"), note=note)
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": batch["media_id"].values,
-                    "payload": payloads,
-                    "mime": [WAV_MIME] * len(payloads),
-                }
-            )
-
-    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _attach_media(df, id_col, text_col, WAV_MIME, wav_payload)
 
 
 WAV_FEATURES_SCHEMA = T.StructType(
@@ -709,10 +714,11 @@ def resize_media(df: DataFrame, max_side: int = 32, use_real_codec: bool = False
     parse the raster, nearest-neighbor downscale it (integer index
     math: src row of thumb row i is i*h // th — deterministic, no
     float), and re-extract exact pixel sums from the THUMB pixels
-    ([sum_r, sum_g, sum_b, sum_all] as the 4-dim thumb_feature).
-    Other mimes keep the fake decoder (thumb dims from decoded dims,
-    8-dim feature pooled to 4).  Swap _decode_real in for the PIL path
-    on a real cluster (same schema contract)."""
+    ([sum_r, sum_g, sum_b, sum_all] as the 4-dim thumb_feature);
+    PNG rows do the same over the RECONSTRUCTED raster.  Other mimes
+    keep the fake decoder (thumb dims from decoded dims, 8-dim feature
+    pooled to 4).  Swap _decode_real in for the PIL path on a real
+    cluster (same schema contract)."""
     import pandas as pd
 
     def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -723,11 +729,18 @@ def resize_media(df: DataFrame, max_side: int = 32, use_real_codec: bool = False
             for mid, payload, mime in zip(
                 batch["media_id"], batch["payload"], batch["mime"]
             ):
-                if mime in (PPM_MIME, PGM_MIME):
-                    n_ch = 3 if mime == PPM_MIME else 1
-                    w, h, raster = _decode_pnm(
-                        bytes(payload), b"P6" if n_ch == 3 else b"P5"
-                    )
+                if mime in (PPM_MIME, PGM_MIME, PNG_MIME):
+                    if mime == PNG_MIME:
+                        # compressed arm: the thumb is cut from the
+                        # RECONSTRUCTED raster (inflate + unfilter)
+                        w, h, n_ch, raster, _, _ = _decode_png(
+                            bytes(payload)
+                        )
+                    else:
+                        n_ch = 3 if mime == PPM_MIME else 1
+                        w, h, raster = _decode_pnm(
+                            bytes(payload), b"P6" if n_ch == 3 else b"P5"
+                        )
                     side = max(w, h)
                     tw = max(1, (w * max_side) // side)
                     th = max(1, (h * max_side) // side)
@@ -1116,6 +1129,8 @@ def _decode_png(
                     f"unsupported PNG: depth={depth} color={color} "
                     f"comp={comp} filter={filt} interlace={inter}"
                 )
+            if w < 1 or h < 1:
+                raise ValueError(f"non-positive PNG dimensions {w}x{h}")
             dims = (w, h, 1 if color == 0 else 3)
         elif ctype == b"IDAT":
             if dims is None:
@@ -1209,45 +1224,22 @@ def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Row r carries filter type r % 5, so the corpus exercises every
     filter path.  Every payload is a real, inflatable PNG — the decode
     boundary runs genuine DEFLATE + filter reconstruction."""
-    import pandas as pd
 
-    src = df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
-    )
+    def png_payload(mid: int, n: int) -> bytes:
+        w = 4 + n % 13
+        h = 4 + (n // 13) % 11
+        ch = 1 if mid % 2 == 1 else 3
+        px = ((mid * 7 + np.arange(w * h * ch)) % 256).astype(np.uint8)
+        return encode_png(
+            w,
+            h,
+            ch,
+            px.tobytes(),
+            n_idat=2 if mid % 3 == 0 else 1,
+            text=bytes((mid * 3 + j) % 256 for j in range(3 + mid % 7)),
+        )
 
-    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for batch in batches:
-            payloads = []
-            for mid, n in zip(batch["media_id"], batch["_n"]):
-                mid, n = int(mid), int(n)
-                w = 4 + n % 13
-                h = 4 + (n // 13) % 11
-                ch = 1 if mid % 2 == 1 else 3
-                px = ((mid * 7 + np.arange(w * h * ch)) % 256).astype(
-                    np.uint8
-                )
-                payloads.append(
-                    encode_png(
-                        w,
-                        h,
-                        ch,
-                        px.tobytes(),
-                        n_idat=2 if mid % 3 == 0 else 1,
-                        text=bytes(
-                            (mid * 3 + j) % 256 for j in range(3 + mid % 7)
-                        ),
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": batch["media_id"].values,
-                    "payload": payloads,
-                    "mime": [PNG_MIME] * len(payloads),
-                }
-            )
-
-    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _attach_media(df, id_col, text_col, PNG_MIME, png_payload)
 
 
 PNG_STATS_SCHEMA = T.StructType(
@@ -1316,13 +1308,13 @@ def _riff_iter(buf: bytes):
     honors the odd-size pad byte.  Used at EVERY nesting level of the
     AVI walk (top level, hdrl, strl, movi); a pad bug at any level
     misaligns every later chunk id."""
+    import struct
+
     pos, n = 0, len(buf)
     while pos < n:
         if pos + 8 > n:
             raise ValueError("truncated RIFF chunk header")
         cid = buf[pos : pos + 4]
-        import struct
-
         (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         body = buf[pos + 8 : pos + 8 + size]
         if len(body) != size:
@@ -1450,6 +1442,10 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
                                 )
                             saw_vids = True
                         elif sid == b"strf":
+                            if len(sbody) < 20:
+                                raise ValueError(
+                                    f"strf is {len(sbody)} bytes, need >= 20"
+                                )
                             (bitcount,) = struct.unpack("<H", sbody[14:16])
                             (compress,) = struct.unpack("<I", sbody[16:20])
                             if bitcount != 8 or compress != 0:
@@ -1509,37 +1505,19 @@ def attach_avi_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fps = 5 + media_id % 3, and frame f's byte j is
     (media_id*5 + f*17 + j*3) % 256.  Every payload is a real,
     spec-shaped AVI the nested walk must parse."""
-    import pandas as pd
 
-    src = df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
-    )
+    def avi_payload(mid: int, n: int) -> bytes:
+        w = 3 + n % 6
+        h = 3 + (n // 6) % 5
+        frames = [
+            ((mid * 5 + f * 17 + np.arange(w * h) * 3) % 256)
+            .astype(np.uint8)
+            .tobytes()
+            for f in range(4 + mid % 5)
+        ]
+        return encode_avi(w, h, 5 + mid % 3, frames)
 
-    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for batch in batches:
-            payloads = []
-            for mid, n in zip(batch["media_id"], batch["_n"]):
-                mid, n = int(mid), int(n)
-                w = 3 + n % 6
-                h = 3 + (n // 6) % 5
-                nf = 4 + mid % 5
-                frames = [
-                    (
-                        (mid * 5 + f * 17 + np.arange(w * h) * 3) % 256
-                    ).astype(np.uint8).tobytes()
-                    for f in range(nf)
-                ]
-                payloads.append(encode_avi(w, h, 5 + mid % 3, frames))
-            yield pd.DataFrame(
-                {
-                    "media_id": batch["media_id"].values,
-                    "payload": payloads,
-                    "mime": [AVI_MIME] * len(payloads),
-                }
-            )
-
-    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _attach_media(df, id_col, text_col, AVI_MIME, avi_payload)
 
 
 AVI_FRAMES_SCHEMA = T.StructType(
@@ -1783,6 +1761,8 @@ def _decode_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
             pos = skip_subblocks(pos + 1)
             continue
         if block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated image descriptor")
             left, top, w, h, ipacked = struct.unpack(
                 "<HHHHB", payload[pos : pos + 9]
             )
@@ -1796,12 +1776,16 @@ def _decode_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
                 raise ValueError("interlaced GIFs unsupported")
             if ipacked & 0x80:  # local color table
                 pos += 3 * (2 << (ipacked & 0x07))
+            if pos >= len(payload):
+                raise ValueError("truncated before LZW code size")
             code_bits = payload[pos]
             pos += 1
             if not 2 <= code_bits <= 8:
                 raise ValueError(f"LZW min code size {code_bits} out of range")
             chunks = []
             while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated image sub-block chain")
                 n = payload[pos]
                 pos += 1
                 if n == 0:
@@ -1858,40 +1842,19 @@ def attach_gif_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (codes start at 5 bits and cross boundaries within ~14 phrases),
     so the variable-width machinery is exercised by nearly every
     payload, not by a corner case."""
-    import pandas as pd
 
-    src = df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.octet_length(F.col(text_col).cast("binary")).alias("_n"),
-    )
+    def gif_payload(mid: int, n: int) -> bytes:
+        w = 4 + n % 13
+        h = 4 + (n // 13) % 11
+        idx = ((mid * 7 + np.arange(w * h)) % 16).astype(np.uint8)
+        return encode_gif(
+            w,
+            h,
+            idx.tobytes(),
+            comment=bytes((mid * 5 + j) % 256 for j in range(1 + mid % 6)),
+        )
 
-    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for batch in batches:
-            payloads = []
-            for mid, n in zip(batch["media_id"], batch["_n"]):
-                mid, n = int(mid), int(n)
-                w = 4 + n % 13
-                h = 4 + (n // 13) % 11
-                idx = ((mid * 7 + np.arange(w * h)) % 16).astype(np.uint8)
-                payloads.append(
-                    encode_gif(
-                        w,
-                        h,
-                        idx.tobytes(),
-                        comment=bytes(
-                            (mid * 5 + j) % 256 for j in range(1 + mid % 6)
-                        ),
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": batch["media_id"].values,
-                    "payload": payloads,
-                    "mime": [GIF_MIME] * len(payloads),
-                }
-            )
-
-    return src.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return _attach_media(df, id_col, text_col, GIF_MIME, gif_payload)
 
 
 GIF_STATS_SCHEMA = T.StructType(

@@ -498,9 +498,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle (integer batch perceptron — the quality-filter trainer)
     "quality_perceptron_fit": PQ17.quality_perceptron_fit,
     "quality_perceptron_holdout": PQ17.quality_perceptron_holdout,
-    # Round-11 batch 34: Z-order layout pruning (outside the r11
-    # window — queued as a round-12 (a) entry; pre-verified vanilla)
+    # Round-11 batch 34: Z-order layout pruning + the compressed-arm
+    # resize (outside the r11 window — queued as round-12 (a) entries;
+    # pre-verified vanilla)
     "layout_zorder_pruning": PQ17.layout_zorder_pruning,
+    "mm_resize_png": PQ16.mm_resize_png,
 }
 
 # ---------------------------------------------------------------------------
@@ -621,9 +623,10 @@ _R11_WINDOW = [
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 # ROUND-12 LEDGER (write the _R12_WINDOW from this once round 11
 # records): compose as (b) any round-11 reds -> (c) round-12
-# new/changed — layout_zorder_pruning (batch 34) has NO driver
-# record yet (added outside the full r11 window; pre-verified
-# vanilla-green) and is a mandatory (a) entry -> (d) rows-only
+# new/changed — layout_zorder_pruning and mm_resize_png (batch 34)
+# have NO driver record yet (added outside the full r11 window;
+# pre-verified vanilla-green) and are mandatory (a) entries -> (d)
+# rows-only
 # freshness: ann_pq_topk,
 # kmeans_fit_mllib, kmeans_fit_native and kmeans_fit_lineitem MUST
 # re-sample in round 12 (last sampled r10; their r11 slots went to
@@ -728,6 +731,7 @@ ORACLES: dict[str, str] = {
     "quality_perceptron_fit": PQ17.QUALITY_PERCEPTRON_FIT_SQL,
     "quality_perceptron_holdout": PQ17.QUALITY_PERCEPTRON_HOLDOUT_SQL,
     "layout_zorder_pruning": PQ17.LAYOUT_ZORDER_PRUNING_SQL,
+    "mm_resize_png": PQ16.MM_RESIZE_PNG_SQL,
     "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,

@@ -452,3 +452,32 @@ FROM d
 ORDER BY media_id
 """
 )
+
+
+def mm_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> nearest-neighbor resize over the COMPRESSED arm: the
+    thumb is cut from the RECONSTRUCTED raster (inflate + all five
+    filters undone), channel-dispatched exactly like the netpbm path.
+    The payload formula (dims grammar, odd=gray/even=RGB, pixel byte
+    (media_id*7 + i) % 256) matches attach_pnm_mixed_payload's, so the
+    ORACLE IS THE SAME SQL as mm_resize_pnm_mixed — the same expected
+    thumbs must emerge through a completely different real decoder,
+    which is precisely the cross-codec certificate."""
+    media = MM.attach_png_payload(_docs(spark, sf_dir), "doc_id", "text")
+    res = MM.resize_media(media, max_side=8)
+    return res.select(
+        "media_id",
+        "width",
+        "height",
+        "thumb_width",
+        "thumb_height",
+        F.col("thumb_feature")[0].cast("bigint").alias("thumb_c0"),
+        F.col("thumb_feature")[3].cast("bigint").alias("thumb_sum"),
+    )
+
+
+# same generative formula and channel rule as the PNM-mixed resize —
+# only the decoder differs, which is the point
+from kmeans_mapreduce_spark.plans.pipeline_queries14 import (  # noqa: E402
+    MM_RESIZE_PNM_MIXED_SQL as MM_RESIZE_PNG_SQL,
+)

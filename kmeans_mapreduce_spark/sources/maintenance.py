@@ -420,30 +420,46 @@ def compact_partitions(
 
     Durability: each offender stages OUTSIDE the table root (a staged
     sibling INSIDE it, e.g. ``c=5__old``, would parse as a bogus
-    partition value mid-operation), then swaps via two renames with the
-    live copy parked in the stage root between them — the same
-    "recoverable between renames" contract as `_staged_swap_write`.  A
-    crash mid-swap leaves the partition parked, never torn, and the
-    RECOVERY PREAMBLE of the next call renames it back before doing any
-    new work, so retry-after-crash is the complete repair procedure."""
+    partition value mid-operation) under ``<stage>/staged/<name>``,
+    then swaps via two CHECKED renames with the live copy parked at
+    ``<stage>/parked/<name>`` between them — two separate namespaces,
+    so a partition VALUE that happens to end in '__old' can never be
+    mistaken for a parked copy.  Every rename's boolean result is
+    checked (Hadoop FileSystem.rename reports most failures by
+    returning false, not raising): a failed promote restores the
+    parked copy before raising, so no code path deletes the only live
+    copy.  A crash mid-swap leaves the partition parked, never torn,
+    and the RECOVERY PREAMBLE of the next call renames it back before
+    doing any new work — retry-after-crash is the complete repair
+    procedure (leftover staged dirs are discarded: their source data
+    is live or parked, both recoverable)."""
     fs, jtarget = _fs_path(spark, target_dir)
     stage_root = target_dir.rstrip("/") + "__compactstage"
+    parked_root = f"{stage_root}/parked"
+    staged_root = f"{stage_root}/staged"
     _, jstage = _fs_path(spark, stage_root)
+    _, jparked = _fs_path(spark, parked_root)
+    _, jstaged_root = _fs_path(spark, staged_root)
+
+    def _checked_rename(src, dst, what: str) -> None:
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed ({what}): {src} -> {dst}")
 
     # recovery preamble: a previous crash may have parked a live
-    # partition as <name>__old in the stage root without completing the
-    # swap — restore any such partition whose live dir is absent.
-    if fs.exists(jstage):
-        for st in fs.listStatus(jstage):
+    # partition without completing the swap — restore any parked dir
+    # whose live counterpart is absent.  Leftover staged dirs are
+    # incomplete-by-construction and safely discarded (the source rows
+    # are live or parked).
+    if fs.exists(jparked):
+        for st in fs.listStatus(jparked):
             name = st.getPath().getName()
-            if not name.endswith("__old"):
-                continue
-            live = name[: -len("__old")]
-            _, jlive = _fs_path(spark, f"{target_dir.rstrip('/')}/{live}")
+            _, jlive = _fs_path(spark, f"{target_dir.rstrip('/')}/{name}")
             if not fs.exists(jlive):
-                fs.rename(st.getPath(), jlive)
+                _checked_rename(st.getPath(), jlive, "recover parked")
             else:
                 fs.delete(st.getPath(), True)
+    if fs.exists(jstaged_root):
+        fs.delete(jstaged_root, True)
 
     compacted: list[str] = []
     for st in fs.listStatus(jtarget):
@@ -464,7 +480,7 @@ def compact_partitions(
         if n_out >= len(files):
             continue  # already at/below the achievable count
         part_dir = f"{target_dir.rstrip('/')}/{name}"
-        staged = f"{stage_root}/{name}"
+        staged = f"{staged_root}/{name}"
         (
             spark.read.parquet(part_dir)
             .repartition(n_out)
@@ -473,13 +489,26 @@ def compact_partitions(
         )
         _, jlive = _fs_path(spark, part_dir)
         _, jstaged = _fs_path(spark, staged)
-        _, jold = _fs_path(spark, f"{stage_root}/{name}__old")
+        _, jold = _fs_path(spark, f"{parked_root}/{name}")
+        if not fs.exists(jparked):
+            fs.mkdirs(jparked)
         if fs.exists(jold):
             fs.delete(jold, True)
-        fs.rename(jlive, jold)       # park the live copy (recoverable)
-        fs.rename(jstaged, jlive)    # promote the compacted copy
+        _checked_rename(jlive, jold, "park live copy")
+        try:
+            _checked_rename(jstaged, jlive, "promote compacted copy")
+        except IOError:
+            # the promote failed with the live dir already parked —
+            # restore it before surfacing, so the table never loses the
+            # partition to a reported-by-boolean rename failure
+            _checked_rename(jold, jlive, "restore after failed promote")
+            raise
         fs.delete(jold, True)
         compacted.append(name)
-    if fs.exists(jstage) and len(fs.listStatus(jstage)) == 0:
-        fs.delete(jstage, True)
+    if fs.exists(jstage):
+        for sub in (jstaged_root, jparked):
+            if fs.exists(sub) and len(fs.listStatus(sub)) == 0:
+                fs.delete(sub, True)
+        if len(fs.listStatus(jstage)) == 0:
+            fs.delete(jstage, True)
     return compacted

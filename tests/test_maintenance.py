@@ -348,11 +348,11 @@ def test_compact_partitions_recovers_parked_partition(spark, tmp_path):
         for r in spark.read.parquet(tdir).collect()
     }
     fs, _ = _fs_path(spark, tdir)
-    stage = tdir + "__compactstage"
-    _, jstage = _fs_path(spark, stage)
-    fs.mkdirs(jstage)
+    parked = tdir + "__compactstage/parked"
+    _, jparked = _fs_path(spark, parked)
+    fs.mkdirs(jparked)
     _, jlive = _fs_path(spark, f"{tdir}/day=hot")
-    _, jold = _fs_path(spark, f"{stage}/day=hot__old")
+    _, jold = _fs_path(spark, f"{parked}/day=hot")
     fs.rename(jlive, jold)  # the mid-swap crash state
     assert "day=hot" not in {
         r["day"] for r in spark.read.parquet(tdir).select("day").collect()
