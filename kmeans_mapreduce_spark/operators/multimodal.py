@@ -1121,6 +1121,8 @@ def _decode_png(
             raise ValueError(f"bad CRC for chunk {ctype!r}")
         pos += 12 + size
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR is {len(body)} bytes, need 13")
             w, h, depth, color, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -1146,7 +1148,10 @@ def _decode_png(
         raise ValueError("missing IHDR / IDAT / IEND")
     w, h, ch = dims
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # CRC-valid chunks can still hold a
+        raise ValueError(f"corrupt DEFLATE stream: {exc}") from exc
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"scanline stream is {len(raw)} bytes, need {h * (1 + stride)}"
@@ -1727,6 +1732,8 @@ def _decode_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF (header {payload[:6]!r})")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
     w_screen, h_screen, packed, _bg, _ar = struct.unpack(
         "<HHBBB", payload[6:13]
     )
