@@ -1903,3 +1903,47 @@ def gif_decode_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(stats, schema=GIF_STATS_SCHEMA)
+
+
+DECODED_SAFE_SCHEMA = T.StructType(
+    list(DECODED_SCHEMA.fields)
+    + [T.StructField("decode_error", T.StringType())]
+)
+
+
+def decode_media_safe(df: DataFrame) -> DataFrame:
+    """`decode_media` with a quarantine contract — the PERMISSIVE-mode
+    analog for media: rows whose decoder raises ValueError emit
+    (media_id, mime, nulls..., decode_error) instead of failing the
+    whole task, so one corrupt blob in a 100 TB scan costs one
+    quarantined row, not a job retry.  This is what the decoders'
+    fuzz-hardened uniform-ValueError contract (tests/test_codec_fuzz)
+    exists FOR: only ValueError is caught — a non-ValueError escape is
+    a decoder bug and still fails loudly.  Healthy rows carry exactly
+    `decode_media`'s fields with decode_error null."""
+    import pandas as pd
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            out = {k: [] for k in DECODED_SAFE_SCHEMA.fieldNames()}
+            for mid, payload, mime in zip(
+                batch["media_id"], batch["payload"], batch["mime"]
+            ):
+                try:
+                    n, w, h, feature = _REAL_STATS.get(mime, _decode_fake)(
+                        bytes(payload)
+                    )
+                    err = None
+                except ValueError as exc:
+                    n = w = h = feature = None
+                    err = str(exc)
+                out["media_id"].append(mid)
+                out["mime"].append(mime)
+                out["n_bytes"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feature)
+                out["decode_error"].append(err)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode_batches, schema=DECODED_SAFE_SCHEMA)

@@ -495,14 +495,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq_codebook_sweep": PQ16.ann_ivf_pq_codebook_sweep,
     "mm_gif_decode_stats": PQ16.mm_gif_decode_stats,
     # Round-11 batch 33: distributed classifier training with a FULL
-    # oracle (integer batch perceptron — the quality-filter trainer)
-    "quality_perceptron_fit": PQ17.quality_perceptron_fit,
-    "quality_perceptron_holdout": PQ17.quality_perceptron_holdout,
+    # oracle — the exhaustive decision-stump split search (the
+    # CART/GBDT building block; a batch-perceptron draft was measured
+    # oscillating at ~50% on this feature space and replaced mid-round)
+    "quality_stump_fit": PQ17.quality_stump_fit,
+    "quality_stump_holdout": PQ17.quality_stump_holdout,
     # Round-11 batch 34: Z-order layout pruning + the compressed-arm
     # resize (outside the r11 window — queued as round-12 (a) entries;
     # pre-verified vanilla)
     "layout_zorder_pruning": PQ17.layout_zorder_pruning,
     "mm_resize_png": PQ16.mm_resize_png,
+    # Round-11 batch 35: the quarantine face of the codec arms and the
+    # trained filter's margin-calibration readout (round-12 (a) queue)
+    "mm_decode_quarantine": PQ17.mm_decode_quarantine,
 }
 
 # ---------------------------------------------------------------------------
@@ -566,8 +571,8 @@ _R11_WINDOW = [
     "mm_avi_frame_sample",
     "ann_ivf_pq_codebook_sweep",
     "mm_gif_decode_stats",
-    "quality_perceptron_fit",
-    "quality_perceptron_holdout",
+    "quality_stump_fit",
+    "quality_stump_holdout",
     # (c) changed this round (consumers of touched operators)
     "mm_pnm_tri_histogram",
     "ann_ivf_pq_topk",
@@ -623,10 +628,10 @@ _R11_WINDOW = [
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 # ROUND-12 LEDGER (write the _R12_WINDOW from this once round 11
 # records): compose as (b) any round-11 reds -> (c) round-12
-# new/changed — layout_zorder_pruning and mm_resize_png (batch 34)
-# have NO driver record yet (added outside the full r11 window;
-# pre-verified vanilla-green) and are mandatory (a) entries -> (d)
-# rows-only
+# new/changed — layout_zorder_pruning, mm_resize_png (batch 34) and
+# mm_decode_quarantine (batch 35) have NO driver record yet (added
+# outside the full r11 window; pre-verified vanilla-green) and are
+# mandatory (a) entries -> (d) rows-only
 # freshness: ann_pq_topk,
 # kmeans_fit_mllib, kmeans_fit_native and kmeans_fit_lineitem MUST
 # re-sample in round 12 (last sampled r10; their r11 slots went to
@@ -728,10 +733,11 @@ ORACLES: dict[str, str] = {
     "mm_avi_frame_sample": PQ16.MM_AVI_FRAME_SAMPLE_SQL,
     "ann_ivf_pq_codebook_sweep": PQ16.ANN_IVF_PQ_CODEBOOK_SWEEP_SQL,
     "mm_gif_decode_stats": PQ16.MM_GIF_DECODE_STATS_SQL,
-    "quality_perceptron_fit": PQ17.QUALITY_PERCEPTRON_FIT_SQL,
-    "quality_perceptron_holdout": PQ17.QUALITY_PERCEPTRON_HOLDOUT_SQL,
+    "quality_stump_fit": PQ17.QUALITY_STUMP_FIT_SQL,
+    "quality_stump_holdout": PQ17.QUALITY_STUMP_HOLDOUT_SQL,
     "layout_zorder_pruning": PQ17.LAYOUT_ZORDER_PRUNING_SQL,
     "mm_resize_png": PQ16.MM_RESIZE_PNG_SQL,
+    "mm_decode_quarantine": PQ17.MM_DECODE_QUARANTINE_SQL,
     "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,

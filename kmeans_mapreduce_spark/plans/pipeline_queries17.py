@@ -1,24 +1,25 @@
-"""Round-11 pipeline queries (batch 33): distributed classifier
-TRAINING with a full oracle — the quality-filter trainer as exact
-integer arithmetic.
+"""Round-11 pipeline queries (batches 33-35): distributed classifier
+TRAINING with a full oracle, the Z-order layout readout, and the
+quarantine face of the codec arms.
 
 Every serious corpus pipeline trains a lightweight quality classifier
-(the CCNet/fastText pattern: cheap text features -> linear model ->
+(the CCNet/fastText pattern: cheap text features -> model ->
 keep/drop).  The fits in this engine so far (K-Means, MLlib) are
 rows-only because float iteration isn't cross-engine replayable; this
-batch adds a trainer whose ENTIRE training loop hash-checks against
-DuckDB: the batch perceptron.  Features are integer token counts
-(md5-hashed buckets, the engine-portable hash family of
-operators/dedup.portable_hash60), labels an integer stopword rule,
-and each epoch's update w += sum(y_i * x_i over misclassified) is
-integer addition — so three training epochs plus evaluation are exact
-in BOTH engines, and the oracle replays training end to end (the
-quantized-Lloyd trick of pipeline_queries14, applied to a classifier).
+batch adds a trainer whose ENTIRE training run hash-checks against
+DuckDB: the exhaustive DECISION-STUMP split search (the CART/GBDT
+building block).  Features are integer token counts (md5-hashed
+buckets, the engine-portable hash family of
+operators/dedup.portable_hash60) plus two engineered columns, labels
+an integer stopword rule at the measured corpus-median threshold, and
+every candidate split's error count is exact integer arithmetic — so
+the search, the orientation choice and the tie-breaks replay in BOTH
+engines.  (A batch-perceptron draft of this trainer was measured
+oscillating at ~50% on the same data — summed updates overshoot on
+thin-margin targets; the split search is the family of trainer this
+feature space actually supports, and the draft's failure is recorded
+in quality_stump_fit's docstring as the motivating measurement.)
 
-Scale shape (the Lloyd-loop budget): the weight vector is 33 ints of
-driver state; each epoch is one broadcast-weights join + a groupBy
-doc (margins) + a groupBy j (33-row delta) — shuffle rows bounded by
-corpus tokens, state bounded by the feature dim, no per-row Python.
 No analog in the reference (beyond-reference mandated surface).
 """
 
@@ -34,112 +35,92 @@ from kmeans_mapreduce_spark.plans.pipeline_queries import (
     _docs,
 )
 
-_PC_D = 32       # hashed feature buckets; bucket 32 is the bias
-_PC_EPOCHS = 3   # fixed training epochs (deterministic, replayable)
+_ST_HB = 32       # hashed token-count buckets (features 0..31)
+_ST_RATIO_J = 32  # engineered feature: per-1024 stopword ratio
+_ST_LEN_J = 33    # engineered feature: token count
+_ST_D = 34
+_ST_TOPK = 5      # candidate splits the fit reports
 
 _SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 
 # shared oracle prefix: tokenize (the portable whitespace grammar),
-# integer stopword label, md5-hashed integer count features + bias
-_PC_CTES = f"""
+# the integer stopword label at the corpus-median threshold, and the
+# DENSE per-(doc, feature) value frame — 32 md5-hashed token-count
+# buckets plus the two engineered columns a real quality filter uses
+# (floor(1024 * stopwords / tokens) and the token count).  Zero counts
+# are materialized (list_transform over all 32 buckets), because a
+# split search's prefix sums are wrong without the zeros.
+_ST_CTES = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS_ALL} AS tk
   FROM documents WHERE NOT ({_BLANK})),
+lab AS (
+  SELECT doc_id, tk,
+         list_transform(tk,
+           t -> CAST(('0x' || substr(md5(t), 1, 4))::BIGINT % {_ST_HB}
+                     AS INT)) AS hs,
+         len(list_filter(tk, t -> list_contains({_SW_SQL}, t))) AS nsw,
+         len(tk) AS nt
+  FROM toks),
 docs AS (
   SELECT doc_id,
-         CASE WHEN 5 * len(list_filter(tk, t -> list_contains({_SW_SQL}, t)))
-                   >= len(tk)
-              THEN 1 ELSE -1 END AS y,
-         tk
-  FROM toks),
+         CASE WHEN 16 * nsw >= nt THEN 1 ELSE -1 END AS y,
+         list_transform(range(0, {_ST_HB}),
+                        b -> CAST(len(list_filter(hs, h -> h = b))
+                                  AS BIGINT))
+           || [CAST(1024 * nsw // nt AS BIGINT), CAST(nt AS BIGINT)] AS x
+  FROM lab),
 fx AS MATERIALIZED (
-  SELECT doc_id, y, j, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-    SELECT doc_id, y,
-           CAST(('0x' || substr(md5(u.t), 1, 4))::BIGINT % {_PC_D} AS INT) AS j
-    FROM docs, UNNEST(tk) AS u(t))
-  GROUP BY doc_id, y, j
-  UNION ALL
-  SELECT doc_id, y, {_PC_D}, CAST(1 AS BIGINT) FROM docs)"""
+  SELECT doc_id, y, CAST(u.j AS INT) AS j, x[u.j + 1] AS v
+  FROM docs, UNNEST(range(0, {_ST_D})) AS u(j))"""
 
 
-def _epoch_ctes(t: int, train_filter: str = "") -> str:
-    """One training epoch as CTEs: margins under w{t-1}, misclassified
-    set, per-bucket integer delta (the bias bucket's row count IS the
-    misclassified-doc count — every doc carries exactly one bias row),
-    updated weights w{t}."""
+def _stump_search_ctes(train_filter: str = "") -> str:
+    """The distributed exhaustive split search as CTEs: per-(feature,
+    value) class counts, windowed prefix sums in value order, both
+    stump orientations' exact error counts, and the deterministic
+    (err, j, v)-ordered candidate ranking."""
     flt = f" WHERE {train_filter}" if train_filter else ""
     return f""",
-m{t} AS (SELECT f.doc_id, f.y, SUM(f.cnt * w.w) AS s
-         FROM fx f JOIN w{t - 1} w ON w.j = f.j{flt}
-         GROUP BY f.doc_id, f.y),
-mc{t} AS (SELECT doc_id FROM m{t} WHERE y * s <= 0),
-d{t} AS (SELECT f.j, SUM(f.y * f.cnt) AS delta, COUNT(*) AS nr
-         FROM fx f JOIN mc{t} USING (doc_id) GROUP BY f.j),
-w{t} AS MATERIALIZED (
-  SELECT w{t - 1}.j, w{t - 1}.w + COALESCE(d{t}.delta, 0) AS w
-  FROM w{t - 1} LEFT JOIN d{t} ON d{t}.j = w{t - 1}.j)"""
+cnt AS (
+  SELECT j, v,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS neg
+  FROM fx{flt} GROUP BY j, v),
+pre AS (
+  SELECT j, v,
+         COALESCE(SUM(pos) OVER (PARTITION BY j ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_below,
+         COALESCE(SUM(neg) OVER (PARTITION BY j ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below,
+         SUM(pos) OVER (PARTITION BY j) AS pos_tot,
+         SUM(neg) OVER (PARTITION BY j) AS neg_tot
+  FROM cnt),
+scored AS (
+  SELECT j, v AS theta,
+         pos_below + (neg_tot - neg_below) AS err_ge,
+         (pos_tot - pos_below) + neg_below AS err_lt
+  FROM pre),
+ranked AS (
+  SELECT j, theta,
+         CASE WHEN err_ge <= err_lt THEN err_ge ELSE err_lt END AS n_err,
+         err_ge <= err_lt AS ge_is_pos,
+         ROW_NUMBER() OVER (
+           ORDER BY CASE WHEN err_ge <= err_lt THEN err_ge ELSE err_lt END,
+                    j, theta) AS rank
+  FROM scored)"""
 
 
-def _fit_perceptron(
-    spark: SparkSession, fx: DataFrame
-) -> tuple[list[int], list[tuple[int, int, int]]]:
-    """The training loop over an exploded feature frame
-    fx[doc_id, y, j, cnt]: per epoch, margins under the broadcast
-    weights, the misclassified set, and the 33-row integer delta —
-    ONE action per epoch (the bias bucket's row count doubles as the
-    misclassified count, so no second job).  Returns (final weights,
-    [(epoch, n_miss_under_incoming_w, checksum_of_updated_w), ...])
-    with checksum = sum((j+1) * w_j)."""
-    w = [0] * (_PC_D + 1)
-    history: list[tuple[int, int, int]] = []
-    for t in range(1, _PC_EPOCHS + 1):
-        wdf = spark.createDataFrame(
-            [(j, w[j]) for j in range(_PC_D + 1)], "j int, w long"
-        )
-        marg = (
-            fx.join(F.broadcast(wdf), "j")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
-        )
-        mc = marg.where(F.col("y") * F.col("s") <= 0).select("doc_id")
-        rows = (
-            fx.join(mc, "doc_id")
-            .groupBy("j")
-            .agg(
-                F.sum(F.col("y") * F.col("cnt")).alias("delta"),
-                F.count("*").alias("nr"),
-            )
-            .collect()
-        )
-        n_miss = 0
-        for r in rows:
-            w[r["j"]] += r["delta"]
-            if r["j"] == _PC_D:
-                n_miss = r["nr"]
-        history.append(
-            (t, int(n_miss), sum((j + 1) * w[j] for j in range(_PC_D + 1)))
-        )
-    return w, history
-
-
-def _eval_misses(spark: SparkSession, fx: DataFrame, w: list[int]) -> int:
-    wdf = spark.createDataFrame(
-        [(j, w[j]) for j in range(_PC_D + 1)], "j int, w long"
-    )
-    return (
-        fx.join(F.broadcast(wdf), "j")
-        .groupBy("doc_id", "y")
-        .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
-        .where(F.col("y") * F.col("s") <= 0)
-        .count()
-    )
-
-
-def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fx[doc_id, y, j, cnt]: md5-bucketed token counts + a bias row
-    per doc, with the integer stopword label (y = +1 iff stopwords
-    make up >= 20% of tokens — the cheap fluency proxy the classifier
-    learns to reproduce from hashed features)."""
+def _stump_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fx[doc_id, y, j, v]: the DENSE per-(doc, feature) value frame —
+    32 md5-bucketed token counts (zeros materialized: prefix sums over
+    split candidates are wrong without them) plus the two engineered
+    features a real quality filter ships (the per-1024 stopword ratio,
+    feature 32, and the token count, feature 33), with the integer
+    stopword label y = +1 iff stopwords >= 1/16 of tokens — the
+    measured corpus-MEDIAN ratio (6.1%), so the classes split ~48/52
+    and a trained split is forced to separate, not memorize a majority
+    class."""
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     base = (
         _docs(spark, sf_dir)
@@ -147,147 +128,208 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("tk") > 0)
         .select(
             "doc_id",
-            F.when(
-                5
-                * F.size(
-                    F.filter("tk", lambda t: F.array_contains(sw, t))
-                )
-                >= F.size("tk"),
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .alias("y"),
-            "tk",
+            F.expr(
+                f"transform(tk, t -> cast(conv(substring(md5(t), 1, 4),"
+                f" 16, 10) as int) % {_ST_HB})"
+            ).alias("hs"),
+            F.size(
+                F.filter("tk", lambda t: F.array_contains(sw, t))
+            ).alias("nsw"),
+            F.size("tk").alias("nt"),
         )
-    )
-    hashed = (
-        base.select("doc_id", "y", F.explode("tk").alias("t"))
         .select(
             "doc_id",
-            "y",
-            (
-                F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
-                % _PC_D
-            )
-            .cast("int")
-            .alias("j"),
+            F.when(16 * F.col("nsw") >= F.col("nt"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("y"),
+            F.concat(
+                F.expr(
+                    f"transform(sequence(0, {_ST_HB - 1}),"
+                    f" b -> cast(size(filter(hs, h -> h = b)) as long))"
+                ),
+                F.array(
+                    F.expr("(1024 * nsw) div nt").cast("long"),
+                    F.col("nt").cast("long"),
+                ),
+            ).alias("x"),
         )
-        .groupBy("doc_id", "y", "j")
-        .agg(F.count("*").cast("long").alias("cnt"))
     )
-    bias = base.select(
-        "doc_id", "y", F.lit(_PC_D).alias("j"), F.lit(1).cast("long").alias("cnt")
-    )
-    return hashed.unionByName(bias)
-
-
-def quality_perceptron_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed quality-classifier training with a FULL oracle:
-    three batch-perceptron epochs over md5-bucketed token-count
-    features (bias included), labels from the integer stopword rule.
-    Per epoch the output row carries the misclassification count the
-    epoch saw (under the incoming weights) and the integer checksum
-    sum((j+1) * w_j) of the weights it produced; the final row
-    (epoch 4) re-scores the corpus under the trained weights — the
-    fit-quality readout.  Every number is integer arithmetic, so the
-    DuckDB oracle replays the ENTIRE training loop and the hash
-    certifies the trainer, not just its output shape — the engine's
-    first fully-oracle-checked model fit.
-
-    Measured on sf0.01: misclassifications fall 500 (epoch 1, zero
-    weights — every margin is 0) -> 2 -> 2, and the final re-score
-    holds at 2/500: one epoch essentially learns the stopword rule
-    from the hashed features, as a linearly-separable-ish target
-    should.  The holdout sibling shows the same out of sample
-    (2/250 held-out misses, 99.2% accuracy)."""
-    fx = _features(spark, sf_dir).cache()
-    try:
-        w, history = _fit_perceptron(spark, fx)
-        final_miss = _eval_misses(spark, fx, w)
-    finally:
-        fx.unpersist()
-    rows = [(t, n, c) for t, n, c in history]
-    rows.append((_PC_EPOCHS + 1, final_miss, history[-1][2]))
-    return spark.createDataFrame(
-        rows, "epoch int, n_miss bigint, w_checksum bigint"
+    return base.select(
+        "doc_id", "y", F.posexplode("x").alias("j", "v")
     )
 
 
-QUALITY_PERCEPTRON_FIT_SQL = (
-    _PC_CTES
-    + f""",
-w0 AS (SELECT unnest(range({_PC_D + 1})) AS j, CAST(0 AS BIGINT) AS w)"""
-    + "".join(_epoch_ctes(t) for t in range(1, _PC_EPOCHS + 1))
-    + f""",
-meval AS (SELECT f.doc_id, f.y, SUM(f.cnt * w.w) AS s
-          FROM fx f JOIN w{_PC_EPOCHS} w ON w.j = f.j
-          GROUP BY f.doc_id, f.y)
-"""
-    + "\nUNION ALL\n".join(
-        f"""SELECT CAST({t} AS INT) AS epoch,
-       CAST(COALESCE((SELECT nr FROM d{t} WHERE j = {_PC_D}), 0) AS BIGINT)
-         AS n_miss,
-       CAST((SELECT SUM((j + 1) * w) FROM w{t}) AS BIGINT) AS w_checksum"""
-        for t in range(1, _PC_EPOCHS + 1)
+def _stump_search(fx: DataFrame) -> DataFrame:
+    """The distributed exhaustive split search over a dense feature
+    frame: ONE shuffle to per-(feature, value) class counts, windowed
+    prefix sums in value order (partitioned by feature — each
+    partition is bounded by the feature's distinct-value count, never
+    by N), both stump orientations scored exactly, and a global
+    (n_err, j, theta) ranking.  This is the CART/GBDT split-search
+    building block as a Catalyst plan; at 100 TB the candidate frame
+    is |features| x |distinct values| rows — layout-independent of the
+    corpus size."""
+    from pyspark.sql import Window
+
+    cnt = fx.groupBy("j", "v").agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("y") == -1, 1).otherwise(0)).alias("neg"),
     )
+    wpre = (
+        Window.partitionBy("j")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("j")
+    pre = cnt.select(
+        "j",
+        F.col("v").alias("theta"),
+        F.coalesce(F.sum("pos").over(wpre), F.lit(0)).alias("pos_below"),
+        F.coalesce(F.sum("neg").over(wpre), F.lit(0)).alias("neg_below"),
+        F.sum("pos").over(wtot).alias("pos_tot"),
+        F.sum("neg").over(wtot).alias("neg_tot"),
+    )
+    scored = pre.select(
+        "j",
+        "theta",
+        (F.col("pos_below") + F.col("neg_tot") - F.col("neg_below")).alias(
+            "err_ge"
+        ),
+        (F.col("pos_tot") - F.col("pos_below") + F.col("neg_below")).alias(
+            "err_lt"
+        ),
+    )
+    wrank = Window.orderBy(
+        F.least("err_ge", "err_lt"), F.col("j"), F.col("theta")
+    )
+    return scored.select(
+        "j",
+        "theta",
+        F.least("err_ge", "err_lt").cast("bigint").alias("n_err"),
+        (F.col("err_ge") <= F.col("err_lt")).alias("ge_is_pos"),
+        F.row_number().over(wrank).alias("rank"),
+    )
+
+
+def quality_stump_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier training with a FULL oracle: the
+    exhaustive decision-stump split search (the CART/GBDT building
+    block) over 34 integer features — 32 md5-hashed token-count
+    buckets plus the two engineered columns a production filter ships
+    (per-1024 stopword ratio, token count) — against the balanced
+    corpus-median stopword label.  Every candidate (feature, theta,
+    orientation) triple's error count is EXACT integer arithmetic, so
+    the DuckDB oracle replays the entire search and the hash certifies
+    the trainer: the counts, the prefix sums, the orientation choice
+    and the (n_err, j, theta) tie-break.
+
+    Output: the top-5 candidate splits.  Measured on sf0.01 the winner
+    is (feature 32 = the ratio column, theta 64, ge_is_pos) at ZERO
+    training errors — floor(1024 * nsw / nt) >= 64 is exactly the
+    label rule, and the search FINDS that from 34 x ~1k candidates
+    rather than being told; the whole top-5 sits on the ratio column's
+    neighboring thresholds (7/12/14/17 errors) with every
+    hashed-bucket split far behind — the measured 'engineered
+    features beat bucketed counts' readout
+    (an earlier batch-perceptron draft of this trainer oscillated at
+    ~50% on the same hashed features; the split search is the method
+    that actually learns this family of rules, which is why GBDTs eat
+    tabular quality tasks).
+
+    Scale shape: one groupBy to |features| x |distinct values| rows,
+    feature-partitioned prefix-sum windows (bounded partitions), a
+    top-5 over the candidate frame.  No iteration, no driver state
+    beyond the winning triple."""
+    out = _stump_search(_stump_features(spark, sf_dir))
+    return (
+        out.where(F.col("rank") <= _ST_TOPK)
+        .select(
+            "rank",
+            F.col("j").cast("int").alias("feature"),
+            F.col("theta").cast("bigint").alias("theta"),
+            "ge_is_pos",
+            "n_err",
+        )
+        .orderBy("rank")
+    )
+
+
+QUALITY_STUMP_FIT_SQL = (
+    _ST_CTES
+    + _stump_search_ctes()
     + f"""
-UNION ALL
-SELECT CAST({_PC_EPOCHS + 1} AS INT),
-       CAST((SELECT COUNT(*) FROM meval WHERE y * s <= 0) AS BIGINT),
-       CAST((SELECT SUM((j + 1) * w) FROM w{_PC_EPOCHS}) AS BIGINT)
-ORDER BY epoch
+SELECT CAST(rank AS INT) AS rank,
+       CAST(j AS INT) AS feature,
+       CAST(theta AS BIGINT) AS theta,
+       ge_is_pos,
+       CAST(n_err AS BIGINT) AS n_err
+FROM ranked WHERE rank <= {_ST_TOPK}
+ORDER BY rank
 """
 )
 
 
-def quality_perceptron_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The train/test split face of the trainer — the governance
-    number a quality filter ships with: train three epochs on even
-    doc_ids only, evaluate on the held-out odd doc_ids.  One row:
-    train/test sizes, held-out misclassifications, and held-out
-    accuracy in parts-per-million via INTEGER division (no float ever
-    enters the pipeline, so no rounding-semantics gap between engines)
-    — the oracle replays the split, the training AND the eval."""
-    fx = _features(spark, sf_dir).cache()
+def quality_stump_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train/test face of the stump trainer: search on even
+    doc_ids only, evaluate the winning (feature, theta, orientation)
+    on the held-out odd ids.  One row: split sizes, the learned
+    triple, held-out errors, and held-out accuracy in integer ppm (no
+    float anywhere, so no cross-engine rounding semantics).  The
+    oracle replays the split, the search AND the eval."""
+    fx = _stump_features(spark, sf_dir).cache()
     try:
         train = fx.where(F.col("doc_id") % 2 == 0)
         test = fx.where(F.col("doc_id") % 2 == 1)
-        w, _ = _fit_perceptron(spark, train)
+        best = (
+            _stump_search(train).where(F.col("rank") == 1).collect()[0]
+        )
+        j, theta, ge = best["j"], best["theta"], best["ge_is_pos"]
         n_train = train.select("doc_id").distinct().count()
-        n_test = test.select("doc_id").distinct().count()
-        n_miss = _eval_misses(spark, test, w)
+        t = test.where(F.col("j") == j)
+        pred = (
+            (F.col("v") >= F.lit(theta))
+            if ge
+            else (F.col("v") < F.lit(theta))
+        )
+        n_test = t.count()
+        n_err = t.where(
+            pred.cast("int") * 2 - 1 != F.col("y")
+        ).count()
     finally:
         fx.unpersist()
-    acc_ppm = (n_test - n_miss) * 1_000_000 // n_test if n_test else None
+    acc_ppm = (n_test - n_err) * 1_000_000 // n_test if n_test else None
     return spark.createDataFrame(
-        [(n_train, n_test, n_miss, acc_ppm)],
-        "n_train bigint, n_test bigint, test_n_miss bigint, test_acc_ppm bigint",
+        [(n_train, n_test, j, theta, bool(ge), n_err, acc_ppm)],
+        "n_train bigint, n_test bigint, feature int, theta bigint, "
+        "ge_is_pos boolean, test_n_err bigint, test_acc_ppm bigint",
     )
 
 
-QUALITY_PERCEPTRON_HOLDOUT_SQL = (
-    _PC_CTES
-    + f""",
-w0 AS (SELECT unnest(range({_PC_D + 1})) AS j, CAST(0 AS BIGINT) AS w)"""
-    + "".join(
-        _epoch_ctes(t, train_filter="f.doc_id % 2 = 0")
-        for t in range(1, _PC_EPOCHS + 1)
-    )
-    + f""",
-mtest AS (SELECT f.doc_id, f.y, SUM(f.cnt * w.w) AS s
-          FROM fx f JOIN w{_PC_EPOCHS} w ON w.j = f.j
-          WHERE f.doc_id % 2 = 1
-          GROUP BY f.doc_id, f.y),
-sizes AS (SELECT
-            COUNT(DISTINCT CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS n_train,
-            COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN doc_id END) AS n_test
-          FROM docs)
+QUALITY_STUMP_HOLDOUT_SQL = (
+    _ST_CTES
+    + _stump_search_ctes(train_filter="doc_id % 2 = 0")
+    + """,
+best AS (SELECT j, theta, ge_is_pos FROM ranked WHERE rank = 1),
+teval AS (
+  SELECT f.doc_id, f.y,
+         CASE WHEN (b.ge_is_pos AND f.v >= b.theta)
+               OR (NOT b.ge_is_pos AND f.v < b.theta)
+              THEN 1 ELSE -1 END AS pred
+  FROM fx f CROSS JOIN best b
+  WHERE f.doc_id % 2 = 1 AND f.j = b.j),
+sizes AS (
+  SELECT (SELECT COUNT(DISTINCT doc_id) FROM fx WHERE doc_id % 2 = 0)
+           AS n_train,
+         (SELECT COUNT(*) FROM teval) AS n_test,
+         (SELECT COUNT(*) FROM teval WHERE pred != y) AS n_err)
 SELECT CAST(n_train AS BIGINT) AS n_train,
        CAST(n_test AS BIGINT) AS n_test,
-       CAST((SELECT COUNT(*) FROM mtest WHERE y * s <= 0) AS BIGINT)
-         AS test_n_miss,
-       CAST((n_test - (SELECT COUNT(*) FROM mtest WHERE y * s <= 0))
-            * 1000000 // n_test AS BIGINT) AS test_acc_ppm
+       CAST((SELECT j FROM best) AS INT) AS feature,
+       CAST((SELECT theta FROM best) AS BIGINT) AS theta,
+       (SELECT ge_is_pos FROM best) AS ge_is_pos,
+       CAST(n_err AS BIGINT) AS test_n_err,
+       CAST((n_test - n_err) * 1000000 // n_test AS BIGINT)
+         AS test_acc_ppm
 FROM sizes
 """
 )
@@ -429,4 +471,80 @@ SELECT layout,
 FROM boxes
 GROUP BY layout
 ORDER BY layout
+"""
+
+
+# --- batch 35: the quarantine face of the codec arms -------------------------
+
+
+def mm_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wild bytes in a real decode stage, end to end: a four-arm media
+    table (media_id % 4 cycles WAV / PNG / AVI / GIF, every payload a
+    genuine file) with every 7th payload TRUNCATED by one byte — a
+    corruption each container's validation provably catches (RIFF size
+    mismatch, PNG chunk missing its CRC, GIF missing trailer) — run
+    through `decode_media_safe`: corrupt rows land in the quarantine
+    column instead of failing the task.  Output: per mime, decoded vs
+    quarantined counts, plus the rule-derived expectation columns the
+    hash check forces to agree.
+
+    This is what the decoders' fuzz-hardened uniform-ValueError
+    contract exists for operationally; the oracle replays the
+    arm-assignment and corruption rules, so a decoder that silently
+    ACCEPTED a truncated payload (or an operator that dropped a
+    quarantined row) breaks the hash."""
+    from kmeans_mapreduce_spark.operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir)
+    arms = [
+        (0, MM.attach_wav_payload),
+        (1, MM.attach_png_payload),
+        (2, MM.attach_avi_payload),
+        (3, MM.attach_gif_payload),
+    ]
+    media = None
+    for k, attach in arms:
+        part = attach(
+            docs.where(F.col("doc_id") % 4 == k), "doc_id", "text"
+        )
+        media = part if media is None else media.unionByName(part)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 7 == 0,
+            F.expr("substring(payload, 1, octet_length(payload) - 1)"),
+        ).otherwise(F.col("payload")),
+    )
+    dec = MM.decode_media_safe(corrupted)
+    return (
+        dec.groupBy("mime")
+        .agg(
+            F.count(F.when(F.col("decode_error").isNull(), 1))
+            .cast("bigint")
+            .alias("n_ok"),
+            F.count(F.when(F.col("decode_error").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_quarantined"),
+        )
+        .orderBy("mime")
+    )
+
+
+MM_DECODE_QUARANTINE_SQL = """
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+a AS (
+  SELECT media_id,
+         CASE media_id % 4
+           WHEN 0 THEN 'audio/x-wav'
+           WHEN 1 THEN 'image/png'
+           WHEN 2 THEN 'video/x-msvideo'
+           ELSE 'image/gif' END AS mime,
+         media_id % 7 = 0 AS bad
+  FROM m)
+SELECT mime,
+       CAST(COUNT(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_ok,
+       CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT) AS n_quarantined
+FROM a
+GROUP BY mime
+ORDER BY mime
 """

@@ -44,9 +44,9 @@ def test_catalog_shapes():
         "ann_ivf_pq_codebook_sweep",
         "mm_gif_decode_stats",
         # (c) round-11 additions (batch 33: the oracle-replayable
-        # perceptron trainer)
-        "quality_perceptron_fit",
-        "quality_perceptron_holdout",
+        # stump trainer)
+        "quality_stump_fit",
+        "quality_stump_holdout",
         "mm_pnm_tri_histogram",
         # (c) changed this round
         "ann_ivf_pq_topk",

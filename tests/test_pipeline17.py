@@ -1,108 +1,113 @@
-"""Round-11 batch 33: the oracle-replayable perceptron trainer.
+"""Round-11 batch 33: the oracle-replayable stump trainer.
 
 The catalog queries are hash-checked against DuckDB by the driver and
-compare.py; these tests pin the TRAINING SEMANTICS on hand-built
-fixtures — the update rule, the bias-row count trick, and that the
-trainer actually separates a separable corpus — plus the plan-shape
-contract (broadcast weights, no data-sized collect)."""
+compare.py; these tests pin the SEARCH SEMANTICS on hand-built
+fixtures — exact error counts for both orientations, the
+(n_err, j, theta) tie-break, zero-count handling — plus the
+feature-frame contracts and that the search genuinely recovers a
+planted rule."""
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.plans.pipeline_queries17 import (
-    _PC_D,
-    _eval_misses,
-    _features,
-    _fit_perceptron,
+    _ST_D,
+    _ST_RATIO_J,
+    _stump_features,
+    _stump_search,
 )
 
 
 def _fx(spark, rows):
-    """rows: (doc_id, y, {j: cnt}) — bias row added automatically."""
-    out = []
-    for doc_id, y, feats in rows:
-        for j, cnt in feats.items():
-            out.append((doc_id, y, j, cnt))
-        out.append((doc_id, y, _PC_D, 1))
-    return spark.createDataFrame(
-        out, "doc_id long, y int, j int, cnt long"
-    )
+    """rows: (doc_id, y, j, v) — a tiny dense frame for one feature."""
+    return spark.createDataFrame(rows, "doc_id long, y int, j int, v long")
 
 
-def test_perceptron_update_rule_by_hand(spark):
-    """One epoch from zero weights on a two-doc fixture: every margin
-    is 0 -> both docs misclassify -> w = sum(y * x), checked against
-    the hand-computed vector; epoch 2's misses follow from those
-    weights."""
+def test_stump_errors_by_hand(spark):
+    """One feature, values 1/2/3 with labels -,-,+ :
+    theta=3 with ge_is_pos separates perfectly; the search must score
+    every (theta, orientation) pair exactly as hand-counted."""
     fx = _fx(
         spark,
-        [
-            (1, 1, {0: 2, 1: 1}),    # +: x = [2,1,...,bias 1]
-            (2, -1, {0: 1, 3: 4}),   # -: x = [1,0,0,4,...,bias 1]
-        ],
+        [(1, -1, 0, 1), (2, -1, 0, 2), (3, 1, 0, 3)],
     )
-    w, hist = _fit_perceptron(spark, fx)
-    # epoch 1: both misclassified (margins 0); delta = y1*x1 + y2*x2
-    assert hist[0][:2] == (1, 2)
-    assert w[0] == 2 - 1 and w[1] == 1 and w[3] == -4 and w[_PC_D] == 0
-    # under those weights doc1: 2*1+1*1=3>0 ok; doc2: -1*(1*1-4*4)=15>0 ok
-    assert hist[1][:2] == (2, 0)
-    assert _eval_misses(spark, fx, w) == 0
-    # zero misclassified -> no further updates; checksums freeze
-    assert hist[1][2] == hist[2][2] == hist[0][2]
+    got = {
+        (r["theta"], r["ge_is_pos"]): (r["n_err"], r["rank"])
+        for r in _stump_search(fx).collect()
+    }
+    # candidates: theta=1 (ge: all + -> 2 err; lt: none below -> 1 err)
+    #             theta=2 (ge: [2,3]+ -> 1 err; lt: 2 err)
+    #             theta=3 (ge: [3]+ -> 0 err)  <- winner
+    assert got[(3, True)] == (0, 1)
+    assert got[(2, True)][0] == 1
+    assert got[(1, False)][0] == 1
 
 
-def test_perceptron_learns_separable_fixture(spark):
-    """A linearly separable 40-doc fixture (positives load bucket 0,
-    negatives bucket 1) reaches zero training misses within the three
-    fixed epochs."""
+def test_stump_tiebreak_is_deterministic(spark):
+    """Two features with identical best error counts: the ranking must
+    break ties by (n_err, j, theta) — lowest feature id, then lowest
+    threshold."""
     rows = []
-    for i in range(40):
-        if i % 2:
-            rows.append((i, 1, {0: 3 + i % 4, 1: 1}))
-        else:
-            rows.append((i, -1, {0: 1, 1: 3 + i % 5}))
-    fx = _fx(spark, rows)
-    w, hist = _fit_perceptron(spark, fx)
-    assert _eval_misses(spark, fx, w) == 0
-    assert hist[0][1] == 40  # epoch 1 sees every zero margin
-    assert hist[-1][1] <= 2
+    for j in (0, 1):
+        rows += [(10 + i, 1 if i >= 2 else -1, j, i) for i in range(4)]
+    out = _stump_search(_fx(spark, rows)).where(F.col("rank") == 1).collect()
+    assert len(out) == 1
+    assert out[0]["j"] == 0 and out[0]["theta"] == 2
+    assert out[0]["n_err"] == 0
 
 
-def test_features_bias_and_label(spark, sf_dir):
-    """Every non-blank doc carries exactly one bias row; labels are the
-    integer stopword rule; bucket ids stay inside [0, D]."""
-    fx = _features(spark, sf_dir).cache()
+def test_stump_search_recovers_planted_rule(spark):
+    """A planted rule on feature 3 (v >= 50) among noise features must
+    be recovered exactly by the search."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for d in range(120):
+        # pin one sample at exactly 50 so the boundary value is an
+        # observed candidate and the recovered theta is exact
+        v3 = 50 if d == 0 else rng.randrange(0, 100)
+        y = 1 if v3 >= 50 else -1
+        for j in range(5):
+            rows.append(
+                (d, y, j, v3 if j == 3 else rng.randrange(0, 100))
+            )
+    best = (
+        _stump_search(_fx(spark, rows)).where(F.col("rank") == 1).collect()[0]
+    )
+    assert best["j"] == 3 and best["n_err"] == 0 and best["ge_is_pos"]
+    assert best["theta"] == 50
+
+
+def test_stump_features_contract(spark, sf_dir):
+    """Dense frame: every doc contributes exactly _ST_D rows (zeros
+    materialized), the ratio feature is bounded [0, 1024], labels are
+    +-1 with both classes present."""
+    fx = _stump_features(spark, sf_dir).cache()
     try:
-        bias = fx.where(F.col("j") == _PC_D)
         n_docs = fx.select("doc_id").distinct().count()
-        assert bias.count() == n_docs
-        assert bias.select("cnt").distinct().collect() == [
-            bias.select("cnt").distinct().collect()[0]
-        ]
-        rng = fx.agg(
-            F.min("j").alias("lo"), F.max("j").alias("hi")
+        assert fx.count() == n_docs * _ST_D
+        r = fx.where(F.col("j") == _ST_RATIO_J).agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
         ).collect()[0]
-        assert 0 <= rng["lo"] and rng["hi"] == _PC_D
-        ys = {r["y"] for r in fx.select("y").distinct().collect()}
-        assert ys <= {1, -1} and len(ys) == 2  # both classes present
+        assert 0 <= r["lo"] and r["hi"] <= 1024
+        ys = {x["y"] for x in fx.select("y").distinct().collect()}
+        assert ys == {1, -1}
     finally:
         fx.unpersist()
 
 
-def test_perceptron_plan_shape(spark, sf_dir):
-    """The margin pass broadcasts the 33-row weight relation — the
-    corpus side never shuffles to meet the weights."""
-    fx = _features(spark, sf_dir)
-    wdf = spark.createDataFrame(
-        [(j, 0) for j in range(_PC_D + 1)], "j int, w long"
+def test_stump_search_plan_shape(spark, sf_dir):
+    """The prefix-sum windows are feature-partitioned (bounded
+    per-feature partitions); only the final candidate ranking — a
+    |features| x |distinct values| frame, corpus-size independent —
+    is a global window (audited in test_plan_hygiene's allowlist)."""
+    plan = (
+        _stump_search(_stump_features(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
-    marg = (
-        fx.join(F.broadcast(wdf), "j")
-        .groupBy("doc_id", "y")
-        .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
-    )
-    plan = marg._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(j" in plan  # prefix sums partition by j
+    assert plan.count("Window") >= 2  # prefix windows + candidate rank

@@ -85,6 +85,7 @@ ALLOWED_UNPARTITIONED_WINDOW = {
     "pipeline_token_budget_epochs",  # cum budget over |sources| rows
     "pipeline_sample_temperature",   # share over |sources| rows
     "pipeline_context_length_plan",  # cum packing over |buckets| rows
+    "quality_stump_fit",             # rank over |features|x|values| candidates
 }
 
 

@@ -107,10 +107,13 @@ PHASE_B = [
     "mm_avi_frame_sample",
     "mm_gif_decode_stats",
     "ann_ivf_pq_codebook_sweep",
-    # round-11 batch 33: the oracle-replayable trainer at 50k docs —
-    # 3 epochs x (broadcast join + two bounded aggs) over ~50k-doc
-    # token features; driver state stays 33 ints at any corpus size
-    "quality_perceptron_fit",
+    # round-11 batch 33/35: the oracle-replayable stump trainer at
+    # 50k docs (one shuffle to the bounded candidate frame + windowed
+    # prefix sums) and the four-arm quarantine decode (50k real parses
+    # with every 7th payload corrupt — the ValueError contract under
+    # stress)
+    "quality_stump_fit",
+    "mm_decode_quarantine",
 ]
 
 # Phase C streaming workloads (names usable as subset args too)
