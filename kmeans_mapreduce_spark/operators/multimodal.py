@@ -508,6 +508,8 @@ def _wav_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
     exact int64 sample sum, slots 3-4 the first/last sample, 6-7
     min/max.  Slots 1-2 stay 0.0 (no G/B planes)."""
     _, smp = _decode_wav(payload)
+    if smp.size == 0:
+        raise ValueError("WAV holds no samples — nothing to featurize")
     s = smp.astype(np.int64)
     feature = [
         float(s.sum()),
@@ -642,6 +644,13 @@ def wav_window_energy(
     return df.mapInPandas(frames, schema=WAV_WINDOW_SCHEMA)
 
 
+def _dispatch_stats(payload, mime: str):
+    """The ONE per-row decode dispatch both `decode_media` and
+    `decode_media_safe` run: real decoder for mimes in _REAL_STATS,
+    deterministic fake otherwise."""
+    return _REAL_STATS.get(mime, _decode_fake)(bytes(payload))
+
+
 def _decode_fake(payload: bytes):
     """Deterministic stand-in decode: metadata derived from the bytes.
 
@@ -675,7 +684,7 @@ def decode_media(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
             if use_real_codec:
                 _decode_real(b"", "")  # raises NotImplementedError by design
             decoded = [
-                _REAL_STATS.get(m, _decode_fake)(bytes(p))
+                _dispatch_stats(p, m)
                 for p, m in zip(batch["payload"], batch["mime"])
             ]
             yield pd.DataFrame(
@@ -1467,6 +1476,8 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     if dims is None or not saw_vids:
         raise ValueError("missing avih / vids stream header")
     w, h = dims
+    if w < 1 or h < 1:
+        raise ValueError(f"non-positive AVI dimensions {w}x{h}")
     if declared != len(frames):
         raise ValueError(
             f"avih declares {declared} frames, movi holds {len(frames)}"
@@ -1485,6 +1496,8 @@ def _avi_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
     the frame count (the 'n units' slot), first/last = first byte of
     the first frame / last byte of the last frame."""
     w, h, frames = _decode_avi(payload)
+    if not frames:
+        raise ValueError("AVI holds no frames — nothing to featurize")
     allpx = np.frombuffer(b"".join(frames), dtype=np.uint8)
     feature = [
         float(allpx.sum(dtype=np.int64)),
@@ -1821,6 +1834,10 @@ def _gif_stats(payload: bytes) -> tuple[int, int, int, list[float]]:
     downstream of the hand-rolled LZW — a code-width or KwKwK bug
     moves every slot."""
     w, h, idx, gct = _decode_gif(payload)
+    if not gct:
+        raise ValueError(
+            "GIF without a global color table — no palette to map"
+        )
     arr = np.frombuffer(idx, dtype=np.uint8)
     pal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[:, 0]
     px = pal[arr].astype(np.int64)
@@ -1930,9 +1947,7 @@ def decode_media_safe(df: DataFrame) -> DataFrame:
                 batch["media_id"], batch["payload"], batch["mime"]
             ):
                 try:
-                    n, w, h, feature = _REAL_STATS.get(mime, _decode_fake)(
-                        bytes(payload)
-                    )
+                    n, w, h, feature = _dispatch_stats(payload, mime)
                     err = None
                 except ValueError as exc:
                     n = w = h = feature = None

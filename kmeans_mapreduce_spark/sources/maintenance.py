@@ -458,6 +458,23 @@ def compact_partitions(
                 _checked_rename(st.getPath(), jlive, "recover parked")
             else:
                 fs.delete(st.getPath(), True)
+    if fs.exists(jstage):
+        # legacy layout compatibility: an earlier revision parked live
+        # dirs as <stage>/<name>__old at the TOP of the stage root —
+        # restore those too, so upgrading mid-crash cannot strand a
+        # partition (values genuinely ending in '__old' were never
+        # parked top-level by this code, only by the ambiguous legacy
+        # layout this namespace split replaced)
+        for st in fs.listStatus(jstage):
+            name = st.getPath().getName()
+            if name in ("parked", "staged") or not name.endswith("__old"):
+                continue
+            live = name[: -len("__old")]
+            _, jlive = _fs_path(spark, f"{target_dir.rstrip('/')}/{live}")
+            if not fs.exists(jlive):
+                _checked_rename(st.getPath(), jlive, "recover legacy parked")
+            else:
+                fs.delete(st.getPath(), True)
     if fs.exists(jstaged_root):
         fs.delete(jstaged_root, True)
 

@@ -85,3 +85,44 @@ def test_single_byte_corruption_never_escapes_valueerror():
                 dec(bytes(bad))
             except ValueError:
                 pass
+
+
+def test_stats_wrappers_honor_the_valueerror_contract():
+    """The _REAL_STATS wrappers — the functions decode_media_safe
+    actually dispatches — must ALSO stay inside the ValueError
+    contract, including on DEGENERATE container-valid payloads the
+    bare decoders accept: a WAV with an empty data chunk, a zero-frame
+    AVI, a GIF with no global color table.  (Found by review: these
+    raised IndexError through the stats layer and would have aborted
+    the quarantine operator's task.)"""
+    import struct
+
+    from kmeans_mapreduce_spark.operators.multimodal import _REAL_STATS
+
+    # container-valid, content-degenerate payloads
+    empty_wav = encode_wav(8000, np.array([], dtype="<i2"))
+    zero_frame_avi = encode_avi(3, 3, 10, [])
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HHBBB", 2, 1, 0x00, 0, 0)  # NO global color table
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+    gif.append(2)
+    gif += bytes([2, 0x0C, 0x0A]) + b"\x00\x3b"  # clear,1,0,end @3 bits
+    degenerates = [bytes(empty_wav), bytes(zero_frame_avi), bytes(gif)]
+    for payload in degenerates:
+        for name, stats in _REAL_STATS.items():
+            try:
+                stats(payload)
+            except ValueError:
+                pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_stats_wrappers_reject_garbage_with_valueerror_only(data):
+    from kmeans_mapreduce_spark.operators.multimodal import _REAL_STATS
+
+    for name, stats in _REAL_STATS.items():
+        try:
+            stats(data)
+        except ValueError:
+            pass

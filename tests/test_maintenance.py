@@ -364,3 +364,34 @@ def test_compact_partitions_recovers_parked_partition(spark, tmp_path):
         for r in spark.read.parquet(tdir).collect()
     }
     assert after == before
+
+
+def test_compact_partitions_recovers_legacy_parked_layout(spark, tmp_path):
+    """An earlier revision parked live dirs at the TOP of the stage
+    root as <name>__old; the preamble must restore those too, so an
+    upgrade mid-crash cannot strand a partition."""
+    from kmeans_mapreduce_spark.sources.maintenance import (
+        _fs_path,
+        compact_partitions,
+    )
+
+    tdir = str(tmp_path / "t")
+    _fragmented_table(spark, tdir)
+    before = {
+        r["k"]: (r["day"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    }
+    fs, _ = _fs_path(spark, tdir)
+    stage = tdir + "__compactstage"
+    _, jstage = _fs_path(spark, stage)
+    fs.mkdirs(jstage)
+    _, jlive = _fs_path(spark, f"{tdir}/day=hot")
+    _, jold = _fs_path(spark, f"{stage}/day=hot__old")  # legacy location
+    fs.rename(jlive, jold)
+    done = compact_partitions(spark, tdir, max_files=4)
+    assert done == ["day=hot"]
+    after = {
+        r["k"]: (r["day"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    }
+    assert after == before
