@@ -952,6 +952,13 @@ def ppm_pixel_histogram_partials(
                     # a GIF pixel IS a palette lookup: bin the MAPPED
                     # gray values, downstream of the hand-rolled LZW
                     _, _, idx, gct = _decode_gif(bytes(payload))
+                    if not gct:
+                        # same contract as _gif_stats: a GCT-less GIF
+                        # has no palette to map, so no raster to bin
+                        raise ValueError(
+                            "GIF without a global color table — "
+                            "no palette to map"
+                        )
                     pal = np.frombuffer(gct, dtype=np.uint8).reshape(
                         -1, 3
                     )[:, 0]
@@ -1038,6 +1045,10 @@ def encode_png(
 
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if width < 1 or height < 1:
+        # match _decode_png's IHDR w/h >= 1 check — never emit a PNG
+        # our own decoder rejects
+        raise ValueError(f"width and height must be >= 1, got {width}x{height}")
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError(
@@ -1700,6 +1711,11 @@ def encode_gif(
     length-prefixed sub-blocks (<= 255 bytes each)."""
     import struct
 
+    if width < 1 or height < 1:
+        # the decoder's IHDR-equivalent contract: zero-area images are
+        # rejected at encode time too (0*0 would pass the length check
+        # and crash _lzw_compress on indices[0])
+        raise ValueError(f"width and height must be >= 1, got {width}x{height}")
     if len(indices) != width * height:
         raise ValueError(
             f"need {width * height} indices for {width}x{height}, "

@@ -49,6 +49,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries14 as PQ14
 from kmeans_mapreduce_spark.plans import pipeline_queries15 as PQ15
 from kmeans_mapreduce_spark.plans import pipeline_queries16 as PQ16
 from kmeans_mapreduce_spark.plans import pipeline_queries17 as PQ17
+from kmeans_mapreduce_spark.plans import pipeline_queries18 as PQ18
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,6 +509,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-11 batch 35: the quarantine face of the codec arms and the
     # trained filter's margin-calibration readout (round-12 (a) queue)
     "mm_decode_quarantine": PQ17.mm_decode_quarantine,
+    # Round-12 batch 36: BOOSTED training with a full oracle — three
+    # rounds of the weighted split search under integer sample
+    # reweighting (weights double on each round's mistakes), against a
+    # two-feature OR label no single stump can express; the holdout
+    # row carries the single-stump control next to the ensemble
+    "quality_boost_fit": PQ18.quality_boost_fit,
+    "quality_boost_holdout": PQ18.quality_boost_holdout,
 }
 
 # ---------------------------------------------------------------------------
@@ -518,134 +526,108 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the contract test pin).
 
 
-# ROUND-11 DRIVER WINDOW.  Cumulative coverage is 253/253 with zero
-# latest-red after round 10, so the window is pure freshness rotation.
-# Composition per the round-11 ledger (rotation risk pre-cleared two
-# rounds deep at round-10 close: all 32 round-4 remainder rows and all
-# 48 round-5-vintage rows verified vanilla-green):
-#   (b) round-10 reds: none;
-#   (c) new this round (batch 31): ann_rerank_shortlist_sweep (the
-#       shortlist axis of the ANN tuning-curve family — recall@10 vs
-#       rerank shortlist from one widest-level ADC scan),
-#       mm_wav_features + mm_wav_window_energy (the RIFF/WAVE real
-#       codec arm: chunk walk + pad byte, per-file features and
-#       windowed energy under formula oracles);
-#       changed this round: every consumer of the shared IVF-PQ
-#       candidate/ADC assembly (similarity.ivf_pq_adc_scores refactor:
-#       ann_ivf_pq_topk, ann_ivf_pq_recall, ann_ivf_pq_probe_sweep,
-#       ann_ivf_pq_rerank_recall), knn_graph_bucketed (catalog-resolved
-#       overwrite pre-clean in sources/bucketed.py), and the
-#       connected-components consumers (observed-rounds counter in
-#       operators/components.py: dedup_components,
-#       dedup_cluster_representatives — the latter is also the first
-#       round-4 fill row, counted once);
-#       Batch 32 (added later in round 11): mm_png_decode_stats +
-#       mm_png_pixel_histogram (the PNG compressed-codec arm),
-#       mm_avi_frame_sample (the AVI video-container arm),
-#       ann_ivf_pq_codebook_sweep (the codebook axis of the tuning
-#       family), mm_gif_decode_stats (the GIF arm: the decompressor
-#       itself — variable-width LZW — is hand-rolled and spec-pinned
-#       by hand-packed fixtures), plus mm_pnm_tri_histogram as the changed-consumer
-#       sample for ppm_pixel_histogram's additive PNG branch (its
-#       three legacy netpbm arms all run through the edited function).
-#       The other consumers of the additive multimodal changes (new
-#       _REAL_STATS dict keys; no legacy key's path changed) were all
-#       re-verified vanilla-green at authoring time: every mm_* catalog
-#       row hash-matched DuckDB after the batch-32 edits.
-#   (d) rows-only freshness re-samples (trained/seed-sensitive paths,
-#       each certified by a *_invariants sibling; last sampled r10 —
-#       ann_pq_topk's slot went to the batch-32 changed-consumer row;
-#       it re-samples in round 12, inside the two-round policy);
-#   (e) oldest-driver-green fill: the 31 remaining round-4-vintage
-#       rows (emptying the round-4 freshness bucket); the round-5
-#       vintage fill queues for round 12 (its 4 slots went to
-#       batch 32).
-_R11_WINDOW = [
-    # (c) new this round (batch 31)
-    "ann_rerank_shortlist_sweep",
-    "mm_wav_features",
-    "mm_wav_window_energy",
-    # (c) new this round (batch 32)
-    "mm_png_decode_stats",
-    "mm_png_pixel_histogram",
-    "mm_avi_frame_sample",
-    "ann_ivf_pq_codebook_sweep",
-    "mm_gif_decode_stats",
-    "quality_stump_fit",
-    "quality_stump_holdout",
-    # (c) changed this round (consumers of touched operators)
+# ROUND-12 DRIVER WINDOW.  Composition per the round-11 ledger
+# (VERDICT r11 "Next round" #1): (b) round-11 reds: none;
+# (a) the three queries with NO driver record yet (added after the
+#     r11 window snapshot; judge-verified vanilla-green in r11):
+#     layout_zorder_pruning, mm_resize_png, mm_decode_quarantine;
+# (c) new this round (batch 36): quality_boost_fit +
+#     quality_boost_holdout — BOOSTED training with a full oracle
+#     (three weighted split-search rounds under integer reweighting,
+#     two-feature OR label, single-stump control in the holdout row);
+#     changed this round (round-11 ADVICE fixes, one consumer per
+#     touched operator): mm_pnm_tri_histogram (ppm_pixel_histogram's
+#     GIF-branch empty-GCT guard — its three netpbm arms run the
+#     edited function), mm_gif_decode_stats (encode_gif zero-area
+#     check), mm_png_decode_stats (encode_png zero-area check),
+#     knn_graph_bucketed (per-process warehouse table suffix);
+# (d) rows-only freshness AT THE POLICY BOUND (last sampled r10;
+#     round 12 is the last compliant round): kmeans_fit_native,
+#     kmeans_fit_mllib, kmeans_fit_lineitem, ann_pq_topk — each with
+#     its *_invariants sibling IN THE SAME WINDOW (VERDICT r11 #6):
+#     kmeans_fit_invariants, mllib_fit_invariants, pq_train_invariants
+#     (bpe_train_invariants' principal was sampled r11, ages out r13);
+# (e) oldest-driver-green fill: the first 34 round-5-vintage rows in
+#     catalog order (the remaining 14 — suppliers_nation_hhi through
+#     lineitem_shipping_lead_time — queue for round 13, all
+#     pre-verified vanilla-green at round-10 close and 6 re-sampled
+#     green by the round-11 judge).
+_R12_WINDOW = [
+    # (a) mandatory: no driver record yet
+    "layout_zorder_pruning",
+    "mm_resize_png",
+    "mm_decode_quarantine",
+    # (c) new this round (batch 36)
+    "quality_boost_fit",
+    "quality_boost_holdout",
+    # (c) changed this round (ADVICE-fix consumers)
     "mm_pnm_tri_histogram",
-    "ann_ivf_pq_topk",
-    "ann_ivf_pq_recall",
-    "ann_ivf_pq_probe_sweep",
-    "ann_ivf_pq_rerank_recall",
+    "mm_gif_decode_stats",
+    "mm_png_decode_stats",
     "knn_graph_bucketed",
-    "dedup_components",
-    "dedup_cluster_representatives",
-    # (d) rows-only freshness: the five rows-only entries were all
-    # sampled in round 10 and now re-sample AS A BLOCK in round 12 —
-    # still inside the two-round policy — because their round-11 slots
-    # went to the batch-32/33 influx (new oracle-checked queries are
-    # the stronger freshness class).  pipeline_bpe_train keeps a slot
-    # as the family's in-window representative; kmeans_fit_native
-    # additionally has standing driver signal via entry() every round.
-    "pipeline_bpe_train",
-    # (e) oldest-green fill: the 31 remaining round-4-vintage rows
-    # (catalog order; all pre-verified vanilla-green at round-10 close
-    # and 6 re-sampled green by the round-10 judge)
-    "agg_collect_sets",
-    "dedup_embedding_cosine",
-    "ann_lsh_topk",
-    "ann_brute_topk_pandas",
-    "pipeline_contamination_check",
-    "pipeline_seq_packing",
-    "pipeline_domain_mix",
-    "text_repetition_score",
-    "window_percentile_customers",
-    "dedup_semantic_clusters",
-    "pipeline_lang_rebalance",
-    "text_pii_scrub",
-    "embedding_dim_stats",
-    "text_quality_zscore",
-    "pipeline_shuffle_shards",
-    "pipeline_stratified_sample",
-    "pipeline_dataset_card",
-    "pipeline_bpe_pair_counts",
-    "text_char_entropy",
-    "dedup_substring_pairs",
-    "table_column_stats",
-    "hybrid_search_rrf",
-    "corpus_drift_psi",
-    "q2_min_cost_supplier",
-    "q9_nation_profit",
-    "q12_priority_shipping",
-    "q20_dominant_suppliers",
-    "pipeline_doc_chunks",
-    "linkage_fuzzy_parts",
-    "snapshot_diff_orders",
-    "dedup_minhash",
+    # (d) rows-only freshness at the policy bound + invariant siblings
+    "kmeans_fit_native",
+    "kmeans_fit_mllib",
+    "kmeans_fit_lineitem",
+    "ann_pq_topk",
+    "kmeans_fit_invariants",
+    "mllib_fit_invariants",
+    "pq_train_invariants",
+    # (e) oldest-green fill: round-5 vintage, catalog order
+    "events_funnel",
+    "events_retention_cohorts",
+    "sketch_rollup_weekly_users",
+    "ann_pq_fixed_topk",
+    "pipeline_ngram_contamination",
+    "dedup_canonical_exact",
+    "scd2_user_value_history",
+    "events_ohlc_rollup",
+    "events_gapfill_locf",
+    "events_concurrency_sweep",
+    "events_anomaly_mad",
+    "lm_bigram_logprob",
+    "sketch_countmin_tokens",
+    "sample_weighted_bychars",
+    "docs_pmi_pairs",
+    "embedding_pca_power",
+    "events_ewma",
+    "ab_test_ztest",
+    "attribution_last_touch",
+    "stats_chi2_independence",
+    "orders_pareto_frontier",
+    "events_markov_transitions",
+    "events_autocorr_daily",
+    "events_rolling_corr",
+    "hist_equidepth_prices",
+    "docs_vocab_coverage",
+    "events_dow_seasonality",
+    "orders_mom_growth",
+    "sessions_overlap_pairs",
+    "events_user_lifecycle",
+    "events_engagement_gini",
+    "customers_rfm_segments",
+    "events_stickiness_dau_mau",
+    "sessions_bounce_rate",
 ]
-assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
-# ROUND-12 LEDGER (write the _R12_WINDOW from this once round 11
-# records): compose as (b) any round-11 reds -> (c) round-12
-# new/changed — layout_zorder_pruning, mm_resize_png (batch 34) and
-# mm_decode_quarantine (batch 35) have NO driver record yet (added
-# outside the full r11 window; pre-verified vanilla-green) and are
-# mandatory (a) entries -> (d) rows-only
-# freshness: ann_pq_topk,
-# kmeans_fit_mllib, kmeans_fit_native and kmeans_fit_lineitem MUST
-# re-sample in round 12 (last sampled r10; their r11 slots went to
-# batches 32/33 — the two-round policy bound is round 12, so this is
-# the last compliant round for them); pipeline_bpe_train is sampled in
-# THIS window and ages out at round 13 -> (e) oldest-green fill with all 48 round-5-vintage
-# rows in catalog order (none were sampled in round 11 — batch 32
-# took their slots; recompute the latest-round map from
-# CORRECTNESS_r*.json), then round-7 vintage in catalog order.
-# Rotation risk is PRE-CLEARED one round deep: all 48 round-5-vintage
-# rows were verified vanilla-green at round-10 close.
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+# ROUND-13 LEDGER (write the _R13_WINDOW from this once round 12
+# records): compose as (b) any round-12 reds -> (c) round-13
+# new/changed -> (d) rows-only freshness: pipeline_bpe_train MUST
+# re-sample in round 13 (sampled r11; two-round policy bound), with
+# bpe_train_invariants in the same window; the other four rows-only
+# entries re-sampled in round 12 and age out at round 14 -> (e)
+# oldest-green fill: FIRST the 14 remaining round-5-vintage rows in
+# catalog order (suppliers_nation_hhi, orders_priority_mix_shift,
+# nations_trade_balance, sketch_quantile_rollup, mm_audio_windows,
+# events_ks_two_sample, orders_benford_digits, docs_oov_rate,
+# events_top_paths, cohort_ltv_curves, events_peak_detection,
+# customers_repurchase_intervals, sessions_duration_stats,
+# lineitem_shipping_lead_time — this drains the round-5 bucket), then
+# round-7 vintage in catalog order (recompute the latest-round map
+# from CORRECTNESS_r*.json).
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R11_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R12_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,
@@ -738,6 +720,8 @@ ORACLES: dict[str, str] = {
     "layout_zorder_pruning": PQ17.LAYOUT_ZORDER_PRUNING_SQL,
     "mm_resize_png": PQ16.MM_RESIZE_PNG_SQL,
     "mm_decode_quarantine": PQ17.MM_DECODE_QUARANTINE_SQL,
+    "quality_boost_fit": PQ18.QUALITY_BOOST_FIT_SQL,
+    "quality_boost_holdout": PQ18.QUALITY_BOOST_HOLDOUT_SQL,
     "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,

@@ -483,12 +483,13 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k-NN graph, SemDeDup, ANN verify) reads co-located buckets with
     no exchange before the rank window's.
 
-    Warehouse note: the write lands under the FIXED table name
-    ``knn_cells_bucketed_q`` in the session warehouse — catalog queries
-    must not run concurrently against one warehouse dir (two runs would
-    race the overwrite pre-clean against an active reader).  The
-    single-driver harness serializes runs, so this holds by
-    construction here."""
+    Warehouse note: the table name carries a per-process suffix
+    (``knn_cells_bucketed_q_<pid>``), so two drivers sharing one
+    warehouse dir cannot race the overwrite pre-clean against each
+    other's active reader; within one driver, re-runs overwrite their
+    own table."""
+    import os
+
     from kmeans_mapreduce_spark.plans.kmeans_queries import _fixed_centroids
     from kmeans_mapreduce_spark.plans.pipeline_queries3 import (
         assigned_cells,
@@ -501,7 +502,7 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = assigned_cells(e, _fixed_centroids(spark, sf_dir, k=4))
     tbl = write_bucketed_table(
-        assigned, "knn_cells_bucketed_q", "cell", n_buckets=8
+        assigned, f"knn_cells_bucketed_q_{os.getpid()}", "cell", n_buckets=8
     )
     return rank_cell_pairs(tbl, k_neighbors=3)
 

@@ -485,9 +485,25 @@ def compact_partitions(
         name = st.getPath().getName()
         if "=" not in name:
             continue
+        children = fs.listStatus(st.getPath())
+        nested = [
+            c.getPath().getName()
+            for c in children
+            if c.isDirectory() and "=" in c.getPath().getName()
+        ]
+        if nested:
+            # single-level hive layouts only: a nested layout
+            # (a=1/b=2/...) would count 0 parquet files here and be
+            # silently skipped — surface that instead of no-op'ing
+            raise ValueError(
+                f"compact_partitions supports single-level hive "
+                f"partitioning only; {name!r} contains nested "
+                f"partition dirs (e.g. {nested[0]!r}) — compact each "
+                f"leaf dir, or use compact_parquet on the whole table"
+            )
         files = [
             f
-            for f in fs.listStatus(st.getPath())
+            for f in children
             if f.getPath().getName().endswith(".parquet")
         ]
         if len(files) <= max_files:

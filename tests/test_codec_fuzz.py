@@ -126,3 +126,22 @@ def test_stats_wrappers_reject_garbage_with_valueerror_only(data):
             stats(data)
         except ValueError:
             pass
+
+
+def test_encoders_reject_zero_area_dims():
+    """encode_gif/encode_png must refuse width or height 0: a 0x0 GIF
+    passed the length check then crashed _lzw_compress with IndexError;
+    a 0xH PNG encoded a payload our own decoder's IHDR check rejects.
+    The encoders now share the decoders' >= 1 dimension contract."""
+    import pytest
+
+    from kmeans_mapreduce_spark.operators.multimodal import (
+        encode_gif,
+        encode_png,
+    )
+
+    for w, h in [(0, 0), (0, 5), (5, 0)]:
+        with pytest.raises(ValueError, match=">= 1"):
+            encode_gif(w, h, b"")
+        with pytest.raises(ValueError, match=">= 1"):
+            encode_png(w, h, 1, b"")

@@ -23,43 +23,37 @@ def test_catalog_shapes():
         "pipeline_bpe_train",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — round 11: the new batch-31 queries, every query whose
-    # implementation changed this round (shared ADC assembly, bucketed
-    # overwrite pre-clean, components rounds counter), and the
-    # rows-only freshness re-samples must all be inside
+    # entries — round 12: the three never-recorded queries, the new
+    # boost trainer, every ADVICE-fix consumer, and the rows-only
+    # re-samples at their policy bound (with invariant siblings) must
+    # all be inside
     first50 = list(qs)[:50]
-    from kmeans_mapreduce_spark.plans.catalog import _R11_WINDOW
+    from kmeans_mapreduce_spark.plans.catalog import _R12_WINDOW
 
-    assert first50 == _R11_WINDOW, "driver window drifted from the ledger"
+    assert first50 == _R12_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (c) round-11 additions (VERDICT r10 §next #2-3, batch 31)
-        "ann_rerank_shortlist_sweep",
-        "mm_wav_features",
-        "mm_wav_window_energy",
-        # (c) round-11 additions (batch 32: PNG/AVI codec arms +
-        # codebook sweep, with the changed-consumer histogram sample)
-        "mm_png_decode_stats",
-        "mm_png_pixel_histogram",
-        "mm_avi_frame_sample",
-        "ann_ivf_pq_codebook_sweep",
-        "mm_gif_decode_stats",
-        # (c) round-11 additions (batch 33: the oracle-replayable
-        # stump trainer)
-        "quality_stump_fit",
-        "quality_stump_holdout",
+        # (a) mandatory: no driver record before round 12
+        "layout_zorder_pruning",
+        "mm_resize_png",
+        "mm_decode_quarantine",
+        # (c) round-12 additions (batch 36: the boosted trainer,
+        # VERDICT r11 §next #4)
+        "quality_boost_fit",
+        "quality_boost_holdout",
+        # (c) changed this round (round-11 ADVICE-fix consumers)
         "mm_pnm_tri_histogram",
-        # (c) changed this round
-        "ann_ivf_pq_topk",
-        "ann_ivf_pq_recall",
-        "ann_ivf_pq_probe_sweep",
-        "ann_ivf_pq_rerank_recall",
+        "mm_gif_decode_stats",
+        "mm_png_decode_stats",
         "knn_graph_bucketed",
-        "dedup_components",
-        "dedup_cluster_representatives",
-        # (d) rows-only freshness: the family re-samples as a block in
-        # round 12 (policy bound; slots went to batches 32/33);
-        # pipeline_bpe_train stays as the in-window representative
-        "pipeline_bpe_train",
+        # (d) rows-only freshness at the two-round policy bound,
+        # invariant siblings in the same window (VERDICT r11 #6)
+        "kmeans_fit_native",
+        "kmeans_fit_mllib",
+        "kmeans_fit_lineitem",
+        "ann_pq_topk",
+        "kmeans_fit_invariants",
+        "mllib_fit_invariants",
+        "pq_train_invariants",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

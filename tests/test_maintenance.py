@@ -395,3 +395,19 @@ def test_compact_partitions_recovers_legacy_parked_layout(spark, tmp_path):
         for r in spark.read.parquet(tdir).collect()
     }
     assert after == before
+
+
+def test_compact_partitions_rejects_nested_layout(spark, tmp_path):
+    """Nested hive layouts (a=.../b=.../) hold no top-level .parquet
+    files, so the pre-fix code silently skipped every partition.  The
+    contract is now explicit: single-level only, ValueError otherwise."""
+    import pytest
+
+    from kmeans_mapreduce_spark.sources.maintenance import compact_partitions
+
+    tdir = str(tmp_path / "nested")
+    spark.range(100).selectExpr(
+        "id AS k", "id % 2 AS a", "id % 3 AS b"
+    ).write.partitionBy("a", "b").parquet(tdir)
+    with pytest.raises(ValueError, match="single-level"):
+        compact_partitions(spark, tdir, max_files=0)

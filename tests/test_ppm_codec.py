@@ -269,3 +269,28 @@ def test_decode_generated_headers_pbm(w, h, s1, s2, last, data):
         b"P4" + s1 + str(w).encode() + s2 + str(h).encode() + last + px
     )
     assert _decode_pbm(payload) == (w, h, px)
+
+
+def test_histogram_gif_branch_rejects_gct_less_gif(spark):
+    """The histogram's GIF branch must mirror _gif_stats on a
+    structurally valid GIF with NO global color table: raise the
+    contract ValueError, not an IndexError from an empty palette
+    lookup (found by review in round 11's ADVICE)."""
+    import struct
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HHBBB", 2, 1, 0x00, 0, 0)  # NO global color table
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+    gif.append(2)
+    gif += bytes([2, 0x0C, 0x0A]) + b"\x00\x3b"
+    df = spark.createDataFrame(
+        [(1, bytearray(gif), MM.GIF_MIME)], MM.MEDIA_SCHEMA
+    )
+    with pytest.raises((PythonException, Py4JJavaError)) as exc:
+        MM.ppm_pixel_histogram(df).collect()
+    assert "global color table" in str(exc.value)
+    assert "IndexError" not in str(exc.value)
