@@ -201,6 +201,29 @@ _CB_LEVELS = (2, 4, 8, 16)
 # once per process, same rationale as pipeline_queries14._TRAIN_MEMO
 _CB_MEMO: dict[tuple[str, int], list] = {}
 
+# The trained-calibration family is FROZEN AT FIVE queries (round-11
+# VERDICT watch item: "five is the right place to stop: the four axes
+# are complete").  Each member retrains the IVF-PQ index AND the brute
+# ground truth inside a vanilla oracle session — that rebuild is BY
+# DESIGN (DuckDB must replay training), and _TRAIN_MEMO/_CB_MEMO
+# already share it within a process, but the cost is real: ~100 s
+# combined build at sf0.001 (PLAN_INVENTORY.md records the measured
+# per-round total; budget for the family is ~120 s).  Before ANY sixth
+# trained-index query joins this family, land a shared-prefix plan
+# first: one `_trained_ivfpq` product (coarse centroids + probe lists
+# + codebooks + brute top-k) built once per gate run and consumed by
+# every sweep.  tests/test_contract.py pins the membership — a new
+# ann_* calibration query fails there until this comment's plan exists.
+TRAINED_CALIBRATION_FAMILY = frozenset(
+    {
+        "ann_ivf_pq_recall",          # the headline recall@10 readout
+        "ann_ivf_pq_probe_sweep",     # n_probe axis
+        "ann_ivf_pq_rerank_recall",   # exact-rerank axis
+        "ann_rerank_shortlist_sweep", # shortlist-size axis
+        "ann_ivf_pq_codebook_sweep",  # codebook-count (m) axis
+    }
+)
+
 
 def _train_books_m(e: DataFrame, sf_dir: str, m: int) -> list:
     """Codebook training for an arbitrary subquantizer count — the

@@ -96,3 +96,30 @@ def test_scale_baseline_covers_catalog():
     )
     missing = sorted(set(e.queries()) - set(base))
     assert not missing, f"queries missing from scale baseline: {missing}"
+
+
+def test_trained_calibration_family_is_frozen_at_five():
+    """The trained-calibration family (each member retrains IVF-PQ
+    products + brute ground truth per vanilla oracle session) is
+    FROZEN at five axes per the round-11 verdict.  A sixth trained
+    sweep/recall query must not join until the shared-prefix plan
+    documented at pipeline_queries16.TRAINED_CALIBRATION_FAMILY
+    exists — update the family constant AND that plan together."""
+    import __spark_entry__ as e
+    from kmeans_mapreduce_spark.plans.pipeline_queries16 import (
+        TRAINED_CALIBRATION_FAMILY,
+    )
+
+    qs = set(e.queries())
+    assert TRAINED_CALIBRATION_FAMILY <= qs
+    assert len(TRAINED_CALIBRATION_FAMILY) == 5
+    pattern_members = {
+        q
+        for q in qs
+        if (q.startswith("ann_ivf_pq_") and ("recall" in q or "sweep" in q))
+        or q.startswith("ann_rerank_")
+    }
+    assert pattern_members == TRAINED_CALIBRATION_FAMILY, (
+        "trained-calibration family changed without updating the "
+        f"frozen constant: {pattern_members ^ TRAINED_CALIBRATION_FAMILY}"
+    )

@@ -116,6 +116,25 @@ def main() -> None:
     for r in rows:
         print("| " + " | ".join(str(x) for x in r) + " |")
 
+    # the trained-calibration family's build budget (frozen at five —
+    # see pipeline_queries16.TRAINED_CALIBRATION_FAMILY): report the
+    # measured combined build time so growth is visible per round
+    from kmeans_mapreduce_spark.plans.pipeline_queries16 import (
+        TRAINED_CALIBRATION_FAMILY,
+    )
+
+    fam = [r for r in rows if r[0] in TRAINED_CALIBRATION_FAMILY]
+    total = sum(
+        float(r[-1]) for r in fam if not str(r[-1]).startswith("ERR")
+    )
+    print()
+    print(
+        f"Trained-calibration family ({len(fam)} queries, frozen at 5): "
+        f"combined build {total:.1f} s (budget ~120 s — a growing total "
+        "here means a sixth trained query joined without the "
+        "shared-prefix plan)."
+    )
+
 
 if __name__ == "__main__":
     main()

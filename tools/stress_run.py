@@ -136,6 +136,7 @@ PHASE_D = [
     "graph_pagerank_sqrtcells",
     "graph_triangle_sqrtcells",
     "knn_bucketed_ab",
+    "zorder_pruning_ab",
 ]
 
 
@@ -234,6 +235,129 @@ def knn_bucketed_ab(spark, results: dict) -> int:
         e.unpersist()
 
 
+def zorder_pruning_ab(spark, results: dict) -> int:
+    """The Z-order footer-skipping claim, EXECUTED on physically
+    written files (round-11 VERDICT §next #3): write the sf0.1 orders
+    table (150k rows) as 64 parquet files twice — linear
+    (repartitionByRange on o_orderkey, the insert-order layout) and
+    via write_zordered on the catalog query's (x, y) = (custkey%256,
+    floor(totalprice)%256) — then push the SAME 64x64 box predicate
+    through the parquet reader on each layout and record what the
+    scan PHYSICALLY did:
+
+      files_stat_hit   files whose footer (x, y) stats intersect the
+                       box (pyarrow row-group min/max — what a
+                       min/max reader decodes; the rest are footer-
+                       open-then-skip)
+      rows_decoded     the FileSourceScan's numOutputRows metric =
+                       rows the vectorized reader actually decoded
+                       after row-group skipping (AQE off so the
+                       executed plan exposes the scan leaf directly)
+
+    Both layouts must return identical result rows; the Z-order
+    layout must decode a small fraction of the linear layout's.
+    Range-partition file boundaries don't align exactly with 32x32
+    curve tiles (equal-COUNT ranges), so the physical hit count runs
+    a little above the bucket model's 4-of-64 — that gap is the
+    honest difference between the model readout
+    (layout_zorder_pruning) and written files."""
+    import pyarrow.parquet as pq
+
+    from kmeans_mapreduce_spark.plans.pipeline_queries17 import _ZO_BOX
+    from kmeans_mapreduce_spark.sources.zorder import write_zordered
+
+    xlo, xhi, ylo, yhi = _ZO_BOX
+    base = Path(STRESS_DIR) / "zorder_ab"
+    o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (F.floor("o_totalprice").cast("long") % 256).alias("y"),
+    )
+
+    def footer_hits(path: str) -> tuple[int, int]:
+        """(files whose x/y row-group stats intersect the box, total
+        files) — the decision a min/max reader makes per footer."""
+        hit = total = 0
+        for f in sorted(Path(path).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    nm, st = col.path_in_schema, col.statistics
+                    if nm in lo:
+                        lo[nm] = st.min if lo[nm] is None else min(lo[nm], st.min)
+                        hi[nm] = st.max if hi[nm] is None else max(hi[nm], st.max)
+            total += 1
+            if (
+                hi["x"] >= xlo
+                and lo["x"] <= xhi
+                and hi["y"] >= ylo
+                and lo["y"] <= yhi
+            ):
+                hit += 1
+        return hit, total
+
+    def scan_decoded(path: str) -> tuple[int, int]:
+        """(result rows, rows the scan decoded) for the box query."""
+        df = spark.read.parquet(path).where(
+            (F.col("x") >= xlo)
+            & (F.col("x") <= xhi)
+            & (F.col("y") >= ylo)
+            & (F.col("y") <= yhi)
+        )
+        n = len(df.collect())
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        decoded = -1
+        for i in range(leaves.length()):
+            node = leaves.apply(i)
+            if "FileSourceScan" in node.getClass().getName():
+                decoded = node.metrics().apply("numOutputRows").value()
+        return n, decoded
+
+    try:
+        t0 = time.time()
+        (
+            o.repartitionByRange(64, "o_orderkey")
+            .sortWithinPartitions("o_orderkey")
+            .write.mode("overwrite")
+            .parquet(str(base / "linear"))
+        )
+        write_zordered(o, str(base / "zorder"), "x", "y", 64)
+        write_sec = round(time.time() - t0, 1)
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            lin_rows, lin_decoded = scan_decoded(str(base / "linear"))
+            zo_rows, zo_decoded = scan_decoded(str(base / "zorder"))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        lin_hit, lin_total = footer_hits(str(base / "linear"))
+        zo_hit, zo_total = footer_hits(str(base / "zorder"))
+        ok = (
+            lin_rows == zo_rows
+            and zo_decoded < lin_decoded // 4
+            and zo_hit < lin_hit
+        )
+        results["zorder_pruning_ab"] = {
+            "write_both_sec": write_sec,
+            "result_rows": lin_rows,
+            "results_equal": lin_rows == zo_rows,
+            "linear_files_stat_hit": f"{lin_hit}/{lin_total}",
+            "zorder_files_stat_hit": f"{zo_hit}/{zo_total}",
+            "linear_rows_decoded": lin_decoded,
+            "zorder_rows_decoded": zo_decoded,
+        }
+        print(f"D zorder A/B: {results['zorder_pruning_ab']}", file=sys.stderr)
+        return 0 if ok else 1
+    except Exception as exc:  # noqa: BLE001
+        results["zorder_pruning_ab"] = {"error": str(exc)[:300]}
+        print(f"D zorder A/B: ERROR {exc}", file=sys.stderr)
+        return 1
+
+
 def phase_d(spark, results: dict, names: list[str]) -> int:
     from kmeans_mapreduce_spark.operators.graph import (
         pagerank,
@@ -247,6 +371,8 @@ def phase_d(spark, results: dict, names: list[str]) -> int:
     rc = 0
     if "knn_bucketed_ab" in names:
         rc = knn_bucketed_ab(spark, results) or rc
+    if "zorder_pruning_ab" in names:
+        rc = zorder_pruning_ab(spark, results) or rc
     if not ({"graph_pagerank_sqrtcells", "graph_triangle_sqrtcells"} & set(names)):
         return rc
     t0 = time.time()
