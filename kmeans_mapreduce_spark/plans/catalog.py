@@ -565,6 +565,10 @@ _R12_WINDOW = [
     "mm_gif_decode_stats",
     "mm_png_decode_stats",
     "knn_graph_bucketed",
+    # (c) changed this round (the split search deduped: _stump_search
+    # now delegates to _weighted_stump_search — both consumers sampled)
+    "quality_stump_fit",
+    "quality_stump_holdout",
     # (d) rows-only freshness at the policy bound + invariant siblings
     "kmeans_fit_native",
     "kmeans_fit_mllib",
@@ -606,8 +610,6 @@ _R12_WINDOW = [
     "events_user_lifecycle",
     "events_engagement_gini",
     "customers_rfm_segments",
-    "events_stickiness_dau_mau",
-    "sessions_bounce_rate",
 ]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 # ROUND-13 LEDGER (write the _R13_WINDOW from this once round 12
@@ -616,8 +618,9 @@ assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 # re-sample in round 13 (sampled r11; two-round policy bound), with
 # bpe_train_invariants in the same window; the other four rows-only
 # entries re-sampled in round 12 and age out at round 14 -> (e)
-# oldest-green fill: FIRST the 14 remaining round-5-vintage rows in
-# catalog order (suppliers_nation_hhi, orders_priority_mix_shift,
+# oldest-green fill: FIRST the 16 remaining round-5-vintage rows in
+# catalog order (events_stickiness_dau_mau, sessions_bounce_rate,
+# suppliers_nation_hhi, orders_priority_mix_shift,
 # nations_trade_balance, sketch_quantile_rollup, mm_audio_windows,
 # events_ks_two_sample, orders_benford_digits, docs_oov_rate,
 # events_top_paths, cohort_ltv_curves, events_peak_detection,

@@ -487,7 +487,8 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``knn_cells_bucketed_q_<pid>``), so two drivers sharing one
     warehouse dir cannot race the overwrite pre-clean against each
     other's active reader; within one driver, re-runs overwrite their
-    own table."""
+    own table, and each run first reaps tables/dirs left by DEAD pids
+    so the suffix scheme cannot accumulate warehouse copies."""
     import os
 
     from kmeans_mapreduce_spark.plans.kmeans_queries import _fixed_centroids
@@ -495,12 +496,16 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned_cells,
         rank_cell_pairs,
     )
-    from kmeans_mapreduce_spark.sources.bucketed import write_bucketed_table
+    from kmeans_mapreduce_spark.sources.bucketed import (
+        reap_stale_pid_tables,
+        write_bucketed_table,
+    )
 
     e = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     assigned = assigned_cells(e, _fixed_centroids(spark, sf_dir, k=4))
+    reap_stale_pid_tables(spark, "knn_cells_bucketed_q_")
     tbl = write_bucketed_table(
         assigned, f"knn_cells_bucketed_q_{os.getpid()}", "cell", n_buckets=8
     )

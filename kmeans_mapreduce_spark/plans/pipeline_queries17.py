@@ -161,19 +161,34 @@ def _stump_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stump_search(fx: DataFrame) -> DataFrame:
     """The distributed exhaustive split search over a dense feature
-    frame: ONE shuffle to per-(feature, value) class counts, windowed
-    prefix sums in value order (partitioned by feature — each
-    partition is bounded by the feature's distinct-value count, never
-    by N), both stump orientations scored exactly, and a global
-    (n_err, j, theta) ranking.  This is the CART/GBDT split-search
-    building block as a Catalyst plan; at 100 TB the candidate frame
-    is |features| x |distinct values| rows — layout-independent of the
-    corpus size."""
+    frame — the w=1 face of `_weighted_stump_search` (ONE
+    implementation of the candidate frame / prefix sums / orientation
+    scoring / tie-break, so the fit and boost trainers cannot
+    diverge), with the weighted-error column renamed to the count
+    this search historically reports."""
+    return _weighted_stump_search(
+        fx.withColumn("w", F.lit(1))
+    ).withColumnRenamed("w_err", "n_err")
+
+
+def _weighted_stump_search(fx: DataFrame) -> DataFrame:
+    """The distributed exhaustive split search over a dense feature
+    frame with integer sample weights (``fx`` carries doc_id, y, j,
+    v, w): ONE shuffle to per-(feature, value) class WEIGHT SUMS,
+    windowed prefix sums in value order (partitioned by feature —
+    each partition is bounded by the feature's distinct-value count,
+    never by N), both stump orientations' exact weighted errors, and
+    a global (w_err, j, theta) ranking.  This is the CART/GBDT
+    split-search building block as a Catalyst plan; at 100 TB the
+    candidate frame is |features| x |distinct values| rows —
+    layout-independent of the corpus size.  Weights of 1 reduce it to
+    the plain search (`_stump_search` is exactly that wrapper); the
+    boost trainer (pipeline_queries18) feeds doubling powers of two."""
     from pyspark.sql import Window
 
     cnt = fx.groupBy("j", "v").agg(
-        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("pos"),
-        F.sum(F.when(F.col("y") == -1, 1).otherwise(0)).alias("neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(0)).alias("neg"),
     )
     wpre = (
         Window.partitionBy("j")
@@ -205,7 +220,7 @@ def _stump_search(fx: DataFrame) -> DataFrame:
     return scored.select(
         "j",
         "theta",
-        F.least("err_ge", "err_lt").cast("bigint").alias("n_err"),
+        F.least("err_ge", "err_lt").cast("bigint").alias("w_err"),
         (F.col("err_ge") <= F.col("err_lt")).alias("ge_is_pos"),
         F.row_number().over(wrank).alias("rank"),
     )

@@ -41,6 +41,7 @@ from kmeans_mapreduce_spark.plans.pipeline_queries17 import (
     _ST_CTES,
     _ST_D,
     _stump_features,
+    _weighted_stump_search,
 )
 
 _BQ_R = 68      # ratio-clause threshold (feature 32, per-1024 stopwords)
@@ -79,56 +80,6 @@ def _boost_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx.drop("y")
         .join(lab, "doc_id")
         .select("doc_id", F.col("y2").alias("y"), "j", "v")
-    )
-
-
-def _weighted_stump_search(fxw: DataFrame) -> DataFrame:
-    """The round-11 exhaustive split search generalized to integer
-    sample weights: identical plan shape (ONE shuffle to the
-    |features| x |distinct values| candidate frame, feature-partitioned
-    prefix-sum windows, exact integer error counts, deterministic
-    (w_err, j, theta) ranking) with class COUNTS replaced by class
-    WEIGHT SUMS.  ``fxw`` carries (doc_id, y, j, v, w); weights of 1
-    reduce this to pipeline_queries17._stump_search exactly."""
-    from pyspark.sql import Window
-
-    cnt = fxw.groupBy("j", "v").agg(
-        F.sum(F.when(F.col("y") == 1, F.col("w")).otherwise(0)).alias("pos"),
-        F.sum(F.when(F.col("y") == -1, F.col("w")).otherwise(0)).alias("neg"),
-    )
-    wpre = (
-        Window.partitionBy("j")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wtot = Window.partitionBy("j")
-    pre = cnt.select(
-        "j",
-        F.col("v").alias("theta"),
-        F.coalesce(F.sum("pos").over(wpre), F.lit(0)).alias("pos_below"),
-        F.coalesce(F.sum("neg").over(wpre), F.lit(0)).alias("neg_below"),
-        F.sum("pos").over(wtot).alias("pos_tot"),
-        F.sum("neg").over(wtot).alias("neg_tot"),
-    )
-    scored = pre.select(
-        "j",
-        "theta",
-        (F.col("pos_below") + F.col("neg_tot") - F.col("neg_below")).alias(
-            "err_ge"
-        ),
-        (F.col("pos_tot") - F.col("pos_below") + F.col("neg_below")).alias(
-            "err_lt"
-        ),
-    )
-    wrank = Window.orderBy(
-        F.least("err_ge", "err_lt"), F.col("j"), F.col("theta")
-    )
-    return scored.select(
-        "j",
-        "theta",
-        F.least("err_ge", "err_lt").cast("bigint").alias("w_err"),
-        (F.col("err_ge") <= F.col("err_lt")).alias("ge_is_pos"),
-        F.row_number().over(wrank).alias("rank"),
     )
 
 

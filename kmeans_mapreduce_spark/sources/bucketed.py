@@ -92,3 +92,43 @@ def write_bucketed_table(
         w = w.option("path", path)
     w.saveAsTable(table)
     return df.sparkSession.table(table)
+
+
+def reap_stale_pid_tables(spark, prefix: str) -> list[str]:
+    """Remove per-process bucketed tables (``<prefix><pid>``) left by
+    DEAD driver processes — the cleanup half of the pid-suffix naming
+    that makes concurrent drivers sharing one warehouse safe.
+
+    A live process's table is never touched (``os.kill(pid, 0)``
+    probes liveness; PermissionError still means alive).  Covers both
+    faces of staleness: catalog entries in THIS session (dropped via
+    SQL so the managed location goes with them) and on-disk warehouse
+    directories from PREVIOUS sessions (the in-memory catalog forgot
+    them, so they are swept directly).  Returns what was removed."""
+    import os
+
+    def alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
+    def stale_pid(name: str) -> bool:
+        tail = name[len(prefix):]
+        return tail.isdigit() and not alive(int(tail))
+
+    removed: list[str] = []
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and stale_pid(t.name):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            removed.append(f"table:{t.name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        for d in Path(wh.path).glob(f"{prefix}*"):
+            if d.is_dir() and stale_pid(d.name):
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(f"dir:{d.name}")
+    return removed

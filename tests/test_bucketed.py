@@ -120,3 +120,43 @@ def test_overwrite_preserves_external_data_of_prior_table(
         assert tbl.count() == assigned.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_overwrite_t")
+
+
+def test_reap_stale_pid_tables_removes_only_dead_pids(spark):
+    """The pid-suffix naming's cleanup half: a catalog table and a
+    bare warehouse dir named for a DEAD pid are removed; the LIVE
+    process's table and non-matching names survive."""
+    import os
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    from kmeans_mapreduce_spark.sources.bucketed import (
+        reap_stale_pid_tables,
+        write_bucketed_table,
+    )
+
+    dead = 2**22 + 1234  # beyond this container's pid space
+    live = os.getpid()
+    df = spark.range(10).selectExpr("id", "id % 2 AS b")
+    write_bucketed_table(df, f"reaptest_{dead}", "b", 2)
+    write_bucketed_table(df, f"reaptest_{live}", "b", 2)
+    write_bucketed_table(df, "reaptest_notapid", "b", 2)
+    # plus an orphaned warehouse dir with no catalog entry (a prior
+    # session's leftover)
+    wh = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+    orphan = wh / f"reaptest_{dead + 1}"
+    orphan.mkdir(parents=True, exist_ok=True)
+    (orphan / "part-x.parquet").write_text("stub")
+
+    removed = reap_stale_pid_tables(spark, "reaptest_")
+    try:
+        assert f"table:reaptest_{dead}" in removed
+        assert f"dir:reaptest_{dead + 1}" in removed
+        assert not spark.catalog.tableExists(f"reaptest_{dead}")
+        assert not orphan.exists()
+        assert spark.catalog.tableExists(f"reaptest_{live}")
+        assert spark.table(f"reaptest_{live}").count() == 10
+        assert spark.catalog.tableExists("reaptest_notapid")
+    finally:
+        for t in (f"reaptest_{live}", "reaptest_notapid"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -45,6 +45,9 @@ def test_catalog_shapes():
         "mm_gif_decode_stats",
         "mm_png_decode_stats",
         "knn_graph_bucketed",
+        # (c) consumers of the deduped split search
+        "quality_stump_fit",
+        "quality_stump_holdout",
         # (d) rows-only freshness at the two-round policy bound,
         # invariant siblings in the same window (VERDICT r11 #6)
         "kmeans_fit_native",

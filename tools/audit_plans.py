@@ -124,15 +124,22 @@ def main() -> None:
     )
 
     fam = [r for r in rows if r[0] in TRAINED_CALIBRATION_FAMILY]
+    errored = [r[0] for r in fam if str(r[-1]).startswith("ERR")]
     total = sum(
         float(r[-1]) for r in fam if not str(r[-1]).startswith("ERR")
     )
     print()
+    err_note = (
+        f" EXCLUDING {len(errored)} ERRORED member(s): {errored} —"
+        " fix before trusting the total"
+        if errored
+        else ""
+    )
     print(
         f"Trained-calibration family ({len(fam)} queries, frozen at 5): "
-        f"combined build {total:.1f} s (budget ~120 s — a growing total "
-        "here means a sixth trained query joined without the "
-        "shared-prefix plan)."
+        f"combined build {total:.1f} s{err_note} (budget ~120 s — a "
+        "growing total here means a sixth trained query joined without "
+        "the shared-prefix plan)."
     )
 
 

@@ -268,7 +268,7 @@ def zorder_pruning_ab(spark, results: dict) -> int:
 
     xlo, xhi, ylo, yhi = _ZO_BOX
     base = Path(STRESS_DIR) / "zorder_ab"
-    o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet").select(
+    o = spark.read.parquet(f"{SF01}/orders.parquet").select(
         "o_orderkey",
         (F.col("o_custkey") % 256).cast("long").alias("x"),
         (F.floor("o_totalprice").cast("long") % 256).alias("y"),
@@ -287,10 +287,15 @@ def zorder_pruning_ab(spark, results: dict) -> int:
                 for c in range(rg.num_columns):
                     col = rg.column(c)
                     nm, st = col.path_in_schema, col.statistics
-                    if nm in lo:
+                    if nm in lo and st is not None and st.has_min_max:
                         lo[nm] = st.min if lo[nm] is None else min(lo[nm], st.min)
                         hi[nm] = st.max if hi[nm] is None else max(hi[nm], st.max)
             total += 1
+            if lo["x"] is None or lo["y"] is None:
+                # zero-row part file (range sampling can cut an empty
+                # partition) or stats-less chunk: nothing decodable, a
+                # stats reader skips it — count the file, not a hit
+                continue
             if (
                 hi["x"] >= xlo
                 and lo["x"] <= xhi
@@ -310,11 +315,19 @@ def zorder_pruning_ab(spark, results: dict) -> int:
         )
         n = len(df.collect())
         leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
-        decoded = -1
+        decoded = None
         for i in range(leaves.length()):
             node = leaves.apply(i)
             if "FileSourceScan" in node.getClass().getName():
                 decoded = node.metrics().apply("numOutputRows").value()
+        if decoded is None:
+            # make a metric-extraction miss (e.g. the read planned as a
+            # differently-named scan node) self-explaining instead of a
+            # bogus pruning-regression readout
+            raise RuntimeError(
+                "no FileSourceScan leaf in the executed plan — scan "
+                "metric extraction needs updating for this Spark version"
+            )
         return n, decoded
 
     try:
