@@ -141,3 +141,54 @@ def test_boost_holdout_beats_single_stump_on_real_docs(spark, sf_dir):
     assert row["n_test"] > 0
     assert row["ens_n_err"] < row["stump_n_err"]
     assert row["ens_acc_ppm"] > row["stump_acc_ppm"]
+
+
+def test_weighted_search_matches_brute_enumeration(spark):
+    """Property pin: on small random dense frames, every candidate row
+    the distributed weighted search emits — weighted error, orientation
+    choice, AND the (w_err, j, theta) rank order — equals a pure-Python
+    brute enumeration of all (feature, theta, orientation) pairs.
+    Deterministic seed batch (a hypothesis-style sweep without per-
+    example Spark-job cost: 6 generated frames in one session)."""
+    import random
+
+    rng = random.Random(20260816)
+    for case in range(6):
+        n_docs = rng.randint(2, 7)
+        n_feat = rng.randint(1, 3)
+        rows = []
+        for d in range(n_docs):
+            y = rng.choice([1, -1])
+            w = rng.randint(1, 3)
+            for j in range(n_feat):
+                rows.append((d, y, j, rng.randint(0, 4), w))
+        # brute: for each (j, theta) candidate, weighted errors of both
+        # orientations; chosen = min, ge wins ties
+        docs = {}
+        for d, y, j, v, w in rows:
+            docs.setdefault(d, {"y": y, "w": w, "v": {}})["v"][j] = v
+        expect = []
+        for j in range(n_feat):
+            for theta in sorted({r[3] for r in rows if r[2] == j}):
+                err_ge = sum(
+                    i["w"]
+                    for i in docs.values()
+                    if (1 if i["v"][j] >= theta else -1) != i["y"]
+                )
+                err_lt = sum(
+                    i["w"]
+                    for i in docs.values()
+                    if (1 if i["v"][j] < theta else -1) != i["y"]
+                )
+                expect.append(
+                    (min(err_ge, err_lt), j, theta, err_ge <= err_lt)
+                )
+        expect.sort()
+        fx = spark.createDataFrame(
+            rows, "doc_id long, y int, j int, v long, w int"
+        )
+        got = [
+            (r["w_err"], r["j"], r["theta"], r["ge_is_pos"])
+            for r in _weighted_stump_search(fx).orderBy("rank").collect()
+        ]
+        assert got == expect, f"case {case}: {got} != {expect}"
