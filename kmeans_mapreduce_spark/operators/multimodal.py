@@ -1923,6 +1923,13 @@ def gif_decode_stats(df: DataFrame) -> DataFrame:
             out = {k: [] for k in GIF_STATS_SCHEMA.fieldNames()}
             for mid, payload in zip(batch["media_id"], batch["payload"]):
                 w, h, idx, gct = _decode_gif(bytes(payload))
+                if not gct:
+                    # same contract as _gif_stats: no palette, no
+                    # mapped values — ValueError, never IndexError
+                    raise ValueError(
+                        "GIF without a global color table — "
+                        "no palette to map"
+                    )
                 arr = np.frombuffer(idx, dtype=np.uint8)
                 pal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[:, 0]
                 px = pal[arr].astype(np.int64)

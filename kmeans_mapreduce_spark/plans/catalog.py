@@ -547,11 +547,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     its *_invariants sibling IN THE SAME WINDOW (VERDICT r11 #6):
 #     kmeans_fit_invariants, mllib_fit_invariants, pq_train_invariants
 #     (bpe_train_invariants' principal was sampled r11, ages out r13);
-# (e) oldest-driver-green fill: the first 34 round-5-vintage rows in
-#     catalog order (the remaining 14 — suppliers_nation_hhi through
+# (e) oldest-driver-green fill: the first 32 round-5-vintage rows in
+#     catalog order (the remaining 16 — events_stickiness_dau_mau and
+#     sessions_bounce_rate, whose slots went to the stump-refactor
+#     consumers, then suppliers_nation_hhi through
 #     lineitem_shipping_lead_time — queue for round 13, all
-#     pre-verified vanilla-green at round-10 close and 6 re-sampled
-#     green by the round-11 judge).
+#     pre-verified vanilla-green at round-10 close, 6 re-sampled green
+#     by the round-11 judge, and ALL re-verified green in the round-12
+#     final-HEAD full-catalog sweep).
 _R12_WINDOW = [
     # (a) mandatory: no driver record yet
     "layout_zorder_pruning",

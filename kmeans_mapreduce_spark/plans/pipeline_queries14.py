@@ -488,7 +488,10 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse dir cannot race the overwrite pre-clean against each
     other's active reader; within one driver, re-runs overwrite their
     own table, and each run first reaps tables/dirs left by DEAD pids
-    so the suffix scheme cannot accumulate warehouse copies."""
+    (best-effort: a recycled pid defers that entry's cleanup to a
+    later run — see reap_stale_pid_tables), so warehouse copies stay
+    bounded by the handful of live-or-recycled pid entries instead of
+    growing with driver churn."""
     import os
 
     from kmeans_mapreduce_spark.plans.kmeans_queries import _fixed_centroids

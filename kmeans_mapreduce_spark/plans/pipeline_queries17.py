@@ -75,19 +75,42 @@ fx AS MATERIALIZED (
   FROM docs, UNNEST(range(0, {_ST_D})) AS u(j))"""
 
 
-def _stump_search_ctes(train_filter: str = "") -> str:
+def _stump_search_ctes(
+    train_filter: str = "",
+    *,
+    src: str = "fx",
+    weights: str | None = None,
+    suffix: str = "",
+) -> str:
     """The distributed exhaustive split search as CTEs: per-(feature,
     value) class counts, windowed prefix sums in value order, both
     stump orientations' exact error counts, and the deterministic
-    (err, j, v)-ordered candidate ranking."""
+    (err, j, v)-ordered candidate ranking.
+
+    This is the ONE SQL implementation of the search — the mirror of
+    `_weighted_stump_search` being the one Spark implementation.
+    ``weights`` names a (doc_id, w) CTE: counts become weight sums
+    (the boost oracle's per-round form; pass the filter at the ``src``
+    CTE instead).  ``suffix`` namespaces the blocks (cnt{s}/pre{s}/
+    scored{s}/ranked{s}) so callers can chain several searches."""
+    assert not (weights and train_filter), "filter the src CTE instead"
     flt = f" WHERE {train_filter}" if train_filter else ""
-    return f""",
-cnt AS (
+    s = suffix
+    if weights:
+        cnt_body = f"""
+  SELECT f.j AS j, f.v AS v,
+         SUM(CASE WHEN f.y = 1 THEN w.w ELSE 0 END) AS pos,
+         SUM(CASE WHEN f.y = -1 THEN w.w ELSE 0 END) AS neg
+  FROM {src} f JOIN {weights} w USING (doc_id) GROUP BY f.j, f.v"""
+    else:
+        cnt_body = f"""
   SELECT j, v,
          SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos,
          SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS neg
-  FROM fx{flt} GROUP BY j, v),
-pre AS (
+  FROM {src}{flt} GROUP BY j, v"""
+    return f""",
+cnt{s} AS ({cnt_body}),
+pre{s} AS (
   SELECT j, v,
          COALESCE(SUM(pos) OVER (PARTITION BY j ORDER BY v
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_below,
@@ -95,20 +118,20 @@ pre AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below,
          SUM(pos) OVER (PARTITION BY j) AS pos_tot,
          SUM(neg) OVER (PARTITION BY j) AS neg_tot
-  FROM cnt),
-scored AS (
+  FROM cnt{s}),
+scored{s} AS (
   SELECT j, v AS theta,
          pos_below + (neg_tot - neg_below) AS err_ge,
          (pos_tot - pos_below) + neg_below AS err_lt
-  FROM pre),
-ranked AS (
+  FROM pre{s}),
+ranked{s} AS (
   SELECT j, theta,
          CASE WHEN err_ge <= err_lt THEN err_ge ELSE err_lt END AS n_err,
          err_ge <= err_lt AS ge_is_pos,
          ROW_NUMBER() OVER (
            ORDER BY CASE WHEN err_ge <= err_lt THEN err_ge ELSE err_lt END,
                     j, theta) AS rank
-  FROM scored)"""
+  FROM scored{s})"""
 
 
 def _stump_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,7 @@ from kmeans_mapreduce_spark.plans.pipeline_queries17 import (
     _ST_CTES,
     _ST_D,
     _stump_features,
+    _stump_search_ctes,
     _weighted_stump_search,
 )
 
@@ -203,32 +204,13 @@ fball AS (
 fb AS (SELECT * FROM fball{flt}),
 w1 AS (SELECT DISTINCT doc_id, 1 AS w FROM fb)"""
     for r in range(1, _BQ_ROUNDS + 1):
+        # the ONE search template (pipeline_queries17._stump_search_ctes)
+        # in its weighted per-round form, then the round's winner
+        sql += _stump_search_ctes(src="fb", weights=f"w{r}", suffix=str(r))
         sql += f""",
-cnt{r} AS (
-  SELECT f.j, f.v,
-         SUM(CASE WHEN f.y = 1 THEN w.w ELSE 0 END) AS pos,
-         SUM(CASE WHEN f.y = -1 THEN w.w ELSE 0 END) AS neg
-  FROM fb f JOIN w{r} w USING (doc_id) GROUP BY f.j, f.v),
-pre{r} AS (
-  SELECT j, v,
-         COALESCE(SUM(pos) OVER (PARTITION BY j ORDER BY v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_below,
-         COALESCE(SUM(neg) OVER (PARTITION BY j ORDER BY v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below,
-         SUM(pos) OVER (PARTITION BY j) AS pos_tot,
-         SUM(neg) OVER (PARTITION BY j) AS neg_tot
-  FROM cnt{r}),
 best{r} AS (
-  SELECT j, theta,
-         CASE WHEN err_ge <= err_lt THEN err_ge ELSE err_lt END AS w_err,
-         err_ge <= err_lt AS ge_is_pos
-  FROM (
-    SELECT j, v AS theta,
-           pos_below + (neg_tot - neg_below) AS err_ge,
-           (pos_tot - pos_below) + neg_below AS err_lt
-    FROM pre{r})
-  ORDER BY CASE WHEN err_ge <= err_lt THEN err_ge ELSE err_lt END, j, theta
-  LIMIT 1)"""
+  SELECT j, theta, n_err AS w_err, ge_is_pos
+  FROM ranked{r} WHERE rank = 1)"""
         if r < _BQ_ROUNDS:
             sql += f""",
 w{r + 1} AS (
@@ -316,6 +298,10 @@ def quality_boost_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOTE_UNION = "\n        UNION ALL ".join(
+    f"SELECT {r} AS rnd, * FROM best{r}" for r in range(1, _BQ_ROUNDS + 1)
+)
+
 QUALITY_BOOST_HOLDOUT_SQL = (
     _ST_CTES
     + _boost_ctes(train_filter="doc_id % 2 = 0")
@@ -330,9 +316,7 @@ teval AS (
                      OR (NOT b.ge_is_pos AND f.v < b.theta)
                     THEN 1 ELSE -1 END ELSE 0 END) AS v1
   FROM (SELECT * FROM fball WHERE doc_id % 2 = 1) f
-  JOIN (SELECT 1 AS rnd, * FROM best1
-        UNION ALL SELECT 2, * FROM best2
-        UNION ALL SELECT 3, * FROM best3) b
+  JOIN (__VOTES__) b
     ON f.j = b.j
   GROUP BY f.doc_id, f.y),
 sizes AS (
@@ -350,5 +334,5 @@ SELECT CAST(n_train AS BIGINT) AS n_train,
        CAST((n_test - stump_err) * 1000000 // n_test AS BIGINT)
          AS stump_acc_ppm
 FROM sizes
-"""
+""".replace("__VOTES__", _VOTE_UNION)
 )

@@ -104,7 +104,14 @@ def reap_stale_pid_tables(spark, prefix: str) -> list[str]:
     faces of staleness: catalog entries in THIS session (dropped via
     SQL so the managed location goes with them) and on-disk warehouse
     directories from PREVIOUS sessions (the in-memory catalog forgot
-    them, so they are swept directly).  Returns what was removed."""
+    them, so they are swept directly).  Returns what was removed.
+
+    Best-effort by design: liveness is a pid probe, so a RECYCLED pid
+    (or another user's unrelated process with the same number) reads
+    as alive and defers that entry's cleanup to a later run when the
+    number is free.  The scheme errs toward KEEPING — it can never
+    delete a live driver's table — and a deferred dir costs disk
+    until the next reap, never correctness."""
     import os
 
     def alive(pid: int) -> bool:

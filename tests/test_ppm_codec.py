@@ -294,3 +294,28 @@ def test_histogram_gif_branch_rejects_gct_less_gif(spark):
         MM.ppm_pixel_histogram(df).collect()
     assert "global color table" in str(exc.value)
     assert "IndexError" not in str(exc.value)
+
+
+def test_gif_decode_stats_rejects_gct_less_gif(spark):
+    """gif_decode_stats performs the same palette lookup as the
+    histogram's GIF branch and must honor the same contract on a
+    structurally valid GCT-less GIF: ValueError, never IndexError
+    (the third lookup site, found by the round-12 second review)."""
+    import struct
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HHBBB", 2, 1, 0x00, 0, 0)  # NO global color table
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+    gif.append(2)
+    gif += bytes([2, 0x0C, 0x0A]) + b"\x00\x3b"
+    df = spark.createDataFrame(
+        [(1, bytearray(gif), MM.GIF_MIME)], MM.MEDIA_SCHEMA
+    )
+    with pytest.raises((PythonException, Py4JJavaError)) as exc:
+        MM.gif_decode_stats(df).collect()
+    assert "global color table" in str(exc.value)
+    assert "IndexError" not in str(exc.value)

@@ -305,15 +305,20 @@ def zorder_pruning_ab(spark, results: dict) -> int:
                 hit += 1
         return hit, total
 
-    def scan_decoded(path: str) -> tuple[int, int]:
-        """(result rows, rows the scan decoded) for the box query."""
+    def scan_decoded(path: str) -> tuple[tuple, int]:
+        """((result rows, o_orderkey checksum), rows the scan decoded)
+        for the box query — the checksum makes results_equal compare
+        the actual selected rows, not just their count (a layout write
+        that swapped k in-box rows for k out-of-box rows would pass a
+        count-only check)."""
         df = spark.read.parquet(path).where(
             (F.col("x") >= xlo)
             & (F.col("x") <= xhi)
             & (F.col("y") >= ylo)
             & (F.col("y") <= yhi)
         )
-        n = len(df.collect())
+        rows = df.collect()
+        n = (len(rows), sum(r["o_orderkey"] for r in rows))
         leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
         decoded = None
         for i in range(leaves.length()):
@@ -356,7 +361,8 @@ def zorder_pruning_ab(spark, results: dict) -> int:
         )
         results["zorder_pruning_ab"] = {
             "write_both_sec": write_sec,
-            "result_rows": lin_rows,
+            "result_rows": lin_rows[0],
+            "result_checksum": lin_rows[1],
             "results_equal": lin_rows == zo_rows,
             "linear_files_stat_hit": f"{lin_hit}/{lin_total}",
             "zorder_files_stat_hit": f"{zo_hit}/{zo_total}",
