@@ -134,50 +134,73 @@ ranked{s} AS (
   FROM scored{s})"""
 
 
-def _stump_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fx[doc_id, y, j, v]: the DENSE per-(doc, feature) value frame —
-    32 md5-bucketed token counts (zeros materialized: prefix sums over
-    split candidates are wrong without them) plus the two engineered
-    features a real quality filter ships (the per-1024 stopword ratio,
-    feature 32, and the token count, feature 33), with the integer
-    stopword label y = +1 iff stopwords >= 1/16 of tokens — the
-    measured corpus-MEDIAN ratio (6.1%), so the classes split ~48/52
-    and a trained split is forced to separate, not memorize a majority
-    class."""
+def with_doc_features(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append the trainer family's per-document label and feature
+    VECTOR to any frame with a text column, KEEPING every
+    original column: ``y`` (+1 iff stopwords >= 1/16 of tokens) and
+    ``x`` (32 md5-bucketed token counts, the per-1024 stopword ratio
+    at x[32], the token count at x[33]).  Blank docs (no tokens) drop,
+    matching the trainer's frame.
+
+    Every expression is per-row — no join, no aggregation — so the
+    SAME derivation runs batch or streaming: the batch trainers
+    explode it into the dense search frame, and the streaming apply
+    path (streaming/boost_stream.py) scores a learned ensemble over
+    it, so train-time and serve-time features cannot drift."""
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    base = (
-        _docs(spark, sf_dir)
-        .select("doc_id", tokens("text").alias("tk"))
-        .where(F.size("tk") > 0)
-        .select(
-            "doc_id",
+    return (
+        docs.withColumn("_tk", tokens(text_col))
+        .where(F.size("_tk") > 0)
+        .withColumn(
+            "_hs",
             F.expr(
-                f"transform(tk, t -> cast(conv(substring(md5(t), 1, 4),"
+                f"transform(_tk, t -> cast(conv(substring(md5(t), 1, 4),"
                 f" 16, 10) as int) % {_ST_HB})"
-            ).alias("hs"),
-            F.size(
-                F.filter("tk", lambda t: F.array_contains(sw, t))
-            ).alias("nsw"),
-            F.size("tk").alias("nt"),
+            ),
         )
-        .select(
-            "doc_id",
-            F.when(16 * F.col("nsw") >= F.col("nt"), F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("y"),
+        .withColumn(
+            "_nsw", F.size(F.filter("_tk", lambda t: F.array_contains(sw, t)))
+        )
+        .withColumn("_nt", F.size("_tk"))
+        .withColumn(
+            "y",
+            F.when(16 * F.col("_nsw") >= F.col("_nt"), F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        .withColumn(
+            "x",
             F.concat(
                 F.expr(
                     f"transform(sequence(0, {_ST_HB - 1}),"
-                    f" b -> cast(size(filter(hs, h -> h = b)) as long))"
+                    f" b -> cast(size(filter(_hs, h -> h = b)) as long))"
                 ),
                 F.array(
-                    F.expr("(1024 * nsw) div nt").cast("long"),
-                    F.col("nt").cast("long"),
+                    # greatest(_nt, 1): zero-token rows are filtered
+                    # above, but a consumer's own filter (e.g. the
+                    # ensemble vote) can merge with that guard and
+                    # ANSI-evaluate this division on a blank row —
+                    # keep the expression total; same value wherever
+                    # _nt >= 1
+                    F.expr("(1024 * _nsw) div greatest(_nt, 1)").cast("long"),
+                    F.col("_nt").cast("long"),
                 ),
-            ).alias("x"),
+            ),
         )
+        .drop("_tk", "_hs", "_nsw", "_nt")
     )
-    return base.select(
+
+
+def _stump_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fx[doc_id, y, j, v]: the DENSE per-(doc, feature) value frame —
+    `with_doc_features` exploded one row per (doc, feature), zeros
+    materialized (prefix sums over split candidates are wrong without
+    them).  The label's 1/16 threshold is the measured corpus-MEDIAN
+    stopword ratio (6.1%), so the classes split ~48/52 and a trained
+    split is forced to separate, not memorize a majority class."""
+    return with_doc_features(_docs(spark, sf_dir)).select(
         "doc_id", "y", F.posexplode("x").alias("j", "v")
     )
 

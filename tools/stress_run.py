@@ -119,6 +119,7 @@ PHASE_B = [
 # Phase C streaming workloads (names usable as subset args too)
 PHASE_C = [
     "stream_dedup_corpus",
+    "stream_boost_filter",
     "stream_kmeans_2m",
     "stream_quality_mv",
     "stream_event_joins",
@@ -498,6 +499,56 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
             rc = 1
             results["stream_dedup_corpus"] = {"error": str(exc)[:300]}
             print(f"C dedup: ERROR {exc}", file=sys.stderr)
+
+    if "stream_boost_filter" in names:
+        from kmeans_mapreduce_spark.plans.pipeline_queries18 import (
+            _boost_features,
+            _boost_rounds,
+        )
+        from kmeans_mapreduce_spark.streaming.boost_stream import (
+            apply_boost_filter,
+            stream_boost_filter,
+        )
+
+        kept_dir, ckpt = str(base / "boost_kept"), str(base / "boost_ckpt")
+        t0 = time.time()
+        try:
+            # train the 3-round ensemble on the UNREPLICATED sf0.1
+            # corpus (the offline-train half), then serve the frozen
+            # model over the 50k-doc stress stream (the online half)
+            fx = _boost_features(spark, SF01).localCheckpoint(eager=True)
+            rounds = _boost_rounds(fx)
+            train_sec = round(time.time() - t0, 1)
+            t0 = time.time()
+            stream_boost_filter(
+                spark, docs_dir, kept_dir, ckpt, rounds,
+                max_files_per_trigger=8,
+            )
+            kept = spark.read.parquet(kept_dir).count()
+            total = spark.read.parquet(docs_dir).count()
+            batch_kept = apply_boost_filter(
+                spark.read.parquet(docs_dir), rounds
+            ).count()
+            results["stream_boost_filter"] = {
+                "train_sec": train_sec,
+                "sec": round(time.time() - t0, 1),
+                "docs": total,
+                "kept": kept,
+                "stream_equals_batch": kept == batch_kept,
+                "rounds": [
+                    (r["j"], r["theta"], r["ge_is_pos"]) for r in rounds
+                ],
+            }
+            print(
+                f"C boost filter: {results['stream_boost_filter']}",
+                file=sys.stderr,
+            )
+            if kept != batch_kept:
+                rc = 1
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            results["stream_boost_filter"] = {"error": str(exc)[:300]}
+            print(f"C boost filter: ERROR {exc}", file=sys.stderr)
 
     if "stream_kmeans_2m" in names:
         from kmeans_mapreduce_spark.streaming.kmeans_stream import (
