@@ -149,6 +149,15 @@ def with_doc_features(
     explode it into the dense search frame, and the streaming apply
     path (streaming/boost_stream.py) scores a learned ensemble over
     it, so train-time and serve-time features cannot drift."""
+    clash = {"x", "y", "_tk", "_hs", "_nsw", "_nt"} & set(docs.columns)
+    if clash:
+        # withColumn would silently OVERWRITE these and a downstream
+        # select of the original names would return derived values —
+        # refuse instead of corrupting
+        raise ValueError(
+            f"with_doc_features derives columns {sorted(clash)} that "
+            "already exist on the input frame — rename them first"
+        )
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     return (
         docs.withColumn("_tk", tokens(text_col))

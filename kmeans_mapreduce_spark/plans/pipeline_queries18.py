@@ -84,15 +84,15 @@ def _boost_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stump_pred(theta: int, ge_is_pos: bool):
-    """The winner's +-1 prediction column over a frame filtered to its
-    feature's (doc_id, v) rows — shared by training reweighting and
-    holdout voting so both use ONE threshold-orientation semantic."""
-    hit = (
-        (F.col("v") >= F.lit(theta))
-        if ge_is_pos
-        else (F.col("v") < F.lit(theta))
-    )
+def _stump_pred(theta: int, ge_is_pos: bool, v=None):
+    """The winner's +-1 prediction column — the ONE threshold-
+    orientation semantic, shared by training reweighting, holdout
+    voting, AND the streaming serving path (boost_stream passes the
+    feature-vector element as ``v``; default is the dense frame's
+    ``v`` column)."""
+    if v is None:
+        v = F.col("v")
+    hit = (v >= F.lit(theta)) if ge_is_pos else (v < F.lit(theta))
     return F.when(hit, F.lit(1)).otherwise(F.lit(-1))
 
 

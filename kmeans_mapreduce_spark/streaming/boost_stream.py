@@ -30,22 +30,30 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.plans.pipeline_queries17 import with_doc_features
+from kmeans_mapreduce_spark.plans.pipeline_queries18 import _stump_pred
 
 
 def ensemble_vote_expr(rounds: list[dict], x_col: str = "x") -> Column:
     """The majority-vote sum of a trained stump ensemble over the
     feature-vector column: each (j, theta, ge_is_pos) triple votes
-    +-1, exactly `_stump_pred`'s threshold-orientation semantic
-    re-stated over x[j].  Odd |rounds| (the trainer's contract) means
-    the sum is never 0, so `> 0` IS the majority decision."""
-    votes = []
-    for r in rounds:
-        hit = (
-            (F.col(x_col)[int(r["j"])] >= int(r["theta"]))
-            if r["ge_is_pos"]
-            else (F.col(x_col)[int(r["j"])] < int(r["theta"]))
+    +-1 through `_stump_pred` itself (the trainer's one threshold-
+    orientation implementation, applied to x[j]) — serving cannot
+    drift from training because there is nothing to drift.  Odd
+    |rounds| (asserted: the trainer's contract) means the sum is
+    never 0, so `> 0` IS the majority decision."""
+    if not rounds or len(rounds) % 2 == 0:
+        raise ValueError(
+            f"ensemble must be a non-empty ODD number of stumps for "
+            f"the vote sum to decide a majority, got {len(rounds)}"
         )
-        votes.append(F.when(hit, F.lit(1)).otherwise(F.lit(-1)))
+    votes = [
+        _stump_pred(
+            int(r["theta"]),
+            bool(r["ge_is_pos"]),
+            v=F.col(x_col)[int(r["j"])],
+        )
+        for r in rounds
+    ]
     s = votes[0]
     for v in votes[1:]:
         s = s + v

@@ -88,4 +88,35 @@ def test_blank_docs_drop_and_columns_survive(spark, sf_dir):
     out = apply_boost_filter(df, rounds)
     assert out.columns == ["doc_id", "text", "extra"]
     rows = out.collect()
-    assert all(r["doc_id"] != 2 for r in rows)  # blank doc dropped
+    # the all-stopword doc is KEPT (not vacuously empty) with its
+    # extra column intact; the blank doc dropped
+    assert [(r["doc_id"], r["extra"]) for r in rows] == [(1, 7.5)]
+
+
+def test_feature_derivation_refuses_column_collisions(spark, sf_dir):
+    """with_doc_features derives x/y and temp columns; an input frame
+    already carrying one of those names must be refused, not silently
+    overwritten (found by the round-12 third review)."""
+    import pytest
+
+    from kmeans_mapreduce_spark.plans.pipeline_queries17 import (
+        with_doc_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some text", 3.0)], "doc_id long, text string, y double"
+    )
+    with pytest.raises(ValueError, match="rename them first"):
+        with_doc_features(df)
+
+
+def test_ensemble_vote_requires_odd_nonempty_rounds(spark):
+    import pytest
+
+    from kmeans_mapreduce_spark.streaming.boost_stream import (
+        ensemble_vote_expr,
+    )
+
+    for bad in ([], [{"j": 0, "theta": 1, "ge_is_pos": True}] * 2):
+        with pytest.raises(ValueError, match="ODD"):
+            ensemble_vote_expr(bad)

@@ -524,17 +524,29 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                 spark, docs_dir, kept_dir, ckpt, rounds,
                 max_files_per_trigger=8,
             )
-            kept = spark.read.parquet(kept_dir).count()
+            drain_sec = round(time.time() - t0, 1)
+
+            # doc-for-doc verification (count + id checksum — a swap
+            # of one kept doc for another dropped one must fail), NOT
+            # charged to the drain time
+            def _sig(df):
+                r = df.agg(
+                    F.count("*").alias("n"),
+                    F.sum("doc_id").alias("chk"),
+                ).collect()[0]
+                return (r["n"], r["chk"])
+
+            kept_sig = _sig(spark.read.parquet(kept_dir))
+            batch_sig = _sig(
+                apply_boost_filter(spark.read.parquet(docs_dir), rounds)
+            )
             total = spark.read.parquet(docs_dir).count()
-            batch_kept = apply_boost_filter(
-                spark.read.parquet(docs_dir), rounds
-            ).count()
             results["stream_boost_filter"] = {
                 "train_sec": train_sec,
-                "sec": round(time.time() - t0, 1),
+                "sec": drain_sec,
                 "docs": total,
-                "kept": kept,
-                "stream_equals_batch": kept == batch_kept,
+                "kept": kept_sig[0],
+                "stream_equals_batch": kept_sig == batch_sig,
                 "rounds": [
                     (r["j"], r["theta"], r["ge_is_pos"]) for r in rounds
                 ],
@@ -543,7 +555,7 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                 f"C boost filter: {results['stream_boost_filter']}",
                 file=sys.stderr,
             )
-            if kept != batch_kept:
+            if kept_sig != batch_sig:
                 rc = 1
         except Exception as exc:  # noqa: BLE001
             rc = 1
