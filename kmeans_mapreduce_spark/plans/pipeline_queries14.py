@@ -508,7 +508,12 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     assigned = assigned_cells(e, _fixed_centroids(spark, sf_dir, k=4))
-    reap_stale_pid_tables(spark, "knn_cells_bucketed_q_")
+    # legacy_names: the pre-rename fixed-name table/dir a pre-round-12
+    # run may have left — the pid-suffix glob never matches it, so
+    # without the exact-name sweep that copy leaks forever
+    reap_stale_pid_tables(
+        spark, "knn_cells_bucketed_q_", legacy_names=("knn_cells_bucketed_q",)
+    )
     tbl = write_bucketed_table(
         assigned, f"knn_cells_bucketed_q_{os.getpid()}", "cell", n_buckets=8
     )

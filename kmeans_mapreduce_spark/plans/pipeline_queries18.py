@@ -111,9 +111,18 @@ def _boost_rounds(
     rounds: list[dict] = []
     for r in range(1, n_rounds + 1):
         fxw = fx.join(weights, "doc_id")
-        best = (
-            _weighted_stump_search(fxw).where(F.col("rank") == 1).collect()[0]
-        )
+        top = _weighted_stump_search(fxw).where(F.col("rank") == 1).collect()
+        if not top:
+            # an empty feature frame (all-blank docs, an over-tight
+            # train filter) has no rank-1 row — name the round and the
+            # cause instead of IndexError-ing far from it
+            raise ValueError(
+                f"boost round {r}: weighted stump search returned no "
+                f"candidates — the training feature frame is empty "
+                f"(all documents blank, or the train filter excluded "
+                f"every row)"
+            )
+        best = top[0]
         rounds.append(
             {
                 "round": r,

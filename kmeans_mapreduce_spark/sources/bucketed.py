@@ -94,7 +94,9 @@ def write_bucketed_table(
     return df.sparkSession.table(table)
 
 
-def reap_stale_pid_tables(spark, prefix: str) -> list[str]:
+def reap_stale_pid_tables(
+    spark, prefix: str, legacy_names: tuple[str, ...] = ()
+) -> list[str]:
     """Remove per-process bucketed tables (``<prefix><pid>``) left by
     DEAD driver processes — the cleanup half of the pid-suffix naming
     that makes concurrent drivers sharing one warehouse safe.
@@ -109,9 +111,22 @@ def reap_stale_pid_tables(spark, prefix: str) -> list[str]:
     Best-effort by design: liveness is a pid probe, so a RECYCLED pid
     (or another user's unrelated process with the same number) reads
     as alive and defers that entry's cleanup to a later run when the
-    number is free.  The scheme errs toward KEEPING — it can never
-    delete a live driver's table — and a deferred dir costs disk
-    until the next reap, never correctness."""
+    number is free.  The scheme errs toward KEEPING — among drivers on
+    the SAME host it can never delete a live driver's table — and a
+    deferred dir costs disk until the next reap, never correctness.
+
+    SAME-HOST SCOPE: ``os.kill(pid, 0)`` only sees processes on this
+    machine.  If the warehouse dir is shared across hosts (NFS, fuse
+    mounts), a live REMOTE driver's pid reads as dead here and its
+    table would be reaped mid-query — do not use the pid-suffix scheme
+    on a cross-host shared warehouse; production multi-host catalogs
+    need a real metastore (or a heartbeat file inside the table dir)
+    instead of pid probes.
+
+    ``legacy_names``: exact table/dir names from BEFORE the pid-suffix
+    scheme (never pid-liveness-checkable, by definition abandoned once
+    all writers use suffixes) — dropped unconditionally as a one-time
+    migration sweep."""
     import os
 
     def alive(pid: int) -> bool:
@@ -128,14 +143,26 @@ def reap_stale_pid_tables(spark, prefix: str) -> list[str]:
         return tail.isdigit() and not alive(int(tail))
 
     removed: list[str] = []
+    legacy = {n.lower() for n in legacy_names}
     for t in spark.catalog.listTables():
-        if t.name.startswith(prefix) and stale_pid(t.name):
+        if t.name.lower() in legacy or (
+            t.name.startswith(prefix) and stale_pid(t.name)
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
             removed.append(f"table:{t.name}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     if wh.scheme in ("", "file"):
-        for d in Path(wh.path).glob(f"{prefix}*"):
-            if d.is_dir() and stale_pid(d.name):
-                shutil.rmtree(d, ignore_errors=True)
-                removed.append(f"dir:{d.name}")
+        # glob per stale class: pid-suffixed dirs under the prefix,
+        # plus the exact pre-rename legacy dirs the prefix glob (with
+        # its trailing separator) can never match
+        stale_dirs = [
+            d
+            for d in Path(wh.path).glob(f"{prefix}*")
+            if d.is_dir() and stale_pid(d.name)
+        ] + [
+            d for n in legacy if (d := Path(wh.path) / n).is_dir()
+        ]
+        for d in stale_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(f"dir:{d.name}")
     return removed

@@ -87,14 +87,38 @@ def stream_boost_filter(
     rounds: list[dict],
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    schema=None,
 ) -> None:
     """Drain `docs_dir` (availableNow) through the trained ensemble;
     keepers append to `kept_dir` exactly-once (parquet sink checkpoint
     + _spark_metadata commit log — a crashed batch replays, a
     committed batch never duplicates).  Re-running after new files
     land folds ONLY the delta: the checkpoint remembers which inputs
-    were processed."""
-    schema = spark.read.parquet(docs_dir).schema
+    were processed.
+
+    ``schema``: file-source streams need one pinned up front; by
+    default it is inferred from a batch read of ``docs_dir``, which
+    requires the directory to already hold at least one data file —
+    pass an explicit StructType to start the filter against a
+    not-yet-populated ingest directory.  Either way ``text_col`` must
+    exist as a string column, checked here so a miswired pipeline
+    fails with the precondition named instead of Spark's opaque
+    schema-inference error mid-stream."""
+    if schema is None:
+        try:
+            schema = spark.read.parquet(docs_dir).schema
+        except Exception as exc:
+            raise ValueError(
+                f"stream_boost_filter: cannot infer a schema from "
+                f"{docs_dir!r} (empty or not yet populated?) — pass "
+                f"schema= explicitly to stream against a directory "
+                f"that has no data files yet"
+            ) from exc
+    if text_col not in schema.fieldNames():
+        raise ValueError(
+            f"stream_boost_filter: text column {text_col!r} not in the "
+            f"stream schema {schema.fieldNames()}"
+        )
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
