@@ -1,9 +1,12 @@
 """Streaming apply of the trained boosted filter: the serving face.
 
-Train the 3-round ensemble offline (the exact `_boost_rounds` output),
-then drain a document stream through `stream_boost_filter` — kept set
-must equal the batch apply doc-for-doc, and an appended second file
-must fold ONLY its delta through the same checkpoint (exactly-once)."""
+Train a 3-round ensemble offline (the exact `_boost_rounds` output —
+explicit n_rounds: serving is rounds-agnostic, so the test pins the
+cheapest odd depth rather than tracking the trainer's shipped
+`_BQ_ROUNDS`), then drain a document stream through
+`stream_boost_filter` — kept set must equal the batch apply
+doc-for-doc, and an appended second file must fold ONLY its delta
+through the same checkpoint (exactly-once)."""
 
 from __future__ import annotations
 
@@ -43,7 +46,7 @@ def test_stream_filter_equals_batch_and_folds_delta(spark, sf_dir, tmp_path):
     # train the real ensemble on the real corpus — serving uses the
     # exact triples training produced
     fx = _boost_features(spark, sf_dir).localCheckpoint(eager=True)
-    rounds = _boost_rounds(fx)
+    rounds = _boost_rounds(fx, n_rounds=3)
     assert len(rounds) == 3
 
     spark.createDataFrame(_doc_rows(0, 60), DOCS_SCHEMA).write.parquet(src)
@@ -80,7 +83,7 @@ def test_stream_filter_equals_batch_and_folds_delta(spark, sf_dir, tmp_path):
 
 def test_blank_docs_drop_and_columns_survive(spark, sf_dir):
     fx = _boost_features(spark, sf_dir).localCheckpoint(eager=True)
-    rounds = _boost_rounds(fx)
+    rounds = _boost_rounds(fx, n_rounds=3)
     df = spark.createDataFrame(
         [(1, "the and of to the and of to", 7.5), (2, "   ", 8.5)],
         "doc_id long, text string, extra double",
