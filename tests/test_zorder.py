@@ -112,3 +112,73 @@ def test_written_files_have_tight_boxes_and_fewer_touches(spark, tmp_path):
         "x between 32 and 95 and y between 64 and 127"
     ).count()
     assert n_lin == n_zo > 0
+
+
+def test_tiled_write_hits_exactly_the_model_tile_count(spark, tmp_path):
+    """Explicit tile-aligned cuts close the model-vs-physical gap that
+    sampled ranges leave: every written file's (x, y) bounding box is
+    exactly one 32x32 tile, the catalog box query intersects exactly
+    the 4 files the bucket model predicts (round-12 sampled ranges
+    measured 8 — equal-count split points straddle tiles), and
+    tiles_for_box names those same 4 tile ids for catalog-level
+    directory pruning."""
+    from kmeans_mapreduce_spark.sources.zorder import (
+        tiles_for_box,
+        write_zordered_tiles,
+    )
+
+    pts = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+         .cast("long") % 256).alias("x"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 5, 4), 16, 10)
+         .cast("long") % 256).alias("y"),
+    )
+    zt = str(tmp_path / "zt")
+    write_zordered_tiles(pts, zt, "x", "y", n_tiles=64)
+    boxes = _file_boxes(spark, zt)
+    # one file per tile, each bounding exactly one 32x32 tile
+    assert len(boxes) == 64
+    for b in boxes:
+        assert b["x1"] - b["x0"] <= 31 and b["y1"] - b["y0"] <= 31
+        assert b["x0"] // 32 == b["x1"] // 32
+        assert b["y0"] // 32 == b["y1"] // 32
+    xlo, xhi, ylo, yhi = 32, 95, 64, 127
+    touched = [
+        b for b in boxes
+        if b["x1"] >= xlo and b["x0"] <= xhi
+        and b["y1"] >= ylo and b["y0"] <= yhi
+    ]
+    assert len(touched) == 4, len(touched)
+    # tiles_for_box = the same 4 tiles, by driver-side arithmetic
+    want = {
+        (b["x0"] // 32, b["y0"] // 32) for b in touched
+    }
+    ids = tiles_for_box(xlo, xhi, ylo, yhi, n_tiles=64)
+    assert len(ids) == 4
+    # decode each id back to (tx, ty) and compare
+    def decode(z):
+        tx = ty = 0
+        for b in range(3):
+            tx |= ((z >> (2 * b)) & 1) << b
+            ty |= ((z >> (2 * b + 1)) & 1) << b
+        return tx, ty
+    assert {decode(z) for z in ids} == want
+    # catalog-level pruning returns the identical result set
+    full = spark.read.parquet(zt)
+    box = "x between 32 and 95 and y between 64 and 127"
+    n_all = full.where(box).count()
+    n_pruned = full.where(F.col("_ztile").isin(ids)).where(box).count()
+    assert n_all == n_pruned > 0
+
+
+def test_tiled_write_rejects_non_power_of_four(spark, tmp_path):
+    from kmeans_mapreduce_spark.sources.zorder import write_zordered_tiles
+
+    pts = spark.range(4).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="power of 4"):
+        write_zordered_tiles(pts, str(tmp_path / "bad"), "x", "y", n_tiles=32)

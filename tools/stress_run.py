@@ -255,17 +255,27 @@ def zorder_pruning_ab(spark, results: dict) -> int:
                        after row-group skipping (AQE off so the
                        executed plan exposes the scan leaf directly)
 
-    Both layouts must return identical result rows; the Z-order
+    All layouts must return identical result rows; the Z-order
     layout must decode a small fraction of the linear layout's.
     Range-partition file boundaries don't align exactly with 32x32
-    curve tiles (equal-COUNT ranges), so the physical hit count runs
-    a little above the bucket model's 4-of-64 — that gap is the
-    honest difference between the model readout
-    (layout_zorder_pruning) and written files."""
+    curve tiles (equal-COUNT ranges), so the sampled layout's hit
+    count runs a little above the bucket model's 4-of-64 — round 12
+    measured 8/64, and round 13 closes that gap with a THIRD arm:
+    write_zordered_tiles cuts at explicit tile-boundary Z-values
+    (hive-partition by the 6-bit tile id), so each file bounds exactly
+    one tile and the footer check must hit exactly the model's 4/64.
+    The tiled arm also records the catalog-level path: filtering on
+    tiles_for_box's ids lets the planner skip the other 60 tile
+    DIRECTORIES outright (numFiles in the scan = 4 before any footer
+    is opened)."""
     import pyarrow.parquet as pq
 
     from kmeans_mapreduce_spark.plans.pipeline_queries17 import _ZO_BOX
-    from kmeans_mapreduce_spark.sources.zorder import write_zordered
+    from kmeans_mapreduce_spark.sources.zorder import (
+        tiles_for_box,
+        write_zordered,
+        write_zordered_tiles,
+    )
 
     xlo, xhi, ylo, yhi = _ZO_BOX
     base = Path(STRESS_DIR) / "zorder_ab"
@@ -279,7 +289,7 @@ def zorder_pruning_ab(spark, results: dict) -> int:
         """(files whose x/y row-group stats intersect the box, total
         files) — the decision a min/max reader makes per footer."""
         hit = total = 0
-        for f in sorted(Path(path).glob("*.parquet")):
+        for f in sorted(Path(path).rglob("*.parquet")):
             md = pq.ParquetFile(f).metadata
             lo = {"x": None, "y": None}
             hi = {"x": None, "y": None}
@@ -306,26 +316,34 @@ def zorder_pruning_ab(spark, results: dict) -> int:
                 hit += 1
         return hit, total
 
-    def scan_decoded(path: str) -> tuple[tuple, int]:
+    def scan_decoded(path: str, tile_ids=None) -> tuple[tuple, int]:
         """((result rows, o_orderkey checksum), rows the scan decoded)
         for the box query — the checksum makes results_equal compare
         the actual selected rows, not just their count (a layout write
         that swapped k in-box rows for k out-of-box rows would pass a
-        count-only check)."""
+        count-only check).  ``tile_ids`` adds the catalog-level prune
+        (partition filter on the hive tile column)."""
         df = spark.read.parquet(path).where(
             (F.col("x") >= xlo)
             & (F.col("x") <= xhi)
             & (F.col("y") >= ylo)
             & (F.col("y") <= yhi)
         )
+        if tile_ids is not None:
+            df = df.where(F.col("_ztile").isin(tile_ids))
         rows = df.collect()
         n = (len(rows), sum(r["o_orderkey"] for r in rows))
         leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
-        decoded = None
+        decoded = n_files = None
         for i in range(leaves.length()):
             node = leaves.apply(i)
             if "FileSourceScan" in node.getClass().getName():
                 decoded = node.metrics().apply("numOutputRows").value()
+                # numFiles = files the scan SELECTED (after partition
+                # pruning) — the catalog-level readout for the tiled arm
+                m = node.metrics()
+                if m.contains("numFiles"):
+                    n_files = m.apply("numFiles").value()
         if decoded is None:
             # make a metric-extraction miss (e.g. the read planned as a
             # differently-named scan node) self-explaining instead of a
@@ -334,7 +352,7 @@ def zorder_pruning_ab(spark, results: dict) -> int:
                 "no FileSourceScan leaf in the executed plan — scan "
                 "metric extraction needs updating for this Spark version"
             )
-        return n, decoded
+        return n, decoded, n_files
 
     try:
         t0 = time.time()
@@ -345,30 +363,51 @@ def zorder_pruning_ab(spark, results: dict) -> int:
             .parquet(str(base / "linear"))
         )
         write_zordered(o, str(base / "zorder"), "x", "y", 64)
+        write_zordered_tiles(o, str(base / "tiled"), "x", "y", 64)
         write_sec = round(time.time() - t0, 1)
         aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            lin_rows, lin_decoded = scan_decoded(str(base / "linear"))
-            zo_rows, zo_decoded = scan_decoded(str(base / "zorder"))
+            lin_rows, lin_decoded, _ = scan_decoded(str(base / "linear"))
+            zo_rows, zo_decoded, _ = scan_decoded(str(base / "zorder"))
+            ti_rows, ti_decoded, _ = scan_decoded(str(base / "tiled"))
+            # catalog-level prune: the tile-id partition filter — the
+            # planner keeps only the matching tile dirs, numFiles shows
+            # how many files the scan even LISTS (no footer opened for
+            # the rest)
+            box_tiles = tiles_for_box(xlo, xhi, ylo, yhi, n_tiles=64)
+            tp_rows, tp_decoded, tp_files = scan_decoded(
+                str(base / "tiled"), tile_ids=box_tiles
+            )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe)
         lin_hit, lin_total = footer_hits(str(base / "linear"))
         zo_hit, zo_total = footer_hits(str(base / "zorder"))
+        ti_hit, ti_total = footer_hits(str(base / "tiled"))
         ok = (
-            lin_rows == zo_rows
+            lin_rows == zo_rows == ti_rows == tp_rows
             and zo_decoded < lin_decoded // 4
             and zo_hit < lin_hit
+            # the round-13 gate: explicit tile cuts close the gap to
+            # the bucket model exactly (4/64), and the tile-id filter
+            # prunes to those same files at the catalog level
+            and ti_hit == len(box_tiles)
+            and tp_files == len(box_tiles)
         )
         results["zorder_pruning_ab"] = {
-            "write_both_sec": write_sec,
+            "write_all_sec": write_sec,
             "result_rows": lin_rows[0],
             "result_checksum": lin_rows[1],
-            "results_equal": lin_rows == zo_rows,
+            "results_equal": lin_rows == zo_rows == ti_rows == tp_rows,
             "linear_files_stat_hit": f"{lin_hit}/{lin_total}",
             "zorder_files_stat_hit": f"{zo_hit}/{zo_total}",
+            "tiled_files_stat_hit": f"{ti_hit}/{ti_total}",
             "linear_rows_decoded": lin_decoded,
             "zorder_rows_decoded": zo_decoded,
+            "tiled_rows_decoded": ti_decoded,
+            "tiled_dirprune_files_listed": tp_files,
+            "tiled_dirprune_rows_decoded": tp_decoded,
+            "model_tiles": len(box_tiles),
         }
         print(f"D zorder A/B: {results['zorder_pruning_ab']}", file=sys.stderr)
         return 0 if ok else 1
