@@ -50,6 +50,7 @@ from kmeans_mapreduce_spark.plans import pipeline_queries15 as PQ15
 from kmeans_mapreduce_spark.plans import pipeline_queries16 as PQ16
 from kmeans_mapreduce_spark.plans import pipeline_queries17 as PQ17
 from kmeans_mapreduce_spark.plans import pipeline_queries18 as PQ18
+from kmeans_mapreduce_spark.plans import pipeline_queries19 as PQ19
 
 
 def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,6 +517,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row carries the single-stump control next to the ensemble
     "quality_boost_fit": PQ18.quality_boost_fit,
     "quality_boost_holdout": PQ18.quality_boost_holdout,
+    # Round-13 batch 37: the composed corpus-curation pipeline's batch
+    # face — frozen-ensemble filter -> exact canonical dedup ->
+    # content-addressed shards, per-shard checksummed readout; the
+    # streaming topology over the same stages is gated by
+    # tests/test_corpus_pipeline.py and the 100x stress harness
+    "corpus_curation_e2e": PQ19.corpus_curation_e2e,
 }
 
 # ---------------------------------------------------------------------------
@@ -728,6 +735,7 @@ ORACLES: dict[str, str] = {
     "mm_decode_quarantine": PQ17.MM_DECODE_QUARANTINE_SQL,
     "quality_boost_fit": PQ18.QUALITY_BOOST_FIT_SQL,
     "quality_boost_holdout": PQ18.QUALITY_BOOST_HOLDOUT_SQL,
+    "corpus_curation_e2e": PQ19.CORPUS_CURATION_SQL,
     "q17_small_quantity_revenue": RX3.Q17_SQL,
     "pipeline_mixture_schedule": PQ7.MIXTURE_SCHEDULE_SQL,
     "events_json_extract": R.EVENTS_JSON_SQL,

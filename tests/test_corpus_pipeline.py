@@ -1,0 +1,241 @@
+"""The composed end-to-end streaming corpus pipeline: triage ->
+frozen-ensemble quality filter -> incremental exact+near dedup ->
+content-addressed shard export, as ONE foreachBatch topology.
+
+The ground-truth face is `replay_corpus_pipeline` — the SAME
+`fold_corpus_batch` code object driven by a plain driver loop over the
+lexicographic file groups the FileStreamSource forms — so the
+stream-vs-replay equality below tests Spark's streaming delivery
+(listing order, checkpointing, redelivery), not a second
+implementation of the semantics.
+
+Fixture agreements were measured (fixed xxhash64 families, so they are
+deterministic): BASE~NEAR 0.812, BASE~NEAR2 0.875, OTHER~OTHER_NEAR
+0.844, TEA~TEA_NEAR 0.875 — all >= the 0.8 threshold; all cross-family
+pairs 0.0.  Every quality doc votes +1 under FROZEN_QUALITY_ENSEMBLE;
+REJECT votes -5."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.streaming.corpus_pipeline import (
+    FROZEN_QUALITY_ENSEMBLE,
+    fold_corpus_batch,
+    replay_corpus_pipeline,
+    stream_batch_file_groups,
+    stream_corpus_pipeline,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while twelve zebras "
+    "quietly graze beside the winding river under a pale autumn sky today"
+)
+NEAR = BASE.replace("autumn", "winter")     # near-dup of BASE (0.812)
+NEAR2 = BASE.replace("pale", "dark")        # near-dup of BASE (0.875)
+OTHER = (
+    "completely different subject matter entirely about compilers and "
+    "the registers allocation spilling tricks with all the joys of static "
+    "single assignment in a modern optimizing backend pipeline today"
+)
+OTHER_NEAR = OTHER.replace("joys", "perks")  # near-dup of OTHER (0.844)
+TEA = (
+    "a short unrelated note on the tea brewing temperatures and timing "
+    "where the water should rest a little while before it ever touches "
+    "the delicate green leaves"
+)
+TEA_NEAR = TEA.replace("delicate", "fragrant")  # near-dup of TEA (0.875)
+COFFEE = (
+    "the coffee grinder hums in the early morning while a patient "
+    "hand measures beans and water for the slow ritual of a careful "
+    "pour over brew at dawn"
+)
+REJECT = "alpha beta gamma delta epsilon zeta eta theta"
+
+SCHEMA = "doc_id long, text string, source string"
+
+# file -> rows; files are staged with lexicographic names so the
+# FileStreamSource's listing order IS this order
+FILES = [
+    # batch 0: quality reject, blank -> quarantine, in-batch exact dup
+    [(1, BASE, "s0"), (2, REJECT, "s0"), (3, BASE, "s0"), (4, "   ", "s0")],
+    # batch 1: cross-batch exact dup (11), cross-batch near-dup (12),
+    # fresh accept (13)
+    [(11, BASE, "s1"), (12, NEAR, "s1"), (13, OTHER, "s1")],
+    # batch 2: another cross-batch near of BASE (21), near of OTHER
+    # (22), fresh accept (23) with its IN-BATCH near-dup (24)
+    [
+        (21, NEAR2, "s2"),
+        (22, OTHER_NEAR, "s2"),
+        (23, TEA, "s2"),
+        (24, TEA_NEAR, "s2"),
+    ],
+    # batch 3: cross-batch exact dup of 23, fresh accept (32)
+    [(31, TEA, "s3"), (32, COFFEE, "s3")],
+]
+
+EXPECT_ACCEPTED = {1, 13, 23, 32}
+EXPECT_QUARANTINED = {4}
+
+
+def _stage_files(spark, tmp_path, files=FILES, sub="flat"):
+    import glob
+    import os
+
+    flat = tmp_path / sub
+    flat.mkdir(exist_ok=True)
+    for i, rows in enumerate(files):
+        d = tmp_path / f"_stage_{sub}_{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(d))
+        f = glob.glob(str(d / "part-*.parquet"))[0]
+        os.link(f, flat / f"{i:03d}.parquet")
+    return flat
+
+
+def _read_or_empty(spark, path):
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def _state(spark, out):
+    """Comparable terminal state of a pipeline output tree."""
+    acc = spark.read.parquet(f"{out}/accepted")
+    accepted = sorted(
+        (r["batch"], r["doc_id"], r["text"], r["source"])
+        for r in acc.collect()
+    )
+    q = spark.read.parquet(f"{out}/quarantine")
+    quarantined = sorted(
+        (r["batch"], r["doc_id"], r["reason"]) for r in q.collect()
+    )
+    idx = spark.read.parquet(f"{out}/index")
+    index = sorted((r["batch"], r["id"], r["fp"]) for r in idx.collect())
+    met = spark.read.parquet(f"{out}/metrics")
+    metrics = sorted(tuple(r) for r in met.collect())
+    sh = spark.read.json(f"{out}/shards")
+    shards = sorted(
+        (r["batch"], r["shard"], r["doc_id"]) for r in sh.collect()
+    )
+    return {
+        "accepted": accepted,
+        "quarantined": quarantined,
+        "index": index,
+        "metrics": metrics,
+        "shards": shards,
+    }
+
+
+def test_stream_equals_driver_loop_replay_end_to_end(spark, tmp_path):
+    flat = _stage_files(spark, tmp_path)
+    out_s = str(tmp_path / "out_stream")
+    out_r = str(tmp_path / "out_replay")
+
+    ckpt = str(tmp_path / "ckpt")
+    stream_corpus_pipeline(
+        spark, str(flat), out_s, checkpoint=ckpt, max_files_per_trigger=1
+    )
+    # replay the stream's own recorded batches (the source log is the
+    # ground truth for grouping — files list in modified order)
+    groups = stream_batch_file_groups(ckpt)
+    assert [
+        [g.rsplit("/", 1)[-1] for g in grp] for grp in groups
+    ] == [[f"{i:03d}.parquet"] for i in range(len(FILES))]
+    metrics = replay_corpus_pipeline(spark, groups, out_r)
+
+    s, r = _state(spark, out_s), _state(spark, out_r)
+    assert s == r  # the whole chain, every output, bit-for-bit
+
+    # and the chain did what the fixture plants, batch by batch
+    assert {d for _, d, _, _ in s["accepted"]} == EXPECT_ACCEPTED
+    assert {d for _, d, _ in s["quarantined"]} == EXPECT_QUARANTINED
+    by_batch = {m["batch"]: m for m in metrics}
+    assert by_batch[0] == {
+        "batch": 0, "n_in": 4, "n_blank": 1, "n_rejected": 1,
+        "n_exact_inbatch": 1, "n_near_inbatch": 0, "n_exact_index": 0,
+        "n_near_index": 0, "n_accepted": 1,
+    }
+    # 12 dies IN-batch: its near anchor 11 (exact dup of indexed 1) is
+    # still present when in-batch near-dedup runs, which precedes the
+    # index stages; 11 then dies against the index
+    assert by_batch[1]["n_near_inbatch"] == 1  # 12 ~ 11 (= BASE)
+    assert by_batch[1]["n_exact_index"] == 1   # 11 = exact dup of 1
+    assert by_batch[1]["n_near_index"] == 0
+    assert by_batch[1]["n_accepted"] == 1      # 13
+    assert by_batch[2]["n_near_inbatch"] == 1  # 24 ~ 23 in-batch
+    assert by_batch[2]["n_near_index"] == 2    # 21 ~ 1, 22 ~ 13
+    assert by_batch[2]["n_accepted"] == 1      # 23
+    assert by_batch[3]["n_exact_index"] == 1   # 31 = exact dup of 23
+    assert by_batch[3]["n_accepted"] == 1      # 32
+
+    # shard export is content-addressed: recompute md5-of-text prefix
+    # mod 8 per accepted doc and compare membership
+    import hashlib
+
+    batch_text_of = {d: (b, t) for b, d, t, _ in s["accepted"]}
+    want = sorted(
+        (b, int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 8, d)
+        for d, (b, t) in batch_text_of.items()
+    )
+    assert s["shards"] == want
+
+
+def test_rerun_folds_only_the_delta(spark, tmp_path):
+    flat = _stage_files(spark, tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_corpus_pipeline(spark, str(flat), out, ckpt)
+    first = _state(spark, out)
+
+    # land one more file: an exact dup of an accepted doc + a fresh one
+    fresh = (
+        "meanwhile the lighthouse keeper climbs the spiral stair at dusk "
+        "and counts the distant sails before the fog swallows a horizon "
+        "that no chart has ever fixed in place"
+    )
+    extra = [(41, COFFEE, "s4"), (42, fresh, "s4")]
+    _stage_files(spark, tmp_path, files=[extra], sub="flat2")
+    import os
+
+    os.link(tmp_path / "flat2" / "000.parquet", flat / "900.parquet")
+    stream_corpus_pipeline(spark, str(flat), out, ckpt)
+
+    second = _state(spark, out)
+    # committed batches 0-3 are untouched — the delta landed as batch 4
+    for key in first:
+        assert [x for x in second[key] if x[0] <= 3] == first[key], key
+    new_accepted = {d for b, d, _, _ in second["accepted"] if b == 4}
+    assert new_accepted == {42}  # 41 died as a cross-batch exact dup
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-folding the same batch id must
+    overwrite its own outputs into the identical state (the index read
+    excludes the batch's own partition, so a replay never dedups a
+    batch against its own partial writes)."""
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame(FILES[0], SCHEMA)
+    b1 = spark.createDataFrame(FILES[1], SCHEMA)
+    fold_corpus_batch(spark, b0, 0, out, FROZEN_QUALITY_ENSEMBLE)
+    m_first = fold_corpus_batch(spark, b1, 1, out, FROZEN_QUALITY_ENSEMBLE)
+    state_first = _state(spark, out)
+    m_replay = fold_corpus_batch(spark, b1, 1, out, FROZEN_QUALITY_ENSEMBLE)
+    assert m_replay == m_first
+    assert _state(spark, out) == state_first
+
+
+def test_schema_preconditions(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot infer a schema"):
+        stream_corpus_pipeline(
+            spark, str(tmp_path / "nope"), str(tmp_path / "o"),
+            str(tmp_path / "c"),
+        )
+    d = tmp_path / "noid"
+    spark.createDataFrame([("x",)], "text string").write.parquet(str(d))
+    with pytest.raises(ValueError, match="doc_id"):
+        stream_corpus_pipeline(
+            spark, str(d), str(tmp_path / "o2"), str(tmp_path / "c2")
+        )

@@ -124,6 +124,7 @@ PHASE_C = [
     "stream_quality_mv",
     "stream_event_joins",
     "stream_shard_export",
+    "stream_corpus_pipeline",
 ]
 
 # Phase D: the k-NN graph family at the PRODUCTION k_cells knob.
@@ -869,6 +870,104 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
             rc = 1
             results["stream_shard_export"] = {"error": str(exc)[:300]}
             print(f"C shard_export: ERROR {exc}", file=sys.stderr)
+
+    if "stream_corpus_pipeline" in names:
+        # Round-13 VERDICT item 2: the stages compose in ONE topology.
+        # Drain the 50k-doc corpus through triage -> frozen boost
+        # filter -> incremental exact+near dedup -> content-addressed
+        # shard export (streaming/corpus_pipeline.py), then run the
+        # SAME fold via the driver-loop replay face over the same
+        # lexicographic file groups and demand the terminal states be
+        # identical doc-for-doc — checksum-gated across the WHOLE
+        # chain, not per stage.  State bounds recorded per stage.
+        from kmeans_mapreduce_spark.streaming.corpus_pipeline import (
+            replay_corpus_pipeline,
+            stream_batch_file_groups,
+            stream_corpus_pipeline,
+        )
+
+        out_s = str(base / "corpus_pipe")
+        out_r = str(base / "corpus_pipe_replay")
+        ckpt = str(base / "corpus_pipe_ckpt")
+        t0 = time.time()
+        try:
+            stream_corpus_pipeline(
+                spark, docs_dir, out_s, ckpt, max_files_per_trigger=8
+            )
+            drain_sec = round(time.time() - t0, 1)
+            t0 = time.time()
+            # replay the stream's OWN recorded batches (the source log
+            # lists files in modified order, not path order — guessing
+            # the grouping from sorted paths diverges)
+            groups = stream_batch_file_groups(ckpt)
+            replay_corpus_pipeline(spark, groups, out_r)
+            replay_sec = round(time.time() - t0, 1)
+
+            def _sig(out: str) -> dict:
+                acc = spark.read.parquet(f"{out}/accepted")
+                a = acc.agg(
+                    F.count("*").alias("n"),
+                    F.sum("doc_id").alias("chk"),
+                    F.sum(
+                        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+                        .cast("long")
+                    ).alias("txt_chk"),
+                ).collect()[0]
+                qn = spark.read.parquet(f"{out}/quarantine").count()
+                idx = spark.read.parquet(f"{out}/index").count()
+                met = sorted(
+                    tuple(r)
+                    for r in spark.read.parquet(f"{out}/metrics").collect()
+                )
+                sh = (
+                    spark.read.json(f"{out}/shards")
+                    .groupBy("shard")
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum("doc_id").alias("chk"),
+                    )
+                    .orderBy("shard")
+                    .collect()
+                )
+                return {
+                    "accepted": (a["n"], a["chk"], a["txt_chk"]),
+                    "quarantined": qn,
+                    "index_rows": idx,
+                    "metrics": met,
+                    "shards": [tuple(r) for r in sh],
+                }
+
+            s, r = _sig(out_s), _sig(out_r)
+            idx_bytes = sum(
+                f.stat().st_size
+                for f in Path(f"{out_s}/index").rglob("*.parquet")
+            )
+            corpus = spark.read.parquet(docs_dir).count()
+            equal = s == r
+            results["stream_corpus_pipeline"] = {
+                "sec": drain_sec,
+                "replay_sec": replay_sec,
+                "docs": corpus,
+                "accepted": s["accepted"][0],
+                "quarantined": s["quarantined"],
+                "per_batch_metrics": [list(m) for m in s["metrics"]],
+                "index_rows": s["index_rows"],
+                "index_bytes_per_doc": round(
+                    idx_bytes / max(1, s["index_rows"])
+                ),
+                "shard_rows": sum(x[1] for x in s["shards"]),
+                "stream_equals_replay": equal,
+            }
+            print(
+                f"C corpus_pipeline: {results['stream_corpus_pipeline']}",
+                file=sys.stderr,
+            )
+            if not equal:
+                rc = 1
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            results["stream_corpus_pipeline"] = {"error": str(exc)[:300]}
+            print(f"C corpus_pipeline: ERROR {exc}", file=sys.stderr)
     return rc
 
 
