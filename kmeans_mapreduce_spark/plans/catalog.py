@@ -533,114 +533,109 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the contract test pin).
 
 
-# ROUND-12 DRIVER WINDOW.  Composition per the round-11 ledger
-# (VERDICT r11 "Next round" #1): (b) round-11 reds: none;
-# (a) the three queries with NO driver record yet (added after the
-#     r11 window snapshot; judge-verified vanilla-green in r11):
-#     layout_zorder_pruning, mm_resize_png, mm_decode_quarantine;
-# (c) new this round (batch 36): quality_boost_fit +
-#     quality_boost_holdout — BOOSTED training with a full oracle
-#     (three weighted split-search rounds under integer reweighting,
-#     two-feature OR label, single-stump control in the holdout row);
-#     changed this round (round-11 ADVICE fixes, one consumer per
-#     touched operator): mm_pnm_tri_histogram (ppm_pixel_histogram's
-#     GIF-branch empty-GCT guard — its three netpbm arms run the
-#     edited function), mm_gif_decode_stats (encode_gif zero-area
-#     check), mm_png_decode_stats (encode_png zero-area check),
-#     knn_graph_bucketed (per-process warehouse table suffix);
-# (d) rows-only freshness AT THE POLICY BOUND (last sampled r10;
-#     round 12 is the last compliant round): kmeans_fit_native,
-#     kmeans_fit_mllib, kmeans_fit_lineitem, ann_pq_topk — each with
-#     its *_invariants sibling IN THE SAME WINDOW (VERDICT r11 #6):
-#     kmeans_fit_invariants, mllib_fit_invariants, pq_train_invariants
-#     (bpe_train_invariants' principal was sampled r11, ages out r13);
-# (e) oldest-driver-green fill: the first 32 round-5-vintage rows in
-#     catalog order (the remaining 16 — events_stickiness_dau_mau and
-#     sessions_bounce_rate, whose slots went to the stump-refactor
-#     consumers, then suppliers_nation_hhi through
-#     lineitem_shipping_lead_time — queue for round 13, all
-#     pre-verified vanilla-green at round-10 close, 6 re-sampled green
-#     by the round-11 judge, and ALL re-verified green in the round-12
-#     final-HEAD full-catalog sweep).
-_R12_WINDOW = [
-    # (a) mandatory: no driver record yet
-    "layout_zorder_pruning",
-    "mm_resize_png",
-    "mm_decode_quarantine",
-    # (c) new this round (batch 36)
+# STANDING LEDGER RULE (VERDICT r12 #6): any window that re-samples a
+# rows-only entry MUST carry its *_invariants sibling in the same
+# window — the sibling's full hash is the cross-engine anchor the
+# rows-only check lacks.
+
+# ROUND-13 DRIVER WINDOW.  Composition per the round-12 ledger
+# (VERDICT r12 "Next round" #1): (b) round-12 reds: none;
+# (c) new this round (batch 37): corpus_curation_e2e — the composed
+#     curation pipeline's batch face (frozen-ensemble filter -> exact
+#     canonical dedup -> content-addressed shards, per-shard
+#     checksums); changed this round: quality_boost_fit +
+#     quality_boost_holdout (_BQ_ROUNDS 3 -> 5: the SAME chain, two
+#     more certified rounds + the empty-frame ValueError guard),
+#     knn_graph_bucketed (reap gains the legacy fixed-name sweep),
+#     layout_zorder_pruning (zorder module grew the tile-aligned write
+#     the A/B now executes; the model query is re-pinned with it);
+# (d) rows-only freshness AT THE POLICY BOUND (sampled r11):
+#     pipeline_bpe_train with bpe_train_invariants in the same window
+#     (standing rule above; the other four rows-only entries sampled
+#     r12 age out at r14);
+# (e) oldest-driver-green fill: the 16 remaining round-5-vintage rows
+#     in catalog order (this DRAINS the round-5 bucket), then the
+#     first 27 round-7-vintage rows in catalog order.
+_R13_WINDOW = [
+    # (c) new this round (batch 37)
+    "corpus_curation_e2e",
+    # (c) changed this round
     "quality_boost_fit",
     "quality_boost_holdout",
-    # (c) changed this round (ADVICE-fix consumers)
-    "mm_pnm_tri_histogram",
-    "mm_gif_decode_stats",
-    "mm_png_decode_stats",
     "knn_graph_bucketed",
-    # (c) changed this round (the split search deduped: _stump_search
-    # now delegates to _weighted_stump_search — both consumers sampled)
-    "quality_stump_fit",
-    "quality_stump_holdout",
-    # (d) rows-only freshness at the policy bound + invariant siblings
-    "kmeans_fit_native",
-    "kmeans_fit_mllib",
-    "kmeans_fit_lineitem",
-    "ann_pq_topk",
-    "kmeans_fit_invariants",
-    "mllib_fit_invariants",
-    "pq_train_invariants",
-    # (e) oldest-green fill: round-5 vintage, catalog order
-    "events_funnel",
-    "events_retention_cohorts",
-    "sketch_rollup_weekly_users",
-    "ann_pq_fixed_topk",
-    "pipeline_ngram_contamination",
-    "dedup_canonical_exact",
-    "scd2_user_value_history",
-    "events_ohlc_rollup",
-    "events_gapfill_locf",
-    "events_concurrency_sweep",
-    "events_anomaly_mad",
-    "lm_bigram_logprob",
-    "sketch_countmin_tokens",
-    "sample_weighted_bychars",
-    "docs_pmi_pairs",
-    "embedding_pca_power",
-    "events_ewma",
-    "ab_test_ztest",
-    "attribution_last_touch",
-    "stats_chi2_independence",
-    "orders_pareto_frontier",
-    "events_markov_transitions",
-    "events_autocorr_daily",
-    "events_rolling_corr",
-    "hist_equidepth_prices",
-    "docs_vocab_coverage",
-    "events_dow_seasonality",
-    "orders_mom_growth",
-    "sessions_overlap_pairs",
-    "events_user_lifecycle",
-    "events_engagement_gini",
-    "customers_rfm_segments",
+    "layout_zorder_pruning",
+    # (d) rows-only freshness at the policy bound + invariant sibling
+    "pipeline_bpe_train",
+    "bpe_train_invariants",
+    # (e) oldest-green fill: round-5 vintage, catalog order (drains
+    # the round-5 bucket)
+    "events_stickiness_dau_mau",
+    "sessions_bounce_rate",
+    "suppliers_nation_hhi",
+    "orders_priority_mix_shift",
+    "nations_trade_balance",
+    "sketch_quantile_rollup",
+    "mm_audio_windows",
+    "events_ks_two_sample",
+    "orders_benford_digits",
+    "docs_oov_rate",
+    "events_top_paths",
+    "cohort_ltv_curves",
+    "events_peak_detection",
+    "customers_repurchase_intervals",
+    "sessions_duration_stats",
+    "lineitem_shipping_lead_time",
+    # (e) oldest-green fill: round-7 vintage, catalog order (27 of 42;
+    # the remaining 15 queue for round 14)
+    "pipeline_bpe_apply_fixed",
+    "dedup_simhash",
+    "asof_tolerance_purchase_click",
+    "mm_image_tiles",
+    "pipeline_mixture_schedule",
+    "parts_brand_share_topn",
+    "events_hourly_heatmap",
+    "parts_market_basket",
+    "events_conversion_latency",
+    "users_longest_streaks",
+    "events_forecast_backtest",
+    "orders_new_vs_returning",
+    "orders_hist2d_price_quantity",
+    "events_variant_props",
+    "lineitem_returns_by_brand",
+    "docs_dup_rate_by_source",
+    "customers_abc_classes",
+    "parts_price_positioning",
+    "pipeline_dsir_select",
+    "dedup_bloom_probe",
+    "pipeline_curriculum_stages",
+    "embedding_int8_quant",
+    "privacy_k_anonymity",
+    "pipeline_quality_classifier",
+    "docs_ngram_novelty",
+    "pipeline_token_budget_epochs",
+    "text_zipf_fit",
 ]
-assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
-# ROUND-13 LEDGER (write the _R13_WINDOW from this once round 12
-# records): compose as (b) any round-12 reds -> (c) round-13
-# new/changed -> (d) rows-only freshness: pipeline_bpe_train MUST
-# re-sample in round 13 (sampled r11; two-round policy bound), with
-# bpe_train_invariants in the same window; the other four rows-only
-# entries re-sampled in round 12 and age out at round 14 -> (e)
-# oldest-green fill: FIRST the 16 remaining round-5-vintage rows in
-# catalog order (events_stickiness_dau_mau, sessions_bounce_rate,
-# suppliers_nation_hhi, orders_priority_mix_shift,
-# nations_trade_balance, sketch_quantile_rollup, mm_audio_windows,
-# events_ks_two_sample, orders_benford_digits, docs_oov_rate,
-# events_top_paths, cohort_ltv_curves, events_peak_detection,
-# customers_repurchase_intervals, sessions_duration_stats,
-# lineitem_shipping_lead_time — this drains the round-5 bucket), then
-# round-7 vintage in catalog order (recompute the latest-round map
-# from CORRECTNESS_r*.json).
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+# ROUND-14 LEDGER (write _R14_WINDOW from this once round 13 records):
+# compose as (b) any round-13 reds -> (c) round-14 new/changed ->
+# (d) rows-only freshness: kmeans_fit_native, kmeans_fit_mllib,
+# kmeans_fit_lineitem, ann_pq_topk all hit the two-round policy bound
+# at round 14 (sampled r12) — per the standing rule they ride with
+# kmeans_fit_invariants, mllib_fit_invariants and pq_train_invariants
+# in the same window (pipeline_bpe_train re-samples r13, next bound
+# r15) -> (e) oldest-green fill: FIRST the 15 remaining round-7 rows
+# in catalog order (events_watermark_audit, dp_noisy_counts,
+# ann_lsh_recall, pipeline_preference_pairs, text_tokenizer_fertility,
+# pipeline_span_corruption, dedup_minhash_recall,
+# pipeline_dedup_yield_curve, pipeline_sample_temperature,
+# embedding_norm_outliers, pipeline_context_length_plan,
+# text_unigram_kl_sources, embedding_pq_distortion,
+# pipeline_quality_prune_sweep, pipeline_quality_terciles — this
+# drains the round-7 bucket), then round-8 vintage in catalog order
+# (recompute the latest-round map from CORRECTNESS_r*.json).
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R12_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R13_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,

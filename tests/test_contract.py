@@ -23,40 +23,29 @@ def test_catalog_shapes():
         "pipeline_bpe_train",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — round 12: the three never-recorded queries, the new
-    # boost trainer, every ADVICE-fix consumer, and the rows-only
-    # re-samples at their policy bound (with invariant siblings) must
-    # all be inside
+    # entries — round 13: the new composed-pipeline batch face, every
+    # changed consumer (5-round boost, reap legacy sweep, tile-aligned
+    # zorder), and the rows-only re-sample at its policy bound (with
+    # its invariant sibling, per the standing ledger rule) must all be
+    # inside
     first50 = list(qs)[:50]
-    from kmeans_mapreduce_spark.plans.catalog import _R12_WINDOW
+    from kmeans_mapreduce_spark.plans.catalog import _R13_WINDOW
 
-    assert first50 == _R12_WINDOW, "driver window drifted from the ledger"
+    assert first50 == _R13_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (a) mandatory: no driver record before round 12
-        "layout_zorder_pruning",
-        "mm_resize_png",
-        "mm_decode_quarantine",
-        # (c) round-12 additions (batch 36: the boosted trainer,
-        # VERDICT r11 §next #4)
+        # (c) round-13 addition (batch 37: the composed curation
+        # pipeline's batch face, VERDICT r12 §next #2)
+        "corpus_curation_e2e",
+        # (c) changed this round (5-round boost chain; ADVICE-fix
+        # consumers; the tile-aligned zorder module)
         "quality_boost_fit",
         "quality_boost_holdout",
-        # (c) changed this round (round-11 ADVICE-fix consumers)
-        "mm_pnm_tri_histogram",
-        "mm_gif_decode_stats",
-        "mm_png_decode_stats",
         "knn_graph_bucketed",
-        # (c) consumers of the deduped split search
-        "quality_stump_fit",
-        "quality_stump_holdout",
-        # (d) rows-only freshness at the two-round policy bound,
-        # invariant siblings in the same window (VERDICT r11 #6)
-        "kmeans_fit_native",
-        "kmeans_fit_mllib",
-        "kmeans_fit_lineitem",
-        "ann_pq_topk",
-        "kmeans_fit_invariants",
-        "mllib_fit_invariants",
-        "pq_train_invariants",
+        "layout_zorder_pruning",
+        # (d) rows-only freshness at the two-round policy bound, with
+        # the invariant sibling in the same window (standing rule)
+        "pipeline_bpe_train",
+        "bpe_train_invariants",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 
