@@ -124,9 +124,11 @@ def reap_stale_pid_tables(
     instead of pid probes.
 
     ``legacy_names``: exact table/dir names from BEFORE the pid-suffix
-    scheme (never pid-liveness-checkable, by definition abandoned once
-    all writers use suffixes) — dropped unconditionally as a one-time
-    migration sweep."""
+    scheme (never pid-liveness-checkable) — dropped unconditionally as
+    a one-time migration sweep.  MIGRATION CAVEAT: unconditional means
+    a still-running PRE-rename driver's live fixed-name table would be
+    dropped under it; pass legacy names only once every writer in the
+    warehouse uses the suffixed scheme."""
     import os
 
     def alive(pid: int) -> bool:

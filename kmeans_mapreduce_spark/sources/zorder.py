@@ -76,6 +76,7 @@ def write_zordered_tiles(
     y: str,
     n_tiles: int = 64,
     bits: int = 8,
+    rows_per_file: int | None = None,
 ) -> None:
     """Write ``df`` Z-clustered with EXPLICIT tile-aligned cuts: file
     boundaries at quadtree tile edges instead of `write_zordered`'s
@@ -97,14 +98,15 @@ def write_zordered_tiles(
     (`tiles_for_box`) prunes at the CATALOG level — directories it
     never lists, footers it never opens.
 
-    Scale shape: one hash exchange on the tile id (co-locates each
-    tile's rows in one task -> one file per tile per task), in-task
-    sort on the full key for tight row-group stats.  At 100 TB a tile
-    holds many files; every one still bounds that tile, so both
-    pruning paths (footer stats, tile-id partition pruning) survive
-    unchanged.  Trade-off vs sampled ranges: tile files carry the
-    data's spatial skew (equal AREA, not equal rows) — acceptable for
-    a layout, since a hot tile simply splits into more files."""
+    Scale shape: one hash exchange on the tile id co-locates each
+    tile's rows in ONE task, so by default each tile writes one file
+    — fine at fixture scale, a straggler/size hazard for a hot tile
+    at 100 TB.  ``rows_per_file`` caps file size there (Spark's
+    maxRecordsPerFile splits the task's output); every split file
+    still contains only its tile, so both pruning paths (footer
+    stats, tile-id partition pruning) survive the split unchanged.
+    Trade-off vs sampled ranges: tile files carry the data's spatial
+    skew (equal AREA, not equal rows)."""
     k = n_tiles.bit_length() - 1
     if n_tiles <= 0 or 1 << k != n_tiles or k % 2 != 0:
         raise ValueError(
@@ -115,14 +117,15 @@ def write_zordered_tiles(
     keyed = df.withColumn("_zkey", zorder_key(x, y, bits)).withColumn(
         "_ztile", F.shiftright("_zkey", shift)
     )
-    (
+    w = (
         keyed.repartition(n_tiles, "_ztile")
         .sortWithinPartitions("_ztile", "_zkey")
         .drop("_zkey")
         .write.mode("overwrite")
-        .partitionBy("_ztile")
-        .parquet(path)
     )
+    if rows_per_file is not None:
+        w = w.option("maxRecordsPerFile", rows_per_file)
+    w.partitionBy("_ztile").parquet(path)
 
 
 def tiles_for_box(
@@ -137,8 +140,22 @@ def tiles_for_box(
     `write_zordered_tiles` layout — driver-side arithmetic over at most
     ``n_tiles`` candidates (64 here; a constant, never data-sized), for
     catalog-level partition pruning: ``.where(col('_ztile').isin(...))``
-    makes Spark skip the other tile DIRECTORIES at planning time."""
+    makes Spark skip the other tile DIRECTORIES at planning time.
+    Validates the same n_tiles contract as the write path and rejects
+    boxes outside [0, 2^bits) — out-of-domain coordinates would alias
+    back onto real tile ids and corrupt the consumer's hit count."""
     k = n_tiles.bit_length() - 1
+    if n_tiles <= 0 or 1 << k != n_tiles or k % 2 != 0:
+        raise ValueError(
+            f"n_tiles must be a power of 4 (square quadtree tiles), "
+            f"got {n_tiles}"
+        )
+    lim = 1 << bits
+    if not (0 <= xlo <= xhi < lim and 0 <= ylo <= yhi < lim):
+        raise ValueError(
+            f"box ({xlo},{xhi},{ylo},{yhi}) outside the layout domain "
+            f"[0, {lim})"
+        )
     side = 1 << (bits - k // 2)  # spatial tile edge length
     out = []
     for tx in range(xlo // side, xhi // side + 1):

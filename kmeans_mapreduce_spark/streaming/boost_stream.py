@@ -119,6 +119,13 @@ def stream_boost_filter(
             f"stream_boost_filter: text column {text_col!r} not in the "
             f"stream schema {schema.fieldNames()}"
         )
+    from pyspark.sql.types import StringType
+
+    if not isinstance(schema[text_col].dataType, StringType):
+        raise ValueError(
+            f"stream_boost_filter: text column {text_col!r} must be "
+            f"string, got {schema[text_col].dataType.simpleString()}"
+        )
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

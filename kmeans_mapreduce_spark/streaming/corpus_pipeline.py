@@ -189,13 +189,27 @@ def fold_corpus_batch(
                     )
                 )
                 n_idx = idx.count()
-            except Exception:
+            except Exception as exc:
+                # ONLY the two legitimate empty-index shapes pass: the
+                # dir doesn't exist yet, or every prior batch accepted
+                # zero docs (dirs with no data files -> no schema).  A
+                # torn file, permission error, etc. must FAIL the batch
+                # — swallowing it would silently skip cross-batch dedup
+                # and commit duplicates with clean-looking metrics.
+                msg = str(exc)
+                if not (
+                    "PATH_NOT_FOUND" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg
+                ):
+                    raise
                 idx, n_idx = None, 0
         n_after_inbatch = survivors.count()
         n_near_inbatch = (n_kept - n_exact_inbatch) - n_after_inbatch
         if n_idx > 0:
-            survivors = survivors.join(
-                idx.select("fp").distinct(), "fp", "left_anti"
+            # cached: referenced three times (count, banded probe, the
+            # final anti-join's left side)
+            survivors = cached(
+                survivors.join(idx.select("fp").distinct(), "fp", "left_anti")
             )
             n_after_exact_idx = survivors.count()
             sb = _banded(
@@ -302,6 +316,13 @@ def stream_corpus_pipeline(
                 f"stream_corpus_pipeline: column {c!r} not in the "
                 f"stream schema {schema.fieldNames()}"
             )
+    from pyspark.sql.types import StringType
+
+    if not isinstance(schema[text_col].dataType, StringType):
+        raise ValueError(
+            f"stream_corpus_pipeline: text column {text_col!r} must be "
+            f"string, got {schema[text_col].dataType.simpleString()}"
+        )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         fold_corpus_batch(
@@ -335,9 +356,11 @@ def stream_batch_file_groups(checkpoint: str) -> list[list[str]]:
     last-modified order, NOT lexicographic path order, so a replay
     that guesses the grouping from sorted paths diverges on any
     corpus whose files were written concurrently; reading the log
-    removes the guess.  Handles the log's ``<n>.compact`` files
-    (each repeats all earlier entries: the batch's own files are the
-    set difference vs. batches before it)."""
+    removes the guess.  Every v1 log entry carries its ``batchId``,
+    so grouping is by that field — immune to the log's ``.compact``
+    rollups (which repeat earlier entries WITH their original ids).
+    Raises if log cleanup has already deleted the history of the
+    earliest batches (nothing left to replay them from)."""
     import json
     from pathlib import Path
 
@@ -354,18 +377,24 @@ def stream_batch_file_groups(checkpoint: str) -> list[list[str]]:
             if p.name.split(".")[0].isdigit() and not p.name.endswith(".crc")
         ),
     )
-    groups: list[list[str]] = []
-    seen: set[str] = set()
+    by_batch: dict[int, dict[str, None]] = {}
     for _, p in logs:
-        entries = [
-            json.loads(line)["path"]
-            for line in p.read_text().splitlines()
-            if line.startswith("{")
-        ]
-        fresh = [e for e in entries if e not in seen]
-        seen.update(fresh)
-        groups.append(fresh)
-    return groups
+        for line in p.read_text().splitlines():
+            if not line.startswith("{"):
+                continue
+            e = json.loads(line)
+            # dict-as-ordered-set: compact files repeat entries; keep
+            # first occurrence order within each batch
+            by_batch.setdefault(int(e["batchId"]), {})[e["path"]] = None
+    ids = sorted(by_batch)
+    if ids != list(range(len(ids))):
+        raise ValueError(
+            f"FileStreamSource log under {checkpoint!r} is no longer "
+            f"contiguous from batch 0 (retained ids {ids[:3]}...) — "
+            f"log cleanup has dropped early batches, so a full replay "
+            f"is impossible from this checkpoint"
+        )
+    return [list(by_batch[i]) for i in ids]
 
 
 def replay_corpus_pipeline(

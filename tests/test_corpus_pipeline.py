@@ -92,13 +92,6 @@ def _stage_files(spark, tmp_path, files=FILES, sub="flat"):
     return flat
 
 
-def _read_or_empty(spark, path):
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
-
-
 def _state(spark, out):
     """Comparable terminal state of a pipeline output tree."""
     acc = spark.read.parquet(f"{out}/accepted")
@@ -239,3 +232,30 @@ def test_schema_preconditions(spark, tmp_path):
         stream_corpus_pipeline(
             spark, str(d), str(tmp_path / "o2"), str(tmp_path / "c2")
         )
+
+
+def test_frozen_ensemble_is_the_trainers_exact_output(spark):
+    """FROZEN_QUALITY_ENSEMBLE claims to be 'the exact triples
+    quality_boost_fit's certified 5-round run produces' at sf0.01 —
+    pin that, or the serving/export faces could silently drift from
+    the trainer while agreeing with each other (they all consume the
+    same frozen literals)."""
+    from kmeans_mapreduce_spark.plans.pipeline_queries18 import (
+        _BQ_ROUNDS,
+        _boost_features,
+        _boost_rounds,
+    )
+
+    assert len(FROZEN_QUALITY_ENSEMBLE) == _BQ_ROUNDS
+    fx = _boost_features(spark, "/root/testdata/sf0.01").localCheckpoint(
+        eager=True
+    )
+    got = [
+        (r["round"], r["j"], r["theta"], r["ge_is_pos"])
+        for r in _boost_rounds(fx)
+    ]
+    want = [
+        (r["round"], r["j"], r["theta"], r["ge_is_pos"])
+        for r in FROZEN_QUALITY_ENSEMBLE
+    ]
+    assert got == want

@@ -317,13 +317,14 @@ def zorder_pruning_ab(spark, results: dict) -> int:
                 hit += 1
         return hit, total
 
-    def scan_decoded(path: str, tile_ids=None) -> tuple[tuple, int]:
-        """((result rows, o_orderkey checksum), rows the scan decoded)
-        for the box query — the checksum makes results_equal compare
-        the actual selected rows, not just their count (a layout write
-        that swapped k in-box rows for k out-of-box rows would pass a
-        count-only check).  ``tile_ids`` adds the catalog-level prune
-        (partition filter on the hive tile column)."""
+    def scan_decoded(path: str, tile_ids=None) -> tuple[tuple, int, int]:
+        """((result rows, o_orderkey checksum), rows the scan decoded,
+        files the scan selected) for the box query — the checksum makes
+        results_equal compare the actual selected rows, not just their
+        count (a layout write that swapped k in-box rows for k
+        out-of-box rows would pass a count-only check).  ``tile_ids``
+        adds the catalog-level prune (partition filter on the hive tile
+        column); numFiles is None if the scan node lacks the metric."""
         df = spark.read.parquet(path).where(
             (F.col("x") >= xlo)
             & (F.col("x") <= xhi)
@@ -553,7 +554,8 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
         kept_dir, ckpt = str(base / "boost_kept"), str(base / "boost_ckpt")
         t0 = time.time()
         try:
-            # train the 3-round ensemble on the UNREPLICATED sf0.1
+            # train the shipped-depth ensemble (_BQ_ROUNDS, 5 as of
+            # round 13) on the UNREPLICATED sf0.1
             # corpus (the offline-train half), then serve the frozen
             # model over the 50k-doc stress stream (the online half)
             fx = _boost_features(spark, SF01).localCheckpoint(eager=True)
