@@ -28,9 +28,14 @@ runs them —
                  duplicate's id survived or which batch carried it —
                  arrival-invariant where the id-keyed batch exporter
                  (sources/sinks.write_jsonl_shards) is not;
-  plus a one-row METRICS frame per batch (in/blank/rejected/dropped
-  counts) — the observability face a long-lived pipeline is operated
-  from.
+  5. INDEX (optional)  accepted docs that have an embedding are
+                 assigned their nearest coarse centroid and appended
+                 to the hive-partitioned IVF inverted file the ANN
+                 probes read — the curated corpus becomes searchable
+                 as it lands;
+  plus a one-row METRICS frame per batch (in/blank/rejected/dropped/
+  indexed counts) — the observability face a long-lived pipeline is
+  operated from.
 
 EXACTLY-ONCE BY CONSTRUCTION, not by sink log: every stage's output
 for micro-batch b lands under ``<stage>/batch=<b>/`` with
@@ -99,13 +104,27 @@ def fold_corpus_batch(
     text_col: str = "text",
     threshold: float = 0.8,
     n_shards: int = 8,
+    ivf_vectors: DataFrame | None = None,
+    ivf_centroids: list[list[float]] | None = None,
+    ivf_id_col: str = "vec_id",
+    ivf_vec_col: str = "embedding",
 ) -> dict:
     """The whole chain for ONE micro-batch; deterministic given
     (batch contents, index state at batches < batch_id).  Called by
     the streaming topology (foreachBatch) and by the driver-loop
     replay face — the same code object, so stream-vs-replay equality
     tests the STREAMING MACHINERY (file listing, checkpointing,
-    redelivery), not two implementations of the semantics."""
+    redelivery), not two implementations of the semantics.
+
+    ``ivf_vectors`` + ``ivf_centroids`` enable the OPTIONAL fifth
+    stage: each accepted doc that has an embedding (inner join on id —
+    embeddings typically cover a subset of the corpus) is assigned its
+    nearest coarse centroid and appended to the hive-partitioned IVF
+    inverted file `ivf/batch=<b>/cell=<i>/` that ivf_topk_from_index
+    probes — the accepted corpus becomes SEARCHABLE as it lands, under
+    the same batch-dir idempotence discipline as every other stage.
+    Centroids stay fixed between index rebuilds (the standard IVF
+    regime, operators/similarity.stream_append_ivf_index)."""
     from kmeans_mapreduce_spark.plans.pipeline_queries17 import (
         with_doc_features,
     )
@@ -239,8 +258,46 @@ def fold_corpus_batch(
             n_accepted = n_after_inbatch
             n_exact_index = n_near_index = 0
 
+        # optional stage 5: IVF index append for accepted docs that
+        # have an embedding — nearest coarse centroid via the shared
+        # kmeans distance expression, same plan ivf_topk_from_index
+        # probes through
+        n_indexed = 0
+        ivf_entries = None
+        if ivf_vectors is not None:
+            if ivf_centroids is None:
+                raise ValueError(
+                    "ivf_vectors given without ivf_centroids — the IVF "
+                    "stage needs the frozen coarse quantizer"
+                )
+            from kmeans_mapreduce_spark.operators.kmeans import (
+                _dist2_to_centroids,
+            )
+
+            vecs = survivors.select(F.col(id_col).alias("neighbor_id")).join(
+                ivf_vectors.select(
+                    F.col(ivf_id_col).alias("neighbor_id"),
+                    F.col(ivf_vec_col).cast("array<double>").alias("cv"),
+                ),
+                "neighbor_id",
+            )
+            dists = _dist2_to_centroids("cv", ivf_centroids)
+            ivf_entries = cached(
+                vecs.withColumn(
+                    "cell",
+                    (F.array_position(dists, F.array_min(dists)) - 1).cast(
+                        "int"
+                    ),
+                )
+            )
+            n_indexed = ivf_entries.count()
+
         # ---- commits: everything under batch=<b>, overwrite ----------
         b = f"batch={batch_id}"
+        if ivf_entries is not None:
+            ivf_entries.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{out_dir}/ivf/{b}"
+            )
         quarantine.write.mode("overwrite").parquet(
             f"{out_dir}/quarantine/{b}"
         )
@@ -267,12 +324,14 @@ def fold_corpus_batch(
             "n_exact_index": n_exact_index,
             "n_near_index": n_near_index,
             "n_accepted": n_accepted,
+            "n_indexed": n_indexed,
         }
         spark.createDataFrame(
             [tuple(metrics.values())],
             "batch int, n_in long, n_blank long, n_rejected long, "
             "n_exact_inbatch long, n_near_inbatch long, "
-            "n_exact_index long, n_near_index long, n_accepted long",
+            "n_exact_index long, n_near_index long, n_accepted long, "
+            "n_indexed long",
         ).write.mode("overwrite").parquet(f"{out_dir}/metrics/{b}")
         return metrics
     finally:
@@ -294,11 +353,15 @@ def stream_corpus_pipeline(
     n_shards: int = 8,
     max_files_per_trigger: int = 1,
     schema=None,
+    ivf_vectors: DataFrame | None = None,
+    ivf_centroids: list[list[float]] | None = None,
 ) -> None:
     """Drain ``docs_dir`` (availableNow) through the whole chain.
     Re-running after new files land folds ONLY the delta (checkpoint
     offsets); each delta batch gets the next batch id and its own
-    output dirs, so committed batches are never rewritten."""
+    output dirs, so committed batches are never rewritten.
+    ``ivf_vectors``/``ivf_centroids`` switch on the optional IVF
+    index-append stage (see fold_corpus_batch)."""
     if rounds is None:
         rounds = FROZEN_QUALITY_ENSEMBLE
     if schema is None:
@@ -335,6 +398,8 @@ def stream_corpus_pipeline(
             text_col=text_col,
             threshold=threshold,
             n_shards=n_shards,
+            ivf_vectors=ivf_vectors,
+            ivf_centroids=ivf_centroids,
         )
 
     q = (

@@ -92,8 +92,14 @@ def _stage_files(spark, tmp_path, files=FILES, sub="flat"):
     return flat
 
 
-def _state(spark, out):
+def _state(spark, out, with_ivf=False):
     """Comparable terminal state of a pipeline output tree."""
+    ivf = []
+    if with_ivf:
+        ivf = sorted(
+            (r["batch"], r["cell"], r["neighbor_id"])
+            for r in spark.read.parquet(f"{out}/ivf").collect()
+        )
     acc = spark.read.parquet(f"{out}/accepted")
     accepted = sorted(
         (r["batch"], r["doc_id"], r["text"], r["source"])
@@ -117,6 +123,7 @@ def _state(spark, out):
         "index": index,
         "metrics": metrics,
         "shards": shards,
+        "ivf": ivf,
     }
 
 
@@ -125,9 +132,25 @@ def test_stream_equals_driver_loop_replay_end_to_end(spark, tmp_path):
     out_s = str(tmp_path / "out_stream")
     out_r = str(tmp_path / "out_replay")
 
+    # the optional IVF stage: embeddings cover a SUBSET of the corpus
+    # (no vector for 32 — partial coverage is the realistic shape);
+    # two centroids so cell assignment exercises a real argmin
+    embs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (13, [10.0, 10.0]),
+            (23, [1.0, 0.0]),
+            (24, [9.0, 9.0]),  # dedup-dropped doc: must NOT be indexed
+            (41, [2.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = [[0.0, 0.0], [10.0, 10.0]]
+
     ckpt = str(tmp_path / "ckpt")
     stream_corpus_pipeline(
-        spark, str(flat), out_s, checkpoint=ckpt, max_files_per_trigger=1
+        spark, str(flat), out_s, checkpoint=ckpt, max_files_per_trigger=1,
+        ivf_vectors=embs, ivf_centroids=centroids,
     )
     # replay the stream's own recorded batches (the source log is the
     # ground truth for grouping — files list in modified order)
@@ -135,10 +158,18 @@ def test_stream_equals_driver_loop_replay_end_to_end(spark, tmp_path):
     assert [
         [g.rsplit("/", 1)[-1] for g in grp] for grp in groups
     ] == [[f"{i:03d}.parquet"] for i in range(len(FILES))]
-    metrics = replay_corpus_pipeline(spark, groups, out_r)
+    metrics = replay_corpus_pipeline(
+        spark, groups, out_r, ivf_vectors=embs, ivf_centroids=centroids
+    )
 
-    s, r = _state(spark, out_s), _state(spark, out_r)
+    s = _state(spark, out_s, with_ivf=True)
+    r = _state(spark, out_r, with_ivf=True)
     assert s == r  # the whole chain, every output, bit-for-bit
+
+    # the IVF stage indexed exactly the ACCEPTED-with-embedding docs,
+    # each in its nearest coarse cell (32 has no vector; 24 was
+    # dedup-dropped before the index stage)
+    assert s["ivf"] == [(0, 0, 1), (1, 1, 13), (2, 0, 23)]
 
     # and the chain did what the fixture plants, batch by batch
     assert {d for _, d, _, _ in s["accepted"]} == EXPECT_ACCEPTED
@@ -147,7 +178,7 @@ def test_stream_equals_driver_loop_replay_end_to_end(spark, tmp_path):
     assert by_batch[0] == {
         "batch": 0, "n_in": 4, "n_blank": 1, "n_rejected": 1,
         "n_exact_inbatch": 1, "n_near_inbatch": 0, "n_exact_index": 0,
-        "n_near_index": 0, "n_accepted": 1,
+        "n_near_index": 0, "n_accepted": 1, "n_indexed": 1,
     }
     # 12 dies IN-batch: its near anchor 11 (exact dup of indexed 1) is
     # still present when in-batch near-dedup runs, which precedes the

@@ -888,13 +888,23 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
             stream_corpus_pipeline,
         )
 
+        from kmeans_mapreduce_spark.plans.kmeans_queries import (
+            _fixed_centroids,
+        )
+
         out_s = str(base / "corpus_pipe")
         out_r = str(base / "corpus_pipe_replay")
         ckpt = str(base / "corpus_pipe_ckpt")
         t0 = time.time()
         try:
+            # IVF stage on: the stress embeddings (10x-replicated, ids
+            # aligned with doc ids) against the frozen coarse quantizer
+            # (first-8 convention over the UNREPLICATED corpus)
+            embs = spark.read.parquet(f"{STRESS_DIR}/embeddings.parquet")
+            cents = _fixed_centroids(spark, SF01, k=8)
             stream_corpus_pipeline(
-                spark, docs_dir, out_s, ckpt, max_files_per_trigger=8
+                spark, docs_dir, out_s, ckpt, max_files_per_trigger=8,
+                ivf_vectors=embs, ivf_centroids=cents,
             )
             drain_sec = round(time.time() - t0, 1)
             t0 = time.time()
@@ -902,7 +912,9 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
             # lists files in modified order, not path order — guessing
             # the grouping from sorted paths diverges)
             groups = stream_batch_file_groups(ckpt)
-            replay_corpus_pipeline(spark, groups, out_r)
+            replay_corpus_pipeline(
+                spark, groups, out_r, ivf_vectors=embs, ivf_centroids=cents
+            )
             replay_sec = round(time.time() - t0, 1)
 
             def _sig(out: str) -> dict:
@@ -931,12 +943,23 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                     .orderBy("shard")
                     .collect()
                 )
+                iv = (
+                    spark.read.parquet(f"{out}/ivf")
+                    .groupBy("cell")
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum("neighbor_id").alias("chk"),
+                    )
+                    .orderBy("cell")
+                    .collect()
+                )
                 return {
                     "accepted": (a["n"], a["chk"], a["txt_chk"]),
                     "quarantined": qn,
                     "index_rows": idx,
                     "metrics": met,
                     "shards": [tuple(r) for r in sh],
+                    "ivf_cells": [tuple(r) for r in iv],
                 }
 
             s, r = _sig(out_s), _sig(out_r)
@@ -958,6 +981,8 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                     idx_bytes / max(1, s["index_rows"])
                 ),
                 "shard_rows": sum(x[1] for x in s["shards"]),
+                "ivf_indexed": sum(x[1] for x in s["ivf_cells"]),
+                "ivf_cells": len(s["ivf_cells"]),
                 "stream_equals_replay": equal,
             }
             print(
