@@ -184,6 +184,32 @@ def lsh_topk(
     )
 
 
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(neighbor_id, cv, cell): each vector's nearest coarse centroid —
+    THE one cell-assignment implementation, shared by the index build
+    (write_ivf_index), the in-memory probe (ivf_topk), the standalone
+    index-append stream and the composed pipeline's index stage, so a
+    tie-break or layout change has exactly one place to live.
+    Delegates to operators/kmeans.assign_clusters: ties to the lowest
+    cell, and the k x d distance array is bound ONCE (transform-over-
+    singleton) instead of evaluating it separately for array_min and
+    array_position."""
+    from kmeans_mapreduce_spark.operators.kmeans import assign_clusters
+
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    return assign_clusters(c, centroids, features_col="cv").withColumnRenamed(
+        "cluster_id", "cell"
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -199,16 +225,7 @@ def write_ivf_index(
     probe with a cell predicate PRUNES AT THE SCAN — a query touching
     n_probe of k cells reads n_probe/k of the corpus bytes, no filter
     execution involved (pinned in tests/test_asof_ivf.py)."""
-    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    dists = _dist2_to_centroids("cv", centroids)
-    c = c.withColumn(
-        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    )
+    c = assign_ivf_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     c.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
@@ -287,14 +304,7 @@ def ivf_topk(
     """
     from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
 
-    c_cell = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    dists = _dist2_to_centroids("cv", centroids)
-    c_cell = c_cell.withColumn(
-        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    )
+    c_cell = assign_ivf_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
@@ -357,18 +367,9 @@ def stream_append_ivf_index(
     regime: drift is handled by periodic re-train + re-build, not by
     moving cells under a live index).
     """
-    from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
-
     schema = spark.read.parquet(source_dir).schema
     src = spark.readStream.schema(schema).parquet(source_dir)
-    c = src.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    dists = _dist2_to_centroids("cv", centroids)
-    c = c.withColumn(
-        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    )
+    c = assign_ivf_cells(src, centroids, id_col=id_col, vec_col=vec_col)
     q = (
         c.writeStream.format("parquet")
         .partitionBy("cell")

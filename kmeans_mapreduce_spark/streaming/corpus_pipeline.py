@@ -87,6 +87,33 @@ FROZEN_QUALITY_ENSEMBLE: list[dict] = [
 ]
 
 
+# metrics output contract — ONE definition for the writer and the
+# schema-compatibility precondition (a pre-n_indexed output tree read
+# back without mergeSchema would be schema-nondeterministic; the
+# stream face refuses to extend such a tree instead)
+METRICS_SCHEMA = (
+    "batch int, n_in long, n_blank long, n_rejected long, "
+    "n_exact_inbatch long, n_near_inbatch long, "
+    "n_exact_index long, n_near_index long, n_accepted long, "
+    "n_indexed long"
+)
+_METRICS_FIELDS = [c.split()[0] for c in METRICS_SCHEMA.split(", ")]
+
+
+def _ivf_centroid_dim(centroids) -> int:
+    """Validate the frozen coarse quantizer (non-empty, uniform
+    dimension) and return its dimension — a malformed quantizer is a
+    configuration error worth failing loudly on, not a per-row NULL."""
+    if not centroids:
+        raise ValueError("ivf_centroids is empty — nothing to assign to")
+    dims = {len(c) for c in centroids}
+    if len(dims) != 1 or 0 in dims:
+        raise ValueError(
+            f"ivf_centroids have inconsistent/zero dimensions: {sorted(dims)}"
+        )
+    return dims.pop()
+
+
 def content_shard(fp_col, n_shards: int):
     """Content-addressed shard id: first 4 hex chars of the text
     fingerprint mod n — identical text lands in the same shard no
@@ -259,35 +286,46 @@ def fold_corpus_batch(
             n_exact_index = n_near_index = 0
 
         # optional stage 5: IVF index append for accepted docs that
-        # have an embedding — nearest coarse centroid via the shared
-        # kmeans distance expression, same plan ivf_topk_from_index
-        # probes through
+        # have an embedding — ONE shared cell-assignment implementation
+        # (operators/similarity.assign_ivf_cells: lowest-cell tie-break,
+        # distance array bound once), the same plan
+        # ivf_topk_from_index probes through
         n_indexed = 0
         ivf_entries = None
+        if (ivf_vectors is None) != (ivf_centroids is None):
+            raise ValueError(
+                "ivf_vectors and ivf_centroids must be given together — "
+                "the IVF stage needs both the vector table and the "
+                "frozen coarse quantizer"
+            )
         if ivf_vectors is not None:
-            if ivf_centroids is None:
-                raise ValueError(
-                    "ivf_vectors given without ivf_centroids — the IVF "
-                    "stage needs the frozen coarse quantizer"
-                )
-            from kmeans_mapreduce_spark.operators.kmeans import (
-                _dist2_to_centroids,
+            dim = _ivf_centroid_dim(ivf_centroids)
+            from kmeans_mapreduce_spark.operators.similarity import (
+                assign_ivf_cells,
             )
 
-            vecs = survivors.select(F.col(id_col).alias("neighbor_id")).join(
+            # broadcast the tiny survivors side so the (at scale, huge)
+            # vector table is only scanned, never shuffled, per batch
+            vecs = F.broadcast(
+                survivors.select(F.col(id_col).alias("_aid"))
+            ).join(
                 ivf_vectors.select(
-                    F.col(ivf_id_col).alias("neighbor_id"),
-                    F.col(ivf_vec_col).cast("array<double>").alias("cv"),
+                    F.col(ivf_id_col).alias("_aid"),
+                    F.col(ivf_vec_col).cast("array<double>").alias("_cv"),
                 ),
-                "neighbor_id",
+                "_aid",
             )
-            dists = _dist2_to_centroids("cv", ivf_centroids)
+            # a null or dimension-mismatched embedding would assign a
+            # NULL cell — written to __HIVE_DEFAULT_PARTITION__, counted
+            # but never probeable.  Such rows stay ACCEPTED docs but are
+            # excluded from the index (n_indexed counts only searchable
+            # entries).
+            valid = vecs.where(
+                F.col("_cv").isNotNull() & (F.size("_cv") == dim)
+            )
             ivf_entries = cached(
-                vecs.withColumn(
-                    "cell",
-                    (F.array_position(dists, F.array_min(dists)) - 1).cast(
-                        "int"
-                    ),
+                assign_ivf_cells(
+                    valid, ivf_centroids, id_col="_aid", vec_col="_cv"
                 )
             )
             n_indexed = ivf_entries.count()
@@ -327,11 +365,7 @@ def fold_corpus_batch(
             "n_indexed": n_indexed,
         }
         spark.createDataFrame(
-            [tuple(metrics.values())],
-            "batch int, n_in long, n_blank long, n_rejected long, "
-            "n_exact_inbatch long, n_near_inbatch long, "
-            "n_exact_index long, n_near_index long, n_accepted long, "
-            "n_indexed long",
+            [tuple(metrics.values())], METRICS_SCHEMA
         ).write.mode("overwrite").parquet(f"{out_dir}/metrics/{b}")
         return metrics
     finally:
@@ -355,13 +389,24 @@ def stream_corpus_pipeline(
     schema=None,
     ivf_vectors: DataFrame | None = None,
     ivf_centroids: list[list[float]] | None = None,
+    ivf_id_col: str = "vec_id",
+    ivf_vec_col: str = "embedding",
 ) -> None:
     """Drain ``docs_dir`` (availableNow) through the whole chain.
     Re-running after new files land folds ONLY the delta (checkpoint
     offsets); each delta batch gets the next batch id and its own
     output dirs, so committed batches are never rewritten.
-    ``ivf_vectors``/``ivf_centroids`` switch on the optional IVF
-    index-append stage (see fold_corpus_batch)."""
+    ``ivf_vectors``/``ivf_centroids`` (+ their column names) switch on
+    the optional IVF index-append stage (see fold_corpus_batch).
+
+    Preconditions checked up front (driver-side, once per run): the
+    stream schema carries a string ``text_col``; the IVF inputs come
+    as a pair with a well-formed quantizer; and if ``out_dir`` already
+    holds a metrics tree, its schema must match METRICS_SCHEMA — a
+    tree written before a metrics column existed would otherwise read
+    back schema-nondeterministically (parquet infers from one
+    arbitrary file without mergeSchema), so extending it is refused
+    with a start-a-new-out_dir error instead."""
     if rounds is None:
         rounds = FROZEN_QUALITY_ENSEMBLE
     if schema is None:
@@ -386,6 +431,26 @@ def stream_corpus_pipeline(
             f"stream_corpus_pipeline: text column {text_col!r} must be "
             f"string, got {schema[text_col].dataType.simpleString()}"
         )
+    if (ivf_vectors is None) != (ivf_centroids is None):
+        raise ValueError(
+            "ivf_vectors and ivf_centroids must be given together"
+        )
+    if ivf_centroids is not None:
+        _ivf_centroid_dim(ivf_centroids)
+    try:
+        existing = spark.read.parquet(f"{out_dir}/metrics").schema.fieldNames()
+    except Exception:
+        existing = None
+    # set-compare: `batch` rides both as a data column and the
+    # partition dir, and partition discovery can reorder fields
+    if existing is not None and set(existing) != set(_METRICS_FIELDS):
+        raise ValueError(
+            f"stream_corpus_pipeline: {out_dir!r} holds a metrics tree "
+            f"with schema {existing}, but this build writes "
+            f"{_METRICS_FIELDS} — mixed-schema parquet reads are "
+            f"nondeterministic, so start a new out_dir (and checkpoint) "
+            f"instead of extending this one"
+        )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         fold_corpus_batch(
@@ -400,6 +465,8 @@ def stream_corpus_pipeline(
             n_shards=n_shards,
             ivf_vectors=ivf_vectors,
             ivf_centroids=ivf_centroids,
+            ivf_id_col=ivf_id_col,
+            ivf_vec_col=ivf_vec_col,
         )
 
     q = (
