@@ -157,14 +157,16 @@ def reap_stale_pid_tables(
         # glob per stale class: pid-suffixed dirs under the prefix,
         # plus the exact pre-rename legacy dirs the prefix glob (with
         # its trailing separator) can never match
-        stale_dirs = [
+        stale_dirs = {
             d
             for d in Path(wh.path).glob(f"{prefix}*")
             if d.is_dir() and stale_pid(d.name)
-        ] + [
+        } | {
             d for n in legacy if (d := Path(wh.path) / n).is_dir()
-        ]
-        for d in stale_dirs:
+        }
+        # set union: a legacy name that also parses as a stale
+        # pid-suffixed dir must be reaped (and reported) exactly once
+        for d in sorted(stale_dirs):
             shutil.rmtree(d, ignore_errors=True)
             removed.append(f"dir:{d.name}")
     return removed

@@ -113,6 +113,12 @@ def write_zordered_tiles(
             f"n_tiles must be a power of 4 (square quadtree tiles), "
             f"got {n_tiles}"
         )
+    if n_tiles > 4**bits:
+        raise ValueError(
+            f"n_tiles={n_tiles} exceeds the key's 4**bits={4 ** bits} "
+            f"addressable tiles — shiftright would mask the negative "
+            f"count and silently scramble tile ids"
+        )
     shift = 2 * bits - k
     keyed = df.withColumn("_zkey", zorder_key(x, y, bits)).withColumn(
         "_ztile", F.shiftright("_zkey", shift)
@@ -149,6 +155,11 @@ def tiles_for_box(
         raise ValueError(
             f"n_tiles must be a power of 4 (square quadtree tiles), "
             f"got {n_tiles}"
+        )
+    if n_tiles > 4**bits:
+        raise ValueError(
+            f"n_tiles={n_tiles} exceeds the key's 4**bits={4 ** bits} "
+            f"addressable tiles"
         )
     lim = 1 << bits
     if not (0 <= xlo <= xhi < lim and 0 <= ylo <= yhi < lim):
