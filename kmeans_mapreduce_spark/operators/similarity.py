@@ -381,6 +381,117 @@ def stream_append_ivf_index(
     q.awaitTermination()
 
 
+def compact_ivf_index(
+    spark,
+    stream_ivf_dir: str,
+    dest: str,
+    rows_per_file: int | None = None,
+) -> dict:
+    """Compact a STREAMED IVF tree (``batch=<b>/cell=<i>/`` — the
+    layout the composed pipeline's index stage and any per-batch
+    appender accumulate) into the cell-major layout the batch builder
+    writes (``cell=<i>/``, write_ivf_index above), at ``dest``.
+
+    Why: the streamed tree grows one dir-per-cell PER BATCH, so a
+    probe of n_probe cells lists and opens O(batches) directories and
+    files — the same small-files failure compact_partitions exists
+    for, here multiplied by the partition tree's batch level.  The
+    compacted artifact holds identical rows with the batch provenance
+    dropped, clustered one-task-per-cell (each cell's rows hash to ONE
+    task, so each cell dir holds one file; ``rows_per_file`` splits
+    hot cells via maxRecordsPerFile, and every split file still holds
+    only its cell, so partition pruning survives).  Probes read
+    ``dest`` through the same ivf_topk_from_index, with the same
+    cell-partition pruning — equality and pruning are pinned in
+    tests/test_asof_ivf.py.
+
+    Deliberately NOT in place: the stream tree's batch dirs are the
+    writer's exactly-once contract (a replayed micro-batch overwrites
+    its own ``batch=<b>``) — rewriting them under a live stream would
+    break replay idempotence.  Run this when the stream is quiescent
+    (between availableNow drains); after verifying ``dest``, the
+    operator either retires the stream tree and restarts the stream's
+    index stage fresh, or keeps probing base-plus-delta (``dest``
+    union ``batch > <compacted watermark>``).
+
+    Durability: staged write + whole-dir swap (``dest__staging`` /
+    ``dest__old``).  A crash mid-swap leaves dest absent with the old
+    copy parked at ``dest__old``; the recovery preamble of the next
+    call restores it, so RETRY is the complete repair procedure.
+
+    Returns {rows, cells, files_before, files_after}."""
+    from kmeans_mapreduce_spark.sources.maintenance import _fs_path
+
+    fs, jsrc = _fs_path(spark, stream_ivf_dir)
+    if not fs.exists(jsrc):
+        raise FileNotFoundError(stream_ivf_dir)
+    _, jdest = _fs_path(spark, dest)
+    staging = dest.rstrip("/") + "__staging"
+    old = dest.rstrip("/") + "__old"
+    _, jstaging = _fs_path(spark, staging)
+    _, jold = _fs_path(spark, old)
+
+    def _checked_rename(src_p, dst_p, what: str) -> None:
+        if not fs.rename(src_p, dst_p):
+            raise IOError(f"rename failed ({what}): {src_p} -> {dst_p}")
+
+    # recovery preamble: a crash between the two swap renames leaves
+    # dest absent and the previous copy parked — restore it first
+    if fs.exists(jold):
+        if not fs.exists(jdest):
+            _checked_rename(jold, jdest, "recover parked dest")
+        else:
+            fs.delete(jold, True)
+    if fs.exists(jstaging):
+        fs.delete(jstaging, True)  # incomplete by construction
+
+    def _count_files(jpath) -> int:
+        it = fs.listFiles(jpath, True)
+        n = 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    src = spark.read.parquet(stream_ivf_dir)
+    if "cell" not in src.columns:
+        raise ValueError(
+            f"{stream_ivf_dir!r} is not an IVF tree: no 'cell' column "
+            f"in {src.columns}"
+        )
+    data = src.drop("batch") if "batch" in src.columns else src
+    stats = data.groupBy().agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("cell").alias("cells"),
+    ).collect()[0]
+    n_cells = max(1, stats["cells"])
+    w = (
+        data.repartition(n_cells, "cell")
+        .write.mode("overwrite")
+    )
+    if rows_per_file is not None:
+        w = w.option("maxRecordsPerFile", rows_per_file)
+    w.partitionBy("cell").parquet(staging)
+    files_before = _count_files(jsrc)
+    files_after = _count_files(jstaging)
+    if fs.exists(jdest):
+        _checked_rename(jdest, jold, "park previous dest")
+    try:
+        _checked_rename(jstaging, jdest, "promote compacted copy")
+    except IOError:
+        if fs.exists(jold):
+            _checked_rename(jold, jdest, "restore after failed promote")
+        raise
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    return {
+        "rows": stats["rows"],
+        "cells": stats["cells"],
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 # --- product quantization (PQ) ----------------------------------------------
 
 # Shared PQ broadcast-codebook plumbing: the per-subspace squared

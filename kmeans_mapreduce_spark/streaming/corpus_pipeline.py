@@ -18,6 +18,12 @@ runs them —
                  vs-index — one decision function, so the fold's drops
                  depend only on (batch contents, prior index), never on
                  which side of a batch boundary a pair straddles.  The
+                 vs-index candidate join reads a PRE-BANDED sibling
+                 (``index_bands/batch=<b>/`` rows (id, band, key),
+                 written once per batch) instead of re-deriving the
+                 band keys of the whole index every micro-batch — the
+                 banding cost is paid once per accepted doc at write
+                 time, not once per doc per subsequent batch.  The
                  standalone stream (dedup_corpus.py) keeps its
                  exact-Jaccard in-batch verify; the composed pipeline
                  trades that sliver of in-batch precision for a fold
@@ -34,8 +40,12 @@ runs them —
                  probes read — the curated corpus becomes searchable
                  as it lands;
   plus a one-row METRICS frame per batch (in/blank/rejected/dropped/
-  indexed counts) — the observability face a long-lived pipeline is
-  operated from.
+  indexed counts, and the index size the batch probed against) — the
+  observability face a long-lived pipeline is operated from.  The
+  pure row-count metrics of frames the fold writes anyway (n_in,
+  n_blank, n_accepted, n_indexed) ride ``df.observe`` on those writes
+  instead of separate ``count()`` actions, so they cost zero extra
+  Spark jobs per batch.
 
 EXACTLY-ONCE BY CONSTRUCTION, not by sink log: every stage's output
 for micro-batch b lands under ``<stage>/batch=<b>/`` with
@@ -50,11 +60,18 @@ crash-between-appends window is documented there.
 
 Scale shape per batch: stages 1-2 are per-row expressions (scan
 speed); stage 3 is one narrow shuffle on fingerprint plus a banded
-join whose index side is bands x accepted-docs KB-sized signature
-rows (bucketed by band key in production so the candidate join stays
-co-located); stage 4 is a projection + file commit.  Driver state:
-one metrics row per batch.  The only growing state is the signature
-index — ~300 bytes per ACCEPTED doc, text never re-read.
+candidate join whose index side is the pre-banded (id, band, key)
+sibling — scanned, never shuffled (AQE broadcasts the micro-batch
+probe side), with signature verification joining the CANDIDATE PAIRS
+(tiny) back to the already-cached flat index; stage 4 is a projection
++ file commit.  Driver state: one metrics row per batch.  The growing
+state is the signature index plus its banded sibling — sub-KB per
+ACCEPTED doc, text never re-read.  Per-batch probe cost is linear in
+the index size with a small constant (a columnar scan of short rows);
+the measured per-batch cost curve at stream length lives in
+SCALE_RUN.md, and a deployment whose batches outgrow the broadcast
+threshold would register the sibling as a table BUCKETED BY (band,
+key) so the candidate join co-locates without shuffling the index.
 
 No reference analog (the reference has no streaming at all);
 composes the mandated beyond-reference streaming surface end to end.
@@ -95,9 +112,33 @@ METRICS_SCHEMA = (
     "batch int, n_in long, n_blank long, n_rejected long, "
     "n_exact_inbatch long, n_near_inbatch long, "
     "n_exact_index long, n_near_index long, n_accepted long, "
-    "n_indexed long"
+    "n_indexed long, n_index_rows long"
 )
 _METRICS_FIELDS = [c.split()[0] for c in METRICS_SCHEMA.split(", ")]
+
+
+_EMPTY_INDEX_CLASSES = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _is_empty_index_error(exc: Exception) -> bool:
+    """True iff ``exc`` is one of the two legitimate empty-index reads:
+    the index dir does not exist yet, or exists with no data files (no
+    schema to infer).  Checks the structured error class first
+    (``getCondition``/``getErrorClass`` on PySpark's exceptions — the
+    stable contract across Spark upgrades) and falls back to substring
+    matching on the message only when no class is attached."""
+    for attr in ("getCondition", "getErrorClass"):
+        get = getattr(exc, attr, None)
+        if get is None:
+            continue
+        try:
+            cls = get()
+        except Exception:
+            continue
+        if cls is not None:
+            return any(c in cls for c in _EMPTY_INDEX_CLASSES)
+    msg = str(exc)
+    return any(c in msg for c in _EMPTY_INDEX_CLASSES)
 
 
 def _ivf_centroid_dim(centroids) -> int:
@@ -112,6 +153,17 @@ def _ivf_centroid_dim(centroids) -> int:
             f"ivf_centroids have inconsistent/zero dimensions: {sorted(dims)}"
         )
     return dims.pop()
+
+
+def _sig_agreement(left_sig, right_sig):
+    """Fraction of MinHash positions on which two signatures agree —
+    THE near-similarity estimator of the composed fold, shared by the
+    in-batch self-join and the vs-index probe so a pair's fate cannot
+    depend on which side of a batch boundary it straddles."""
+    return F.size(
+        F.filter(F.zip_with(left_sig, right_sig, lambda p, q: p == q),
+                 lambda v: v)
+    ) / F.lit(MINHASH_NUM_PERM)
 
 
 def content_shard(fp_col, n_shards: int):
@@ -163,13 +215,23 @@ def fold_corpus_batch(
         caches.append(df.cache())
         return df
 
+    from pyspark.sql import Observation
+
     staged = cached(batch_df.withColumn("_ntok", F.size(tokens(text_col))))
     try:
-        n_in = staged.count()
-        quarantine = staged.where(F.col("_ntok") == 0).select(
-            *orig, F.lit("blank_text").alias("reason")
+        # n_in / n_blank ride an observation on the quarantine write
+        # (observe() is a pushdown barrier, so the blank filter below
+        # cannot reach past it and shrink n_in) — zero extra jobs
+        obs_triage = Observation()
+        quarantine = (
+            staged.observe(
+                obs_triage,
+                F.count(F.lit(1)).alias("n_in"),
+                F.sum((F.col("_ntok") == 0).cast("long")).alias("n_blank"),
+            )
+            .where(F.col("_ntok") == 0)
+            .select(*orig, F.lit("blank_text").alias("reason"))
         )
-        n_blank = quarantine.count()
 
         live = staged.where(F.col("_ntok") > 0).select(*orig)
         # quality: append features in place, vote, keep originals —
@@ -193,17 +255,11 @@ def fold_corpus_batch(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        n_exact_inbatch = n_kept - uniq.count()
-
-        agree = F.size(
-            F.filter(
-                F.zip_with("a.sig", "b.sig", lambda p, q: p == q),
-                lambda v: v,
-            )
-        ) / F.lit(MINHASH_NUM_PERM)
+        n_uniq = uniq.count()
+        n_exact_inbatch = n_kept - n_uniq
 
         # in-batch near-dup: banded self-join, SIGNATURE agreement (the
-        # same estimator the index join uses), higher id drops
+        # same estimator the index probe uses), higher id drops
         ub = _banded(
             uniq.select(F.col(id_col).alias("id"), "sig").where(
                 F.col("sig").isNotNull()
@@ -217,7 +273,7 @@ def fold_corpus_batch(
                 & (F.col("a.key") == F.col("b.key"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .where(agree >= threshold)
+            .where(_sig_agreement(F.col("a.sig"), F.col("b.sig")) >= threshold)
             .select(F.col("b.id").alias(id_col))
             .distinct()
         )
@@ -242,56 +298,97 @@ def fold_corpus_batch(
                 # torn file, permission error, etc. must FAIL the batch
                 # — swallowing it would silently skip cross-batch dedup
                 # and commit duplicates with clean-looking metrics.
-                msg = str(exc)
-                if not (
-                    "PATH_NOT_FOUND" in msg
-                    or "UNABLE_TO_INFER_SCHEMA" in msg
-                ):
+                if not _is_empty_index_error(exc):
                     raise
                 idx, n_idx = None, 0
-        n_after_inbatch = survivors.count()
-        n_near_inbatch = (n_kept - n_exact_inbatch) - n_after_inbatch
+        # counts the observation on the accepted write cannot derive;
+        # None in the no-index branch (there n_after_inbatch IS
+        # n_accepted, read from the observation after the write)
+        n_after_inbatch = n_after_exact_idx = None
         if n_idx > 0:
-            # cached: referenced three times (count, banded probe, the
-            # final anti-join's left side)
+            n_after_inbatch = survivors.count()
+            # cached: referenced by a count and the next anti-join
             survivors = cached(
                 survivors.join(idx.select("fp").distinct(), "fp", "left_anti")
             )
             n_after_exact_idx = survivors.count()
-            sb = _banded(
-                survivors.select(F.col(id_col).alias("id"), "sig").where(
-                    F.col("sig").isNotNull()
+            # near vs index: candidates from the PRE-BANDED sibling
+            # (id, band, key — banding paid once per doc at write time,
+            # not once per doc per batch), then signature verification
+            # joins the candidate pairs (tiny, broadcast) back to the
+            # already-cached flat index for the stored signatures
+            try:
+                bands = spark.read.parquet(f"{out_dir}/index_bands").where(
+                    F.col("batch") < F.lit(batch_id)
                 )
-            )
-            ib = _banded(
-                idx.where(F.col("sig").isNotNull()).select("id", "sig")
-            )
-            near_ids = (
-                sb.alias("a")
-                .join(
-                    ib.alias("b"),
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.key") == F.col("b.key")),
+            except Exception as exc:
+                if not _is_empty_index_error(exc):
+                    raise
+                bands = None
+            if bands is None:
+                # every fold writes its index_bands batch dir as FLAT
+                # parquet (schema survives zero rows), so an unreadable
+                # sibling beside a non-empty index means a pre-sibling
+                # tree or manual damage.  Proceeding would silently skip
+                # near-dedup; allow it only when the index provably
+                # holds nothing band-joinable.
+                if idx.where(F.col("sig").isNotNull()).limit(1).count() > 0:
+                    raise ValueError(
+                        f"{out_dir!r}: the signature index holds "
+                        f"MinHash signatures but index_bands is "
+                        f"missing/unreadable — this tree predates the "
+                        f"banded-sibling layout (or the sibling was "
+                        f"deleted); start a new out_dir instead of "
+                        f"silently skipping near-dedup"
+                    )
+                near_ids = None
+            else:
+                sb = _banded(
+                    survivors.select(F.col(id_col).alias("id"), "sig").where(
+                        F.col("sig").isNotNull()
+                    )
                 )
-                .where(agree >= threshold)
-                .select(F.col("a.id").alias(id_col))
-                .distinct()
-            )
-            survivors = cached(survivors.join(near_ids, id_col, "left_anti"))
-            n_accepted = survivors.count()
-            n_exact_index = n_after_inbatch - n_after_exact_idx
-            n_near_index = n_after_exact_idx - n_accepted
-        else:
-            n_accepted = n_after_inbatch
-            n_exact_index = n_near_index = 0
+                cand = (
+                    sb.alias("a")
+                    .join(
+                        bands.alias("b"),
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.key") == F.col("b.key")),
+                    )
+                    .select(
+                        F.col("a.id").alias("id"),
+                        F.col("a.sig").alias("sig"),
+                        F.col("b.id").alias("_iid"),
+                    )
+                    .dropDuplicates(["id", "_iid"])
+                )
+                near_ids = (
+                    cand.join(
+                        idx.select(
+                            F.col("id").alias("_iid"),
+                            F.col("sig").alias("_isig"),
+                        ),
+                        "_iid",
+                    )
+                    .where(
+                        _sig_agreement(F.col("sig"), F.col("_isig"))
+                        >= threshold
+                    )
+                    .select(F.col("id").alias(id_col))
+                    .distinct()
+                )
+            if near_ids is not None:
+                survivors = cached(
+                    survivors.join(near_ids, id_col, "left_anti")
+                )
 
         # optional stage 5: IVF index append for accepted docs that
         # have an embedding — ONE shared cell-assignment implementation
         # (operators/similarity.assign_ivf_cells: lowest-cell tie-break,
         # distance array bound once), the same plan
         # ivf_topk_from_index probes through
-        n_indexed = 0
         ivf_entries = None
+        obs_ivf = None
         if (ivf_vectors is None) != (ivf_centroids is None):
             raise ValueError(
                 "ivf_vectors and ivf_centroids must be given together — "
@@ -323,28 +420,45 @@ def fold_corpus_batch(
             valid = vecs.where(
                 F.col("_cv").isNotNull() & (F.size("_cv") == dim)
             )
-            ivf_entries = cached(
-                assign_ivf_cells(
-                    valid, ivf_centroids, id_col="_aid", vec_col="_cv"
-                )
+            ivf_entries = assign_ivf_cells(
+                valid, ivf_centroids, id_col="_aid", vec_col="_cv"
             )
-            n_indexed = ivf_entries.count()
+            obs_ivf = Observation()
 
         # ---- commits: everything under batch=<b>, overwrite ----------
+        # the pure row-count metrics (n_in/n_blank, n_accepted,
+        # n_indexed) ride observations on these writes — the write IS
+        # the action that computes them, no separate count() jobs
         b = f"batch={batch_id}"
         if ivf_entries is not None:
-            ivf_entries.write.mode("overwrite").partitionBy("cell").parquet(
+            ivf_entries.observe(
+                obs_ivf, F.count(F.lit(1)).alias("n_indexed")
+            ).write.mode("overwrite").partitionBy("cell").parquet(
                 f"{out_dir}/ivf/{b}"
             )
         quarantine.write.mode("overwrite").parquet(
             f"{out_dir}/quarantine/{b}"
         )
-        survivors.drop("fp", "sig").write.mode("overwrite").parquet(
+        obs_accept = Observation()
+        survivors.observe(
+            obs_accept, F.count(F.lit(1)).alias("n_accepted")
+        ).drop("fp", "sig").write.mode("overwrite").parquet(
             f"{out_dir}/accepted/{b}"
         )
         survivors.select(
             F.col(id_col).alias("id"), "fp", "sig"
         ).write.mode("overwrite").parquet(f"{out_dir}/index/{b}")
+        # the pre-banded sibling the NEXT batches' near probes read —
+        # FLAT parquet, not partitionBy("band"): an empty partitioned
+        # write leaves no schema-bearing file, and the sibling must stay
+        # readable even when a batch accepts nothing
+        _banded(
+            survivors.select(F.col(id_col).alias("id"), "sig").where(
+                F.col("sig").isNotNull()
+            )
+        ).select("id", "band", "key").write.mode("overwrite").parquet(
+            f"{out_dir}/index_bands/{b}"
+        )
         (
             survivors.withColumn("shard", content_shard(F.col("fp"), n_shards))
             .drop("fp", "sig")
@@ -352,20 +466,38 @@ def fold_corpus_batch(
             .partitionBy("shard")
             .json(f"{out_dir}/shards/{b}")
         )
+
+        # ---- metrics: observations + the counts no write computes ----
+        triage = obs_triage.get
+        # sum() over an empty frame observes NULL, not 0
+        n_in = triage["n_in"]
+        n_blank = triage["n_blank"] or 0
+        n_accepted = obs_accept.get["n_accepted"]
+        n_indexed = obs_ivf.get["n_indexed"] if obs_ivf is not None else 0
+        if n_after_inbatch is None:
+            n_after_inbatch = n_accepted
+            n_exact_index = n_near_index = 0
+        else:
+            n_exact_index = n_after_inbatch - n_after_exact_idx
+            n_near_index = n_after_exact_idx - n_accepted
         metrics = {
             "batch": batch_id,
             "n_in": n_in,
             "n_blank": n_blank,
             "n_rejected": (n_in - n_blank) - n_kept,
             "n_exact_inbatch": n_exact_inbatch,
-            "n_near_inbatch": n_near_inbatch,
+            "n_near_inbatch": n_uniq - n_after_inbatch,
             "n_exact_index": n_exact_index,
             "n_near_index": n_near_index,
             "n_accepted": n_accepted,
             "n_indexed": n_indexed,
+            "n_index_rows": n_idx,
         }
+        # row built from the schema-derived field list, not dict order —
+        # a key/schema mismatch raises KeyError instead of silently
+        # writing values under the wrong column names
         spark.createDataFrame(
-            [tuple(metrics.values())], METRICS_SCHEMA
+            [tuple(metrics[f] for f in _METRICS_FIELDS)], METRICS_SCHEMA
         ).write.mode("overwrite").parquet(f"{out_dir}/metrics/{b}")
         return metrics
     finally:

@@ -178,3 +178,86 @@ def test_asof_tolerance_semantics(spark):
     assert set(rows) == {1, 2, 3}
     assert rows[2] == (None, None), "stale match must nullify under left"
     assert rows[1][0] == "b" and rows[3][0] == "c"
+
+
+def test_compact_ivf_index_collapses_files_probe_identical(
+    spark, embs_mod, tmp_path
+):
+    """Compacting a streamed batch-major IVF tree (batch=<b>/cell=<i>/)
+    into the cell-major batch layout must collapse the file count while
+    leaving every probe result and per-cell checksum identical, with
+    cell-partition pruning intact on the compacted artifact."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
+
+    pts = embs_mod.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    res = fit_kmeans_native(
+        pts, k=8, dim=64, initial_centroids=None, seed=7, max_iter=5
+    )
+    stream_tree = str(tmp_path / "ivf_stream")
+    for b in range(3):
+        SIM.assign_ivf_cells(
+            embs_mod.where(F.col("vec_id") % 3 == b),
+            res.centroids,
+            id_col="vec_id",
+            vec_col="embedding",
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{stream_tree}/batch={b}"
+        )
+    dest = str(tmp_path / "ivf_base")
+    out = SIM.compact_ivf_index(spark, stream_tree, dest)
+    assert out["rows"] == embs_mod.count()
+    assert out["files_after"] < out["files_before"]
+    # one task per cell, no rows_per_file cap -> one file per cell
+    assert out["files_after"] == out["cells"]
+
+    def chk(path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("neighbor_id").alias("id_chk"),
+                F.sum(F.hash("cv")).alias("cv_chk"),
+            )
+            .collect()
+        )
+
+    assert chk(dest) == chk(stream_tree)
+
+    queries = embs_mod.where(F.col("vec_id") < 20)
+    before = SIM.ivf_topk_from_index(
+        spark, stream_tree, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    after = SIM.ivf_topk_from_index(
+        spark, dest, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert sorted(map(tuple, before.collect())) == sorted(
+        map(tuple, after.collect())
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        after.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # re-compaction over an existing dest swaps cleanly (retry path)
+    out2 = SIM.compact_ivf_index(spark, stream_tree, dest)
+    assert out2["rows"] == out["rows"]
+    assert chk(dest) == chk(stream_tree)
+
+    # a hot-cell cap splits files without breaking pruning or checksums
+    dest2 = str(tmp_path / "ivf_base_split")
+    cap = max(1, out["rows"] // (out["cells"] * 2))
+    out3 = SIM.compact_ivf_index(spark, stream_tree, dest2, rows_per_file=cap)
+    assert out3["files_after"] > out3["cells"]
+    assert chk(dest2) == chk(stream_tree)

@@ -111,6 +111,10 @@ def _state(spark, out, with_ivf=False):
     )
     idx = spark.read.parquet(f"{out}/index")
     index = sorted((r["batch"], r["id"], r["fp"]) for r in idx.collect())
+    bnd = spark.read.parquet(f"{out}/index_bands")
+    index_bands = sorted(
+        (r["batch"], r["id"], r["band"], r["key"]) for r in bnd.collect()
+    )
     met = spark.read.parquet(f"{out}/metrics")
     metrics = sorted(tuple(r) for r in met.collect())
     sh = spark.read.json(f"{out}/shards")
@@ -121,6 +125,7 @@ def _state(spark, out, with_ivf=False):
         "accepted": accepted,
         "quarantined": quarantined,
         "index": index,
+        "index_bands": index_bands,
         "metrics": metrics,
         "shards": shards,
         "ivf": ivf,
@@ -179,7 +184,11 @@ def test_stream_equals_driver_loop_replay_end_to_end(spark, tmp_path):
         "batch": 0, "n_in": 4, "n_blank": 1, "n_rejected": 1,
         "n_exact_inbatch": 1, "n_near_inbatch": 0, "n_exact_index": 0,
         "n_near_index": 0, "n_accepted": 1, "n_indexed": 1,
+        "n_index_rows": 0,
     }
+    # n_index_rows = the signature-index rows each batch probed against
+    # (one per previously ACCEPTED doc)
+    assert [by_batch[i]["n_index_rows"] for i in range(4)] == [0, 1, 2, 3]
     # 12 dies IN-batch: its near anchor 11 (exact dup of indexed 1) is
     # still present when in-batch near-dedup runs, which precedes the
     # index stages; 11 then dies against the index
@@ -247,6 +256,27 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     m_replay = fold_corpus_batch(spark, b1, 1, out, FROZEN_QUALITY_ENSEMBLE)
     assert m_replay == m_first
     assert _state(spark, out) == state_first
+
+
+def test_missing_index_bands_fails_loudly(spark, tmp_path):
+    """A tree whose signature index holds signatures but whose
+    pre-banded sibling is gone (pre-sibling layout, manual deletion)
+    must FAIL the batch, not silently skip cross-batch near-dedup."""
+    import shutil
+
+    import pytest
+
+    out = str(tmp_path / "out")
+    fold_corpus_batch(
+        spark, spark.createDataFrame(FILES[0], SCHEMA), 0, out,
+        FROZEN_QUALITY_ENSEMBLE,
+    )
+    shutil.rmtree(tmp_path / "out" / "index_bands")
+    with pytest.raises(ValueError, match="index_bands"):
+        fold_corpus_batch(
+            spark, spark.createDataFrame(FILES[1], SCHEMA), 1, out,
+            FROZEN_QUALITY_ENSEMBLE,
+        )
 
 
 def test_schema_preconditions(spark, tmp_path):
