@@ -538,104 +538,101 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window — the sibling's full hash is the cross-engine anchor the
 # rows-only check lacks.
 
-# ROUND-13 DRIVER WINDOW.  Composition per the round-12 ledger
-# (VERDICT r12 "Next round" #1): (b) round-12 reds: none;
-# (c) new this round (batch 37): corpus_curation_e2e — the composed
-#     curation pipeline's batch face (frozen-ensemble filter -> exact
-#     canonical dedup -> content-addressed shards, per-shard
-#     checksums); changed this round: quality_boost_fit +
-#     quality_boost_holdout (_BQ_ROUNDS 3 -> 5: the SAME chain, two
-#     more certified rounds + the empty-frame ValueError guard),
-#     knn_graph_bucketed (reap gains the legacy fixed-name sweep),
-#     layout_zorder_pruning (zorder module grew the tile-aligned write
-#     the A/B now executes; the model query is re-pinned with it);
-# (d) rows-only freshness AT THE POLICY BOUND (sampled r11):
-#     pipeline_bpe_train with bpe_train_invariants in the same window
-#     (standing rule above; the other four rows-only entries sampled
-#     r12 age out at r14);
-# (e) oldest-driver-green fill: the 16 remaining round-5-vintage rows
-#     in catalog order (this DRAINS the round-5 bucket), then the
-#     first 27 round-7-vintage rows in catalog order.
-_R13_WINDOW = [
-    # (c) new this round (batch 37)
-    "corpus_curation_e2e",
+# ROUND-14 DRIVER WINDOW.  Composition per the round-13 ledger
+# (VERDICT r13 "Next round" #1): (b) round-13 reds: none;
+# (c) changed this round: corpus_curation_e2e (the composed pipeline
+#     module it certifies gained the pre-banded index sibling,
+#     observed-write metrics and the n_index_rows column — the shared
+#     building blocks it imports are re-pinned with the module),
+#     layout_zorder_pruning (zorder module gained the n_tiles-vs-key-
+#     width guard), knn_graph_bucketed (warehouse reap de-duplicates
+#     stale-dir targets);
+# (d) rows-only freshness AT THE POLICY BOUND (all sampled r12):
+#     kmeans_fit_native, kmeans_fit_mllib, kmeans_fit_lineitem,
+#     ann_pq_topk — per the standing rule each rides with its
+#     invariants sibling (kmeans_fit_invariants, mllib_fit_invariants,
+#     pq_train_invariants) in the same window;
+# (e) oldest-driver-green fill: the 15 remaining round-7-vintage rows
+#     in catalog order (this DRAINS the round-7 bucket), then the
+#     first 25 round-8-vintage rows in catalog order (12 of the 37
+#     r8 rows queue for round 15).
+_R14_WINDOW = [
     # (c) changed this round
-    "quality_boost_fit",
-    "quality_boost_holdout",
-    "knn_graph_bucketed",
+    "corpus_curation_e2e",
     "layout_zorder_pruning",
-    # (d) rows-only freshness at the policy bound + invariant sibling
-    "pipeline_bpe_train",
-    "bpe_train_invariants",
-    # (e) oldest-green fill: round-5 vintage, catalog order (drains
-    # the round-5 bucket)
-    "events_stickiness_dau_mau",
-    "sessions_bounce_rate",
-    "suppliers_nation_hhi",
-    "orders_priority_mix_shift",
-    "nations_trade_balance",
-    "sketch_quantile_rollup",
-    "mm_audio_windows",
-    "events_ks_two_sample",
-    "orders_benford_digits",
-    "docs_oov_rate",
-    "events_top_paths",
-    "cohort_ltv_curves",
-    "events_peak_detection",
-    "customers_repurchase_intervals",
-    "sessions_duration_stats",
-    "lineitem_shipping_lead_time",
-    # (e) oldest-green fill: round-7 vintage, catalog order (27 of 42;
-    # the remaining 15 queue for round 14)
-    "pipeline_bpe_apply_fixed",
-    "dedup_simhash",
-    "asof_tolerance_purchase_click",
-    "mm_image_tiles",
-    "pipeline_mixture_schedule",
-    "parts_brand_share_topn",
-    "events_hourly_heatmap",
-    "parts_market_basket",
-    "events_conversion_latency",
-    "users_longest_streaks",
-    "events_forecast_backtest",
-    "orders_new_vs_returning",
-    "orders_hist2d_price_quantity",
-    "events_variant_props",
-    "lineitem_returns_by_brand",
-    "docs_dup_rate_by_source",
-    "customers_abc_classes",
-    "parts_price_positioning",
-    "pipeline_dsir_select",
-    "dedup_bloom_probe",
-    "pipeline_curriculum_stages",
-    "embedding_int8_quant",
-    "privacy_k_anonymity",
-    "pipeline_quality_classifier",
-    "docs_ngram_novelty",
-    "pipeline_token_budget_epochs",
-    "text_zipf_fit",
+    "knn_graph_bucketed",
+    # (d) rows-only freshness at the policy bound + invariant siblings
+    "kmeans_fit_native",
+    "kmeans_fit_invariants",
+    "kmeans_fit_mllib",
+    "mllib_fit_invariants",
+    "kmeans_fit_lineitem",
+    "ann_pq_topk",
+    "pq_train_invariants",
+    # (e) oldest-green fill: round-7 vintage, catalog order (drains
+    # the round-7 bucket)
+    "events_watermark_audit",
+    "dp_noisy_counts",
+    "ann_lsh_recall",
+    "pipeline_preference_pairs",
+    "text_tokenizer_fertility",
+    "pipeline_span_corruption",
+    "dedup_minhash_recall",
+    "pipeline_dedup_yield_curve",
+    "pipeline_sample_temperature",
+    "embedding_norm_outliers",
+    "pipeline_context_length_plan",
+    "text_unigram_kl_sources",
+    "embedding_pq_distortion",
+    "pipeline_quality_prune_sweep",
+    "pipeline_quality_terciles",
+    # (e) oldest-green fill: round-8 vintage, catalog order (25 of 37;
+    # the remaining 12 queue for round 15)
+    "km_two_iterations",
+    "kmeans_fit_fixed",
+    "ingest_typed_projection",
+    "km_assign",
+    "km_recenter",
+    "km_farthest",
+    "km_delta",
+    "km_avg_pairwise",
+    "km_avg_point_dist",
+    "km_reshape_2d",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_semi_urgent_customers",
+    "join_anti_no_urgent",
+    "window_top_orders",
+    "window_running_total",
+    "window_ntile_customers",
+    "agg_rollup_orders",
+    "agg_cube_lineitem",
+    "agg_distinct_customers",
+    "agg_salted_user_rollup",
+    "agg_pivot_status",
+    "agg_unpivot_lineitem",
+    "q6_forecast_revenue",
 ]
-assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
-# ROUND-14 LEDGER (write _R14_WINDOW from this once round 13 records):
-# compose as (b) any round-13 reds -> (c) round-14 new/changed ->
-# (d) rows-only freshness: kmeans_fit_native, kmeans_fit_mllib,
-# kmeans_fit_lineitem, ann_pq_topk all hit the two-round policy bound
-# at round 14 (sampled r12) — per the standing rule they ride with
-# kmeans_fit_invariants, mllib_fit_invariants and pq_train_invariants
-# in the same window (pipeline_bpe_train re-samples r13, next bound
-# r15) -> (e) oldest-green fill: FIRST the 15 remaining round-7 rows
-# in catalog order (events_watermark_audit, dp_noisy_counts,
-# ann_lsh_recall, pipeline_preference_pairs, text_tokenizer_fertility,
-# pipeline_span_corruption, dedup_minhash_recall,
-# pipeline_dedup_yield_curve, pipeline_sample_temperature,
-# embedding_norm_outliers, pipeline_context_length_plan,
-# text_unigram_kl_sources, embedding_pq_distortion,
-# pipeline_quality_prune_sweep, pipeline_quality_terciles — this
-# drains the round-7 bucket), then round-8 vintage in catalog order
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+# ROUND-15 LEDGER (write _R15_WINDOW from this once round 14 records):
+# compose as (b) any round-14 reds -> (c) round-15 new/changed ->
+# (d) rows-only freshness: pipeline_bpe_train hits the two-round
+# policy bound at round 15 (sampled r13) — per the standing rule it
+# rides with bpe_train_invariants in the same window (the four fit/PQ
+# rows-only entries re-sample r14, next bound r16) -> (e) oldest-green
+# fill: FIRST the 12 remaining round-8-vintage rows in catalog order
+# (agg_grouping_sets_orders, string_part_names,
+# subq_small_quantity_revenue, join_outer_nation_activity,
+# window_order_gaps, topk_orders_global,
+# events_session_gap_sensitivity, pipeline_pack_efficiency,
+# pipeline_dedup_cross_source, pipeline_shard_balance,
+# dedup_simhash_histogram, pipeline_budget_downsample — this drains
+# the round-8 bucket), then round-9 vintage in catalog order
 # (recompute the latest-round map from CORRECTNESS_r*.json).
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R13_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R14_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,
