@@ -36,6 +36,58 @@ MINHASH_BANDS = 8  # 8 bands x 4 rows: catches J>=~0.5 with high prob
 MINHASH_ROWS_PER_BAND = MINHASH_NUM_PERM // MINHASH_BANDS
 
 
+def sig_agreement(
+    left_sig: Column | str,
+    right_sig: Column | str,
+    num_perm: int = MINHASH_NUM_PERM,
+) -> Column:
+    """Fraction of MinHash positions on which two signatures agree —
+    THE near-similarity estimator of the streaming dedup faces (the
+    standalone dedup stream and the composed curation pipeline share
+    this one definition, in-batch and vs-index, so a pair's fate cannot
+    depend on which consumer or which side of a batch boundary saw it)."""
+    left_sig = F.col(left_sig) if isinstance(left_sig, str) else left_sig
+    right_sig = F.col(right_sig) if isinstance(right_sig, str) else right_sig
+    return F.size(
+        F.filter(F.zip_with(left_sig, right_sig, lambda p, q: p == q),
+                 lambda v: v)
+    ) / F.lit(num_perm)
+
+
+def banded_signatures(
+    df: DataFrame,
+    bands: int = MINHASH_BANDS,
+    num_perm: int = MINHASH_NUM_PERM,
+) -> DataFrame:
+    """Explode an [id, sig] frame into its LSH band keys: one row per
+    (id, band) with the band's rows concatenated into a string key —
+    the candidate-join layout both streaming dedup faces build, and the
+    layout the composed pipeline PERSISTS as its pre-banded index
+    sibling (so the key format has exactly one definition)."""
+    rows = num_perm // bands
+    return df.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows + r].cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Canonical-winner exact dedup: groups by content fingerprint, keeps
     the lowest id; returns [keep_id, dup_count] one row per distinct text.

@@ -460,18 +460,39 @@ def compact_ivf_index(
             f"in {src.columns}"
         )
     data = src.drop("batch") if "batch" in src.columns else src
-    stats = data.groupBy().agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.countDistinct("cell").alias("cells"),
-    ).collect()[0]
-    n_cells = max(1, stats["cells"])
+    # the distinct cells are enumerable from the partition dirs the
+    # listing already sees (no extra scan of the data files), and the
+    # row count rides an observation on the rewrite itself — the
+    # compaction reads the tree exactly ONCE
+    cells: set[str] = set()
+    for st in fs.listStatus(jsrc):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name.startswith("cell="):
+            cells.add(name.split("=", 1)[1])
+        elif name.startswith("batch="):
+            for st2 in fs.listStatus(st.getPath()):
+                n2 = st2.getPath().getName()
+                if st2.isDirectory() and n2.startswith("cell="):
+                    cells.add(n2.split("=", 1)[1])
+    if not cells:
+        raise ValueError(
+            f"{stream_ivf_dir!r} holds no cell=<i> partition dirs — "
+            f"not a hive-partitioned IVF tree"
+        )
+    from pyspark.sql import Observation
+
+    obs = Observation()
     w = (
-        data.repartition(n_cells, "cell")
+        data.repartition(len(cells), "cell")
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
         .write.mode("overwrite")
     )
     if rows_per_file is not None:
         w = w.option("maxRecordsPerFile", rows_per_file)
     w.partitionBy("cell").parquet(staging)
+    n_rows = obs.get["rows"]
     files_before = _count_files(jsrc)
     files_after = _count_files(jstaging)
     if fs.exists(jdest):
@@ -485,8 +506,8 @@ def compact_ivf_index(
     if fs.exists(jold):
         fs.delete(jold, True)
     return {
-        "rows": stats["rows"],
-        "cells": stats["cells"],
+        "rows": n_rows,
+        "cells": len(cells),
         "files_before": files_before,
         "files_after": files_after,
     }

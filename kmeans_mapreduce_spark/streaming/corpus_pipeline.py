@@ -84,11 +84,15 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.text import fingerprint, tokens
 from kmeans_mapreduce_spark.operators.dedup import (
-    MINHASH_NUM_PERM,
+    MINHASH_BANDS,
+    MINHASH_ROWS_PER_BAND,
     minhash_signature,
+    sig_agreement,
+)
+from kmeans_mapreduce_spark.operators.dedup import (
+    banded_signatures as _banded,
 )
 from kmeans_mapreduce_spark.streaming.boost_stream import ensemble_vote_expr
-from kmeans_mapreduce_spark.streaming.dedup_corpus import _banded
 
 # The frozen production model: the 5-round ensemble quality_boost_fit
 # learns at sf0.01 (plans/pipeline_queries18.py — round 1 "contains
@@ -155,15 +159,67 @@ def _ivf_centroid_dim(centroids) -> int:
     return dims.pop()
 
 
-def _sig_agreement(left_sig, right_sig):
-    """Fraction of MinHash positions on which two signatures agree —
-    THE near-similarity estimator of the composed fold, shared by the
-    in-batch self-join and the vs-index probe so a pair's fate cannot
-    depend on which side of a batch boundary it straddles."""
-    return F.size(
-        F.filter(F.zip_with(left_sig, right_sig, lambda p, q: p == q),
-                 lambda v: v)
-    ) / F.lit(MINHASH_NUM_PERM)
+# The persisted banded sibling's key column carries the banding
+# parameters IN ITS NAME: a build whose MinHash banding constants
+# changed reads an old sibling, fails to find its expected column, and
+# refuses loudly — instead of an equi-join on incompatibly-derived keys
+# silently matching nothing and waving near-duplicates through.
+_BAND_KEY_COL = f"key_b{MINHASH_BANDS}r{MINHASH_ROWS_PER_BAND}"
+
+
+def _batch_ids(spark: SparkSession, path: str) -> set[int]:
+    """The batch=<b> partition ids present under ``path`` — one
+    driver-side directory listing, no Spark job; empty set if the dir
+    does not exist."""
+    from kmeans_mapreduce_spark.sources.maintenance import _fs_path
+
+    fs, jp = _fs_path(spark, path)
+    if not fs.exists(jp):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            try:
+                out.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
+
+
+def _observed(obs, timeout_sec: float = 300.0) -> dict:
+    """``Observation.get`` with a deadline.  The write that computes an
+    observation has already completed synchronously when the fold reads
+    it, so the metrics are normally available immediately — but
+    delivery rides the listener bus, and a dropped event would make the
+    stock ``.get`` (which waits forever) wedge a long-lived stream with
+    no error and no replay.  Failing the batch instead is safe: the
+    batch-dir overwrite construction makes the at-least-once redelivery
+    recompute it exactly.  Polls the JVM observation's own bounded wait
+    (``getRowOrEmpty``, ~100 ms per call) — the same private handles
+    the stock ``.get`` uses, pinned by tests."""
+    import time as _time
+
+    from pyspark.serializers import CPickleSerializer
+
+    if obs._jo is None:
+        raise ValueError("observation was never attached to a write")
+    utils = getattr(
+        obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+    )
+    deadline = _time.monotonic() + timeout_sec
+    while True:
+        row_opt = obs._jo.getRowOrEmpty()
+        if not row_opt.isEmpty():
+            row = CPickleSerializer().loads(utils.toPyRow(row_opt.get()))
+            return row.asDict(recursive=False)
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"observed metrics not delivered within {timeout_sec}s "
+                f"of the write completing — listener event lost; "
+                f"failing the batch so the stream replays it instead "
+                f"of hanging"
+            )
 
 
 def content_shard(fp_col, n_shards: int):
@@ -273,7 +329,7 @@ def fold_corpus_batch(
                 & (F.col("a.key") == F.col("b.key"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .where(_sig_agreement(F.col("a.sig"), F.col("b.sig")) >= threshold)
+            .where(sig_agreement(F.col("a.sig"), F.col("b.sig")) >= threshold)
             .select(F.col("b.id").alias(id_col))
             .distinct()
         )
@@ -316,7 +372,26 @@ def fold_corpus_batch(
             # (id, band, key — banding paid once per doc at write time,
             # not once per doc per batch), then signature verification
             # joins the candidate pairs (tiny, broadcast) back to the
-            # already-cached flat index for the stored signatures
+            # already-cached flat index for the stored signatures.
+            # Every fold writes BOTH index/batch=<b> and
+            # index_bands/batch=<b>, so any index batch dir without its
+            # sibling (pre-sibling tree, partial restore, manual
+            # deletion) means near-dedup state is GONE for those docs —
+            # fail the batch rather than silently waving their
+            # near-duplicates through.  One driver-side listing per
+            # tree, no Spark job.
+            missing = {
+                p for p in _batch_ids(spark, f"{out_dir}/index")
+                if p < batch_id
+            } - _batch_ids(spark, f"{out_dir}/index_bands")
+            if missing:
+                raise ValueError(
+                    f"{out_dir!r}: index_bands is missing batches "
+                    f"{sorted(missing)} that the signature index holds "
+                    f"— this tree predates the banded-sibling layout "
+                    f"or lost part of it; rebuild or start a new "
+                    f"out_dir instead of silently skipping near-dedup"
+                )
             try:
                 bands = spark.read.parquet(f"{out_dir}/index_bands").where(
                     F.col("batch") < F.lit(batch_id)
@@ -325,24 +400,32 @@ def fold_corpus_batch(
                 if not _is_empty_index_error(exc):
                     raise
                 bands = None
+            if bands is not None and _BAND_KEY_COL not in bands.columns:
+                raise ValueError(
+                    f"{out_dir!r}: index_bands was written with "
+                    f"different MinHash banding parameters (expected "
+                    f"column {_BAND_KEY_COL!r}, found "
+                    f"{bands.columns}) — joining incompatibly-derived "
+                    f"keys would silently match nothing; rebuild the "
+                    f"index or start a new out_dir"
+                )
             if bands is None:
-                # every fold writes its index_bands batch dir as FLAT
-                # parquet (schema survives zero rows), so an unreadable
-                # sibling beside a non-empty index means a pre-sibling
-                # tree or manual damage.  Proceeding would silently skip
-                # near-dedup; allow it only when the index provably
-                # holds nothing band-joinable.
+                # the dir guard above passed, so an unreadable sibling
+                # here is the all-batches-empty shape — provably
+                # nothing band-joinable iff the index holds no
+                # signatures; otherwise fail.
                 if idx.where(F.col("sig").isNotNull()).limit(1).count() > 0:
                     raise ValueError(
                         f"{out_dir!r}: the signature index holds "
                         f"MinHash signatures but index_bands is "
-                        f"missing/unreadable — this tree predates the "
-                        f"banded-sibling layout (or the sibling was "
-                        f"deleted); start a new out_dir instead of "
-                        f"silently skipping near-dedup"
+                        f"unreadable — rebuild or start a new out_dir "
+                        f"instead of silently skipping near-dedup"
                     )
                 near_ids = None
             else:
+                bands = bands.select(
+                    "id", "band", F.col(_BAND_KEY_COL).alias("key")
+                )
                 sb = _banded(
                     survivors.select(F.col(id_col).alias("id"), "sig").where(
                         F.col("sig").isNotNull()
@@ -371,7 +454,7 @@ def fold_corpus_batch(
                         "_iid",
                     )
                     .where(
-                        _sig_agreement(F.col("sig"), F.col("_isig"))
+                        sig_agreement(F.col("sig"), F.col("_isig"))
                         >= threshold
                     )
                     .select(F.col("id").alias(id_col))
@@ -451,14 +534,16 @@ def fold_corpus_batch(
         # the pre-banded sibling the NEXT batches' near probes read —
         # FLAT parquet, not partitionBy("band"): an empty partitioned
         # write leaves no schema-bearing file, and the sibling must stay
-        # readable even when a batch accepts nothing
+        # readable even when a batch accepts nothing.  The key column's
+        # NAME carries the banding parameters (_BAND_KEY_COL) so a
+        # build with different constants refuses the tree.
         _banded(
             survivors.select(F.col(id_col).alias("id"), "sig").where(
                 F.col("sig").isNotNull()
             )
-        ).select("id", "band", "key").write.mode("overwrite").parquet(
-            f"{out_dir}/index_bands/{b}"
-        )
+        ).select(
+            "id", "band", F.col("key").alias(_BAND_KEY_COL)
+        ).write.mode("overwrite").parquet(f"{out_dir}/index_bands/{b}")
         (
             survivors.withColumn("shard", content_shard(F.col("fp"), n_shards))
             .drop("fp", "sig")
@@ -468,12 +553,16 @@ def fold_corpus_batch(
         )
 
         # ---- metrics: observations + the counts no write computes ----
-        triage = obs_triage.get
+        # (_observed = .get with a deadline; a lost listener event
+        # fails the batch instead of wedging the stream)
+        triage = _observed(obs_triage)
         # sum() over an empty frame observes NULL, not 0
         n_in = triage["n_in"]
         n_blank = triage["n_blank"] or 0
-        n_accepted = obs_accept.get["n_accepted"]
-        n_indexed = obs_ivf.get["n_indexed"] if obs_ivf is not None else 0
+        n_accepted = _observed(obs_accept)["n_accepted"]
+        n_indexed = (
+            _observed(obs_ivf)["n_indexed"] if obs_ivf is not None else 0
+        )
         if n_after_inbatch is None:
             n_after_inbatch = n_accepted
             n_exact_index = n_near_index = 0

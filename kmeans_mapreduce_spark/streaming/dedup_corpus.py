@@ -32,36 +32,13 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.text import fingerprint
 from kmeans_mapreduce_spark.operators.dedup import (
-    MINHASH_BANDS,
-    MINHASH_NUM_PERM,
+    banded_signatures as _banded,
+)
+from kmeans_mapreduce_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_signature,
+    sig_agreement,
 )
-
-
-def _banded(df: DataFrame, bands: int = MINHASH_BANDS, num_perm: int = MINHASH_NUM_PERM) -> DataFrame:
-    rows = num_perm // bands
-    return df.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[b * rows + r].cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.key")
 
 
 def stream_dedup_corpus(
@@ -118,12 +95,7 @@ def stream_dedup_corpus(
                     F.col("id"), F.col("sig")
                 )
             )
-            agree = F.size(
-                F.filter(
-                    F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
-                    lambda v: v,
-                )
-            ) / F.lit(MINHASH_NUM_PERM)
+            agree = sig_agreement("a.sig", "b.sig")
             near_ids = (
                 inc_b.alias("a")
                 .join(

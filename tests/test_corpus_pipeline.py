@@ -20,7 +20,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.streaming.corpus_pipeline import (
+    _BAND_KEY_COL,
     FROZEN_QUALITY_ENSEMBLE,
+    _observed,
     fold_corpus_batch,
     replay_corpus_pipeline,
     stream_batch_file_groups,
@@ -113,7 +115,8 @@ def _state(spark, out, with_ivf=False):
     index = sorted((r["batch"], r["id"], r["fp"]) for r in idx.collect())
     bnd = spark.read.parquet(f"{out}/index_bands")
     index_bands = sorted(
-        (r["batch"], r["id"], r["band"], r["key"]) for r in bnd.collect()
+        (r["batch"], r["id"], r["band"], r[_BAND_KEY_COL])
+        for r in bnd.collect()
     )
     met = spark.read.parquet(f"{out}/metrics")
     metrics = sorted(tuple(r) for r in met.collect())
@@ -277,6 +280,67 @@ def test_missing_index_bands_fails_loudly(spark, tmp_path):
             spark, spark.createDataFrame(FILES[1], SCHEMA), 1, out,
             FROZEN_QUALITY_ENSEMBLE,
         )
+
+
+def test_partial_index_bands_loss_fails(spark, tmp_path):
+    """Losing ONE batch's sibling dir while others survive must fail
+    the next fold — a readable-but-incomplete sibling would silently
+    skip near-dedup against exactly the lost batch's docs."""
+    import shutil
+
+    import pytest
+
+    out = str(tmp_path / "out")
+    for bid in (0, 1):
+        fold_corpus_batch(
+            spark, spark.createDataFrame(FILES[bid], SCHEMA), bid, out,
+            FROZEN_QUALITY_ENSEMBLE,
+        )
+    shutil.rmtree(tmp_path / "out" / "index_bands" / "batch=0")
+    with pytest.raises(ValueError, match=r"missing batches \[0\]"):
+        fold_corpus_batch(
+            spark, spark.createDataFrame(FILES[2], SCHEMA), 2, out,
+            FROZEN_QUALITY_ENSEMBLE,
+        )
+
+
+def test_banding_param_drift_refused(spark, tmp_path):
+    """A sibling written under different MinHash banding constants
+    carries a differently-named key column; the probe must refuse it
+    (an equi-join on incompatibly-derived keys matches nothing and
+    waves near-duplicates through silently)."""
+    import pytest
+
+    out = str(tmp_path / "out")
+    fold_corpus_batch(
+        spark, spark.createDataFrame(FILES[0], SCHEMA), 0, out,
+        FROZEN_QUALITY_ENSEMBLE,
+    )
+    p = f"{out}/index_bands/batch=0"
+    old = spark.createDataFrame(spark.read.parquet(p).collect())
+    old.withColumnRenamed(_BAND_KEY_COL, "key_b16r2").write.mode(
+        "overwrite"
+    ).parquet(p)
+    with pytest.raises(ValueError, match="banding parameters"):
+        fold_corpus_batch(
+            spark, spark.createDataFrame(FILES[1], SCHEMA), 1, out,
+            FROZEN_QUALITY_ENSEMBLE,
+        )
+
+
+def test_observed_bounded_wait(spark):
+    """_observed must time out (instead of blocking forever) when the
+    observed plan has not run, and return the stock values once it
+    has."""
+    import pytest
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = spark.range(5).observe(obs, F.count(F.lit(1)).alias("n"))
+    with pytest.raises(TimeoutError):
+        _observed(obs, timeout_sec=0.3)
+    df.count()
+    assert _observed(obs, timeout_sec=30)["n"] == 5
 
 
 def test_schema_preconditions(spark, tmp_path):

@@ -930,12 +930,16 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                 ).collect()[0]
                 qn = spark.read.parquet(f"{out}/quarantine").count()
                 idx = spark.read.parquet(f"{out}/index").count()
+                from kmeans_mapreduce_spark.streaming.corpus_pipeline import (
+                    _BAND_KEY_COL,
+                )
+
                 bnd = (
                     spark.read.parquet(f"{out}/index_bands")
                     .agg(
                         F.count("*").alias("n"),
                         F.sum("id").alias("id_chk"),
-                        F.sum(F.hash("band", "key")).alias("key_chk"),
+                        F.sum(F.hash("band", _BAND_KEY_COL)).alias("key_chk"),
                     )
                     .collect()[0]
                 )
@@ -1010,58 +1014,70 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
         # Round-14 VERDICT item 3: the streamed IVF tree accumulates
         # batch=<b>/cell=<i> dirs forever — compact it to the batch
         # builder's cell-major layout and demand the file count
-        # collapse with IDENTICAL probe results.
-        try:
-            from kmeans_mapreduce_spark.operators.similarity import (
-                compact_ivf_index,
-                ivf_topk_from_index,
-            )
-
-            ivf_tree = f"{out_s}/ivf"
-            ivf_base = str(base / "ivf_compacted")
-            queries = embs.where(F.col("vec_id") % 997 == 0)
-            before = sorted(
-                map(
-                    tuple,
-                    ivf_topk_from_index(
-                        spark, ivf_tree, queries, cents, k=5, n_probe=2,
-                        id_col="vec_id", vec_col="embedding",
-                    ).collect(),
-                )
-            )
-            t0 = time.time()
-            comp = compact_ivf_index(spark, ivf_tree, ivf_base)
-            comp_sec = round(time.time() - t0, 1)
-            after = sorted(
-                map(
-                    tuple,
-                    ivf_topk_from_index(
-                        spark, ivf_base, queries, cents, k=5, n_probe=2,
-                        id_col="vec_id", vec_col="embedding",
-                    ).collect(),
-                )
-            )
+        # collapse with IDENTICAL probe results.  Depends on the
+        # pipeline run above (embs/cents/out_s); skip rather than
+        # masquerade a missing prerequisite as a compaction failure.
+        pipe = results.get("stream_corpus_pipeline", {})
+        if not pipe or "error" in pipe:
             results["ivf_compaction"] = {
-                "sec": comp_sec,
-                "rows": comp["rows"],
-                "cells": comp["cells"],
-                "files_before": comp["files_before"],
-                "files_after": comp["files_after"],
-                "probe_queries": queries.count(),
-                "probe_identical": before == after,
+                "skipped": "stream_corpus_pipeline did not complete"
             }
             print(
-                f"C ivf_compaction: {results['ivf_compaction']}",
+                "C ivf_compaction: skipped (pipeline incomplete)",
                 file=sys.stderr,
             )
-            if not results["ivf_compaction"]["probe_identical"]:
+        else:
+            try:
+                from kmeans_mapreduce_spark.operators.similarity import (
+                    compact_ivf_index,
+                    ivf_topk_from_index,
+                )
+
+                ivf_tree = f"{out_s}/ivf"
+                ivf_base = str(base / "ivf_compacted")
+                queries = embs.where(F.col("vec_id") % 997 == 0)
+                before = sorted(
+                    map(
+                        tuple,
+                        ivf_topk_from_index(
+                            spark, ivf_tree, queries, cents, k=5, n_probe=2,
+                            id_col="vec_id", vec_col="embedding",
+                        ).collect(),
+                    )
+                )
+                t0 = time.time()
+                comp = compact_ivf_index(spark, ivf_tree, ivf_base)
+                comp_sec = round(time.time() - t0, 1)
+                after = sorted(
+                    map(
+                        tuple,
+                        ivf_topk_from_index(
+                            spark, ivf_base, queries, cents, k=5, n_probe=2,
+                            id_col="vec_id", vec_col="embedding",
+                        ).collect(),
+                    )
+                )
+                results["ivf_compaction"] = {
+                    "sec": comp_sec,
+                    "rows": comp["rows"],
+                    "cells": comp["cells"],
+                    "files_before": comp["files_before"],
+                    "files_after": comp["files_after"],
+                    "probe_queries": queries.count(),
+                    "probe_identical": before == after,
+                }
+                print(
+                    f"C ivf_compaction: {results['ivf_compaction']}",
+                    file=sys.stderr,
+                )
+                if not results["ivf_compaction"]["probe_identical"]:
+                    rc = 1
+                if comp["files_after"] >= comp["files_before"]:
+                    rc = 1
+            except Exception as exc:  # noqa: BLE001
                 rc = 1
-            if comp["files_after"] >= comp["files_before"]:
-                rc = 1
-        except Exception as exc:  # noqa: BLE001
-            rc = 1
-            results["ivf_compaction"] = {"error": str(exc)[:300]}
-            print(f"C ivf_compaction: ERROR {exc}", file=sys.stderr)
+                results["ivf_compaction"] = {"error": str(exc)[:300]}
+                print(f"C ivf_compaction: ERROR {exc}", file=sys.stderr)
 
     if "corpus_probe_curve" in names:
         # Round-14 VERDICT item 2: MEASURE (don't model) the composed
