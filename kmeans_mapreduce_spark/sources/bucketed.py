@@ -29,14 +29,15 @@ from pyspark.sql import DataFrame
 def write_bucketed_table(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int,
     path: str | None = None,
     sort: bool = True,
     mode: str = "overwrite",
 ) -> DataFrame:
     """Persist ``df`` bucketed (and by default sorted) by ``bucket_col``
-    and return the table-backed frame.
+    (one column or a list — composite join keys bucket on the full
+    tuple) and return the table-backed frame.
 
     ``path`` makes the table EXTERNAL (data at the given location —
     tests point this at tmp dirs); without it the session warehouse
@@ -85,9 +86,10 @@ def write_bucketed_table(
                     else Path(wh.path) / f"{db}.db" / tbl
                 )
                 shutil.rmtree(loc, ignore_errors=True)
-    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode(mode).bucketBy(n_buckets, cols[0], *cols[1:])
     if sort:
-        w = w.sortBy(bucket_col)
+        w = w.sortBy(cols[0], *cols[1:])
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)

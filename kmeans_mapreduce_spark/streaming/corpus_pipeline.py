@@ -69,9 +69,12 @@ state is the signature index plus its banded sibling — sub-KB per
 ACCEPTED doc, text never re-read.  Per-batch probe cost is linear in
 the index size with a small constant (a columnar scan of short rows);
 the measured per-batch cost curve at stream length lives in
-SCALE_RUN.md, and a deployment whose batches outgrow the broadcast
-threshold would register the sibling as a table BUCKETED BY (band,
-key) so the candidate join co-locates without shuffling the index.
+SCALE_RUN.md.  A deployment whose batches outgrow the broadcast
+threshold registers the sibling as a table BUCKETED BY (band, key) so
+the candidate join co-locates without shuffling the index — EXECUTED,
+not modeled: the stress harness's band_bucketed_ab row measures the
+same candidate join at 2 exchanges plain vs 0 bucketed with equal
+checksums (tools/stress_run.py, SCALE_RUN.md round 14).
 
 No reference analog (the reference has no streaming at all);
 composes the mandated beyond-reference streaming surface end to end.

@@ -160,3 +160,51 @@ def test_reap_stale_pid_tables_removes_only_dead_pids(spark):
     finally:
         for t in (f"reaptest_{live}", "reaptest_notapid"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_composite_key_bucketed_join_is_shuffle_free(
+    no_broadcast, tmp_path
+):
+    """write_bucketed_table with a COLUMN LIST buckets on the full
+    tuple, and an equi-join on exactly those columns plans with zero
+    exchanges when both sides read the table — the layout the composed
+    pipeline's pre-banded index sibling registers at scale
+    (streaming/corpus_pipeline.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.sources.bucketed import write_bucketed_table
+
+    spark = no_broadcast
+    tbl = f"band_idx_test_{os.getpid()}"
+    df = spark.range(200).selectExpr(
+        "id", "CAST(id % 8 AS INT) AS band", "CAST(id % 13 AS STRING) AS key"
+    )
+
+    def cand_plan(left, right):
+        j = (
+            left.alias("a")
+            .join(
+                right.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        )
+        return j, j._jdf.queryExecution().executedPlan().toString()
+
+    bt = write_bucketed_table(
+        df, tbl, ["band", "key"], 4, path=str(tmp_path / "band_idx")
+    )
+    try:
+        plain_j, plain_plan = cand_plan(df, df)
+        buck_j, buck_plan = cand_plan(bt, bt)
+        assert plain_plan.count("Exchange hashpartitioning") == 2
+        assert buck_plan.count("Exchange hashpartitioning") == 0
+        assert sorted(map(tuple, plain_j.collect())) == sorted(
+            map(tuple, buck_j.collect())
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

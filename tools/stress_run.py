@@ -140,7 +140,116 @@ PHASE_D = [
     "graph_triangle_sqrtcells",
     "knn_bucketed_ab",
     "zorder_pruning_ab",
+    "band_bucketed_ab",
 ]
+
+
+def band_bucketed_ab(spark, results: dict) -> int:
+    """The composed pipeline's LAST modeled layout claim, EXECUTED:
+    'a deployment whose batches outgrow the broadcast threshold would
+    register the [pre-banded index] sibling as a table bucketed by
+    (band, key) so the candidate join co-locates without shuffling the
+    index' (streaming/corpus_pipeline.py).  Band the whole 50k-doc
+    stress corpus's signatures (the index side at stream end), take a
+    micro-batch-sized probe slice, and A/B the (band, key) candidate
+    equi-join: plain frames (both sides exchange) vs both sides read
+    from the bucketed table (zero exchanges) — wall clock, Exchange
+    hashpartitioning count, and checksum equality, with auto-broadcast
+    disabled so the join strategy is decided by distribution alone
+    (the regime the claim is about)."""
+    import os
+
+    from kmeans_mapreduce_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signature,
+    )
+    from kmeans_mapreduce_spark.sources.bucketed import write_bucketed_table
+
+    def cand(left, right):
+        return (
+            left.alias("a")
+            .join(
+                right.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        )
+
+    def checksum(df):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("a_id") * 31 + F.col("b_id")).alias("chk"),
+        ).collect()[0]
+        return (r["n"], r["chk"])
+
+    def exchanges(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    tbl = f"stress_band_idx_{os.getpid()}"
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    banded = None
+    try:
+        docs = spark.read.parquet(f"{STRESS_DIR}/documents.parquet")
+        banded = (
+            banded_signatures(
+                docs.select(
+                    F.col("doc_id").alias("id"),
+                    minhash_signature("text").alias("sig"),
+                ).where(F.col("sig").isNotNull())
+            )
+            .select("id", "band", "key")
+            .cache()
+        )
+        n_banded = banded.count()
+        probe = banded.where(F.col("id") % 16 == 0)
+
+        t0 = time.time()
+        plain_q = cand(probe, banded)
+        plain_sum = checksum(plain_q)
+        plain_sec = round(time.time() - t0, 1)
+        plain_ex = exchanges(plain_q)
+
+        t0 = time.time()
+        bt = write_bucketed_table(banded, tbl, ["band", "key"], 32)
+        write_sec = round(time.time() - t0, 1)
+        t0 = time.time()
+        buck_q = cand(bt.where(F.col("id") % 16 == 0), bt)
+        buck_sum = checksum(buck_q)
+        buck_sec = round(time.time() - t0, 1)
+        buck_ex = exchanges(buck_q)
+
+        results["band_bucketed_ab"] = {
+            "banded_rows": n_banded,
+            "candidates": plain_sum[0],
+            "plain_sec": plain_sec,
+            "bucketed_sec": buck_sec,
+            "bucketed_write_sec": write_sec,
+            "plain_exchanges": plain_ex,
+            "bucketed_exchanges": buck_ex,
+            "checksums_equal": plain_sum == buck_sum,
+        }
+        print(
+            f"D band bucketed A/B: {results['band_bucketed_ab']}",
+            file=sys.stderr,
+        )
+        return (
+            0
+            if plain_sum == buck_sum and buck_ex < plain_ex
+            else 1
+        )
+    except Exception as exc:  # noqa: BLE001
+        results["band_bucketed_ab"] = {"error": str(exc)[:300]}
+        print(f"D band bucketed A/B: ERROR {exc}", file=sys.stderr)
+        return 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        if banded is not None:
+            banded.unpersist()
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
 def knn_bucketed_ab(spark, results: dict) -> int:
@@ -435,6 +544,8 @@ def phase_d(spark, results: dict, names: list[str]) -> int:
         rc = knn_bucketed_ab(spark, results) or rc
     if "zorder_pruning_ab" in names:
         rc = zorder_pruning_ab(spark, results) or rc
+    if "band_bucketed_ab" in names:
+        rc = band_bucketed_ab(spark, results) or rc
     if not ({"graph_pagerank_sqrtcells", "graph_triangle_sqrtcells"} & set(names)):
         return rc
     t0 = time.time()
