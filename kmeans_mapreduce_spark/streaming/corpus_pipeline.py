@@ -127,13 +127,38 @@ _METRICS_FIELDS = [c.split()[0] for c in METRICS_SCHEMA.split(", ")]
 _EMPTY_INDEX_CLASSES = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
 
-def _is_empty_index_error(exc: Exception) -> bool:
+def _dir_absent_or_datafree(spark: SparkSession, path: str) -> bool:
+    """Driver-side ground truth for the empty-index shapes: the dir
+    does not exist, or holds no data files (files whose names don't
+    start with ``_``/``.`` — Spark's own visibility rule).  One
+    recursive listing, no Spark job."""
+    from kmeans_mapreduce_spark.sources.maintenance import _fs_path
+
+    fs, jp = _fs_path(spark, path)
+    if not fs.exists(jp):
+        return True
+    it = fs.listFiles(jp, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return False
+    return True
+
+
+def _is_empty_index_error(
+    exc: Exception, spark: SparkSession | None = None, path: str | None = None
+) -> bool:
     """True iff ``exc`` is one of the two legitimate empty-index reads:
     the index dir does not exist yet, or exists with no data files (no
     schema to infer).  Checks the structured error class first
     (``getCondition``/``getErrorClass`` on PySpark's exceptions — the
-    stable contract across Spark upgrades) and falls back to substring
-    matching on the message only when no class is attached."""
+    stable contract across Spark upgrades).  The substring fallback
+    (raw Py4JJavaError, no class attached) alone could misclassify a
+    REAL failure whose stringified cause chain merely mentions
+    PATH_NOT_FOUND (ADVICE r14) — so when the caller supplies
+    ``(spark, path)``, a substring match must additionally be confirmed
+    by a driver-side listing showing the dir genuinely absent or
+    data-file-free before the error is treated as benign."""
     for attr in ("getCondition", "getErrorClass"):
         get = getattr(exc, attr, None)
         if get is None:
@@ -145,7 +170,11 @@ def _is_empty_index_error(exc: Exception) -> bool:
         if cls is not None:
             return any(c in cls for c in _EMPTY_INDEX_CLASSES)
     msg = str(exc)
-    return any(c in msg for c in _EMPTY_INDEX_CLASSES)
+    if not any(c in msg for c in _EMPTY_INDEX_CLASSES):
+        return False
+    if spark is not None and path is not None:
+        return _dir_absent_or_datafree(spark, path)
+    return True
 
 
 def _ivf_centroid_dim(centroids) -> int:
@@ -190,39 +219,14 @@ def _batch_ids(spark: SparkSession, path: str) -> set[int]:
     return out
 
 
-def _observed(obs, timeout_sec: float = 300.0) -> dict:
-    """``Observation.get`` with a deadline.  The write that computes an
-    observation has already completed synchronously when the fold reads
-    it, so the metrics are normally available immediately — but
-    delivery rides the listener bus, and a dropped event would make the
-    stock ``.get`` (which waits forever) wedge a long-lived stream with
-    no error and no replay.  Failing the batch instead is safe: the
-    batch-dir overwrite construction makes the at-least-once redelivery
-    recompute it exactly.  Polls the JVM observation's own bounded wait
-    (``getRowOrEmpty``, ~100 ms per call) — the same private handles
-    the stock ``.get`` uses, pinned by tests."""
-    import time as _time
-
-    from pyspark.serializers import CPickleSerializer
-
-    if obs._jo is None:
-        raise ValueError("observation was never attached to a write")
-    utils = getattr(
-        obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
-    )
-    deadline = _time.monotonic() + timeout_sec
-    while True:
-        row_opt = obs._jo.getRowOrEmpty()
-        if not row_opt.isEmpty():
-            row = CPickleSerializer().loads(utils.toPyRow(row_opt.get()))
-            return row.asDict(recursive=False)
-        if _time.monotonic() > deadline:
-            raise TimeoutError(
-                f"observed metrics not delivered within {timeout_sec}s "
-                f"of the write completing — listener event lost; "
-                f"failing the batch so the stream replays it instead "
-                f"of hanging"
-            )
+# ``Observation.get`` with a deadline — a lost listener event fails the
+# (replayable-by-construction) batch instead of wedging the stream.
+# ONE definition in functions/observe.py, shared with the IVF
+# compactor: fast path polls the JVM's bounded getRowOrEmpty; a PySpark
+# upgrade that moves those private handles degrades to the PUBLIC
+# Observation.get under a daemon-thread deadline (ADVICE r14), not an
+# AttributeError on every batch.
+from kmeans_mapreduce_spark.functions.observe import observed as _observed
 
 
 def content_shard(fp_col, n_shards: int):
@@ -357,7 +361,7 @@ def fold_corpus_batch(
                 # torn file, permission error, etc. must FAIL the batch
                 # — swallowing it would silently skip cross-batch dedup
                 # and commit duplicates with clean-looking metrics.
-                if not _is_empty_index_error(exc):
+                if not _is_empty_index_error(exc, spark, f"{out_dir}/index"):
                     raise
                 idx, n_idx = None, 0
         # counts the observation on the accepted write cannot derive;
@@ -400,7 +404,9 @@ def fold_corpus_batch(
                     F.col("batch") < F.lit(batch_id)
                 )
             except Exception as exc:
-                if not _is_empty_index_error(exc):
+                if not _is_empty_index_error(
+                    exc, spark, f"{out_dir}/index_bands"
+                ):
                     raise
                 bands = None
             if bands is not None and _BAND_KEY_COL not in bands.columns:
@@ -426,8 +432,15 @@ def fold_corpus_batch(
                     )
                 near_ids = None
             else:
+                # the sibling's batch rides along so verification joins
+                # back to the SAME index row that produced the band key:
+                # exact dedup is by fingerprint, not id, so one doc id
+                # can hold different text (different sigs) in two
+                # batches — an id-only join would verify a band match
+                # from one row against both rows' signatures (ADVICE
+                # r14), slightly broadening drops.
                 bands = bands.select(
-                    "id", "band", F.col(_BAND_KEY_COL).alias("key")
+                    "id", "batch", "band", F.col(_BAND_KEY_COL).alias("key")
                 )
                 sb = _banded(
                     survivors.select(F.col(id_col).alias("id"), "sig").where(
@@ -445,16 +458,18 @@ def fold_corpus_batch(
                         F.col("a.id").alias("id"),
                         F.col("a.sig").alias("sig"),
                         F.col("b.id").alias("_iid"),
+                        F.col("b.batch").alias("_ibatch"),
                     )
-                    .dropDuplicates(["id", "_iid"])
+                    .dropDuplicates(["id", "_iid", "_ibatch"])
                 )
                 near_ids = (
                     cand.join(
                         idx.select(
                             F.col("id").alias("_iid"),
+                            F.col("batch").alias("_ibatch"),
                             F.col("sig").alias("_isig"),
                         ),
-                        "_iid",
+                        ["_iid", "_ibatch"],
                     )
                     .where(
                         sig_agreement(F.col("sig"), F.col("_isig"))

@@ -384,3 +384,70 @@ def test_frozen_ensemble_is_the_trainers_exact_output(spark):
         for r in FROZEN_QUALITY_ENSEMBLE
     ]
     assert got == want
+
+
+def test_observed_public_fallback_path(spark, monkeypatch):
+    """A PySpark upgrade that moves the private JVM handles must
+    degrade `observed` to the PUBLIC Observation.get under a deadline
+    (ADVICE r14), not raise on every batch: force the feature-detect
+    probe to fail and check (a) values still come back, (b) the
+    verdict is cached as fallback, (c) the deadline still fires."""
+    import pytest
+    from pyspark.sql import Observation
+
+    from kmeans_mapreduce_spark.functions import observe as OBS
+
+    # simulate the handles vanishing: the probe call raises the way a
+    # removed py4j method does (resolution happens at CALL time)
+    def _gone(obs, timeout_sec):
+        raise AttributeError("getRowOrEmpty moved in this Spark")
+
+    monkeypatch.setattr(OBS, "_FAST_PATH_OK", None)
+    monkeypatch.setattr(OBS, "_fast_poll", _gone)
+    obs = Observation()
+    df = spark.range(7).observe(obs, F.count(F.lit(1)).alias("n"))
+    df.count()
+    assert OBS.observed(obs, timeout_sec=30)["n"] == 7
+    assert OBS._FAST_PATH_OK is False
+
+    # deadline semantics survive on the fallback path: an observation
+    # whose plan never ran times out instead of blocking forever
+    obs2 = Observation()
+    spark.range(3).observe(obs2, F.count(F.lit(1)).alias("n"))
+    with pytest.raises(TimeoutError):
+        OBS.observed(obs2, timeout_sec=0.3)
+
+
+def test_empty_index_error_fallback_is_fs_verified(spark, tmp_path):
+    """The substring fallback (no structured error class attached) must
+    NOT classify a real failure as an empty index when the dir in fact
+    holds data files (ADVICE r14): a torn-file error whose cause chain
+    merely mentions PATH_NOT_FOUND would otherwise silently skip
+    cross-batch dedup."""
+    from kmeans_mapreduce_spark.streaming.corpus_pipeline import (
+        _is_empty_index_error,
+    )
+
+    exc = RuntimeError(
+        "An error occurred while calling o1.parquet.\n: shaded cause "
+        "mentions [PATH_NOT_FOUND] somewhere in a torn-read stack"
+    )
+    live = tmp_path / "live_index"
+    spark.range(3).write.parquet(str(live))
+    # data-bearing dir -> the mention is NOT a benign empty read
+    assert _is_empty_index_error(exc, spark, str(live)) is False
+    # genuinely absent dir -> benign
+    assert _is_empty_index_error(exc, spark, str(tmp_path / "nope")) is True
+    # dir with only non-data files (_SUCCESS-style) -> benign
+    marker = tmp_path / "markers_only"
+    marker.mkdir()
+    (marker / "_SUCCESS").touch()
+    assert _is_empty_index_error(exc, spark, str(marker)) is True
+    # structured class wins regardless of the filesystem
+    class Classy(Exception):
+        def getCondition(self):
+            return "PATH_NOT_FOUND"
+
+    assert _is_empty_index_error(Classy("x"), spark, str(live)) is True
+    # no mention at all -> never benign
+    assert _is_empty_index_error(RuntimeError("boom"), spark, None) is False
