@@ -229,23 +229,23 @@ def write_ivf_index(
     c.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
-def ivf_topk_from_index(
-    spark,
-    index_path: str,
+def _probe_query_cells(
     queries: DataFrame,
     centroids: list[list[float]],
-    k: int = 5,
-    n_probe: int = 2,
-    id_col: str = "id",
-    vec_col: str = "v",
-) -> DataFrame:
-    """Probe a written IVF index: same result as ivf_topk, but the cell
-    restriction is a PARTITION filter on the index layout, so only the
-    probed cells' files are opened."""
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, list]:
+    """(q, probed_cells): one (query_id, qv, cell) row per probed cell
+    per query, plus the distinct probed cell ids (one tiny collect over
+    the broadcast-sized query side) — THE probe-side derivation every
+    index-reading IVF probe shares, so the cell ranking and its
+    tie-order have exactly one definition."""
     from kmeans_mapreduce_spark.operators.kmeans import _dist2_to_centroids
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
     )
     qd = _dist2_to_centroids("qv", centroids)
     cells = F.transform(
@@ -264,8 +264,14 @@ def ivf_topk_from_index(
         lambda s: s["i"],
     )
     q = q.withColumn("cell", F.explode(cells))
-    probed_cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
-    corpus = spark.read.parquet(index_path).where(F.col("cell").isin(probed_cells))
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    return q, probed
+
+
+def _score_probed_topk(q: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Join the (broadcast) probe rows to a (neighbor_id, cv, cell)
+    corpus on cell, score, and keep the deterministic top-k per query —
+    the shared back half of every IVF probe."""
     pairs = (
         F.broadcast(q)
         .join(corpus, "cell")
@@ -282,6 +288,115 @@ def ivf_topk_from_index(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Probe a written IVF index: same result as ivf_topk, but the cell
+    restriction is a PARTITION filter on the index layout, so only the
+    probed cells' files are opened."""
+    q, probed_cells = _probe_query_cells(
+        queries, centroids, n_probe, id_col, vec_col
+    )
+    corpus = spark.read.parquet(index_path).where(F.col("cell").isin(probed_cells))
+    return _score_probed_topk(q, corpus, k)
+
+
+def _read_compaction_watermark(fs, jdir) -> int | None:
+    """The ``_compacted_watermark_<w>`` marker compact_ivf_index staged
+    into a base dir — the watermark lives in the file NAME, so this is
+    one driver-side listing, no stream/byte plumbing."""
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.startswith("_compacted_watermark_"):
+            try:
+                return int(name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+    return None
+
+
+def ivf_topk_base_plus_delta(
+    spark,
+    base_dir: str,
+    stream_ivf_dir: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "v",
+    watermark_batch: int | None = None,
+) -> DataFrame:
+    """Probe a compacted IVF base PLUS the stream tree's post-compaction
+    deltas — the executable continuation ``compact_ivf_index`` promises:
+    after a quiescent compaction at watermark ``w``, the stream keeps
+    appending ``batch=<b>/`` dirs with ``b > w``, and probes read
+    ``base ∪ (tree where batch > w)`` instead of the whole
+    small-files tree.  Identical results to probing the uncompacted
+    tree (the base holds exactly the rows of batches <= w, the filter
+    excludes them from the tree side — no row lost, none doubled);
+    equality is pinned in tests/test_asof_ivf.py and measured
+    mid-stream at the 50k point in the stress harness.
+
+    Both sides prune at the scan: the base by its ``cell=<i>/``
+    partitions, the delta by ``batch > w`` AND the probed cells — so
+    the per-probe file count is O(cells) + O(delta batches), not
+    O(all batches), which is the point of compacting.
+
+    ``watermark_batch`` defaults to the marker the compaction staged
+    into the base (``_compacted_watermark_<w>`` — in the file NAME, so
+    reading it is a driver-side listing, and it promotes atomically
+    with the data in the same dir swap).  Passing it explicitly
+    overrides (e.g. probing against a base built by external
+    tooling)."""
+    from kmeans_mapreduce_spark.sources.maintenance import _fs_path
+
+    fs, jbase = _fs_path(spark, base_dir)
+    if not fs.exists(jbase):
+        _, jold = _fs_path(spark, base_dir.rstrip("/") + "__old")
+        if fs.exists(jold):
+            raise RuntimeError(
+                f"{base_dir!r} is absent but its __old twin exists — a "
+                f"compaction swap is in flight or crashed mid-promote; "
+                f"re-run compact_ivf_index (its recovery preamble "
+                f"restores the parked copy) before probing"
+            )
+        raise FileNotFoundError(base_dir)
+    if watermark_batch is None:
+        watermark_batch = _read_compaction_watermark(fs, jbase)
+        if watermark_batch is None:
+            raise ValueError(
+                f"{base_dir!r} carries no _compacted_watermark_<w> "
+                f"marker (compacted from a tree without a batch level, "
+                f"or not written by compact_ivf_index) — pass "
+                f"watermark_batch explicitly"
+            )
+    q, probed_cells = _probe_query_cells(
+        queries, centroids, n_probe, id_col, vec_col
+    )
+    base = (
+        spark.read.parquet(base_dir)
+        .where(F.col("cell").isin(probed_cells))
+        .select("neighbor_id", "cv", "cell")
+    )
+    delta = (
+        spark.read.parquet(stream_ivf_dir)
+        .where(
+            (F.col("batch") > F.lit(watermark_batch))
+            & F.col("cell").isin(probed_cells)
+        )
+        .select("neighbor_id", "cv", "cell")
+    )
+    return _score_probed_topk(q, base.unionByName(delta), k)
 
 
 def ivf_topk(
@@ -409,17 +524,27 @@ def compact_ivf_index(
     writer's exactly-once contract (a replayed micro-batch overwrites
     its own ``batch=<b>``) — rewriting them under a live stream would
     break replay idempotence.  Run this when the stream is quiescent
-    (between availableNow drains); after verifying ``dest``, the
-    operator either retires the stream tree and restarts the stream's
-    index stage fresh, or keeps probing base-plus-delta (``dest``
-    union ``batch > <compacted watermark>``).
+    (between availableNow drains); afterwards the stream keeps
+    appending ``batch=<b>`` dirs and probes continue through
+    ``ivf_topk_base_plus_delta`` (``dest`` union ``batch >
+    <compacted watermark>``) — the watermark is staged into ``dest``
+    as a ``_compacted_watermark_<w>`` marker (watermark in the file
+    NAME: reading it back is one driver-side listing, and it promotes
+    atomically with the data in the same dir swap; the ``_`` prefix
+    makes it invisible to parquet reads).
 
     Durability: staged write + whole-dir swap (``dest__staging`` /
     ``dest__old``).  A crash mid-swap leaves dest absent with the old
     copy parked at ``dest__old``; the recovery preamble of the next
     call restores it, so RETRY is the complete repair procedure.
+    During the two-rename promote itself ``dest`` is briefly absent —
+    a concurrent ``ivf_topk_base_plus_delta`` detects the parked
+    ``__old`` twin and refuses with the recovery instruction instead
+    of failing on a bare missing path; run probes quiescent or retry
+    them around that window.
 
-    Returns {rows, cells, files_before, files_after}."""
+    Returns {rows, cells, files_before, files_after,
+    watermark_batch}."""
     from kmeans_mapreduce_spark.sources.maintenance import _fs_path
 
     fs, jsrc = _fs_path(spark, stream_ivf_dir)
@@ -460,11 +585,13 @@ def compact_ivf_index(
             f"in {src.columns}"
         )
     data = src.drop("batch") if "batch" in src.columns else src
-    # the distinct cells are enumerable from the partition dirs the
-    # listing already sees (no extra scan of the data files), and the
-    # row count rides an observation on the rewrite itself — the
-    # compaction reads the tree exactly ONCE
+    # the distinct cells AND the compaction watermark (max batch id)
+    # are enumerable from the partition dirs the listing already sees
+    # (no extra scan of the data files), and the row count rides an
+    # observation on the rewrite itself — the compaction reads the
+    # tree exactly ONCE
     cells: set[str] = set()
+    watermark: int | None = None
     for st in fs.listStatus(jsrc):
         if not st.isDirectory():
             continue
@@ -472,6 +599,11 @@ def compact_ivf_index(
         if name.startswith("cell="):
             cells.add(name.split("=", 1)[1])
         elif name.startswith("batch="):
+            try:
+                b = int(name.split("=", 1)[1])
+                watermark = b if watermark is None else max(watermark, b)
+            except ValueError:
+                pass
             for st2 in fs.listStatus(st.getPath()):
                 n2 = st2.getPath().getName()
                 if st2.isDirectory() and n2.startswith("cell="):
@@ -483,6 +615,8 @@ def compact_ivf_index(
         )
     from pyspark.sql import Observation
 
+    from kmeans_mapreduce_spark.functions.observe import observed
+
     obs = Observation()
     w = (
         data.repartition(len(cells), "cell")
@@ -492,7 +626,16 @@ def compact_ivf_index(
     if rows_per_file is not None:
         w = w.option("maxRecordsPerFile", rows_per_file)
     w.partitionBy("cell").parquet(staging)
-    n_rows = obs.get["rows"]
+    # bounded read (functions/observe.py): a lost listener event fails
+    # the compaction — whose retry is its complete repair — instead of
+    # wedging the maintenance job
+    n_rows = observed(obs)["rows"]
+    if watermark is not None:
+        # staged BEFORE the promote so marker and data swap atomically
+        _, jmark = _fs_path(
+            spark, f"{staging}/_compacted_watermark_{watermark}"
+        )
+        fs.create(jmark, True).close()
     files_before = _count_files(jsrc)
     files_after = _count_files(jstaging)
     if fs.exists(jdest):
@@ -510,6 +653,7 @@ def compact_ivf_index(
         "cells": len(cells),
         "files_before": files_before,
         "files_after": files_after,
+        "watermark_batch": watermark,
     }
 
 

@@ -261,3 +261,127 @@ def test_compact_ivf_index_collapses_files_probe_identical(
     out3 = SIM.compact_ivf_index(spark, stream_tree, dest2, rows_per_file=cap)
     assert out3["files_after"] > out3["cells"]
     assert chk(dest2) == chk(stream_tree)
+
+
+def test_ivf_base_plus_delta_probe_handoff(spark, embs_mod, tmp_path):
+    """The post-compaction continuation must be EXECUTABLE, not a
+    docstring: compact mid-stream at watermark w, keep appending
+    batches > w, and probing base ∪ delta must equal probing the full
+    uncompacted tree — with the watermark read back from the marker the
+    swap promoted, both scans pruned, and the crashed-swap window
+    refused with the recovery instruction."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
+    from kmeans_mapreduce_spark.sources.maintenance import _fs_path
+
+    pts = embs_mod.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    res = fit_kmeans_native(
+        pts, k=8, dim=64, initial_centroids=None, seed=7, max_iter=5
+    )
+
+    def land(tree, b):
+        SIM.assign_ivf_cells(
+            embs_mod.where(F.col("vec_id") % 5 == b),
+            res.centroids,
+            id_col="vec_id",
+            vec_col="embedding",
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{tree}/batch={b}"
+        )
+
+    stream_tree = str(tmp_path / "ivf_stream")
+    for b in range(3):
+        land(stream_tree, b)
+    dest = str(tmp_path / "ivf_base")
+    out = SIM.compact_ivf_index(spark, stream_tree, dest)
+    assert out["watermark_batch"] == 2
+
+    # the stream keeps folding past the compaction point
+    for b in (3, 4):
+        land(stream_tree, b)
+
+    queries = embs_mod.where(F.col("vec_id") < 20)
+    full = sorted(
+        map(
+            tuple,
+            SIM.ivf_topk_from_index(
+                spark, stream_tree, queries, res.centroids, k=5, n_probe=2,
+                id_col="vec_id", vec_col="embedding",
+            ).collect(),
+        )
+    )
+    bpd = SIM.ivf_topk_base_plus_delta(
+        spark, dest, stream_tree, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert sorted(map(tuple, bpd.collect())) == full
+    # both sides prune at the scan: cell partitions on the base, the
+    # batch watermark on the delta
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bpd.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("PartitionFilters") >= 2
+    assert "batch" in plan and "cell" in plan
+
+    # explicit watermark override: an over-high watermark excludes the
+    # delta rows, so the probe sees only the compacted base
+    base_only = SIM.ivf_topk_base_plus_delta(
+        spark, dest, stream_tree, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding", watermark_batch=99,
+    )
+    base_probe = SIM.ivf_topk_from_index(
+        spark, dest, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert sorted(map(tuple, base_only.collect())) == sorted(
+        map(tuple, base_probe.collect())
+    )
+
+    # re-compacting the longer tree advances the watermark; the delta
+    # side is then empty and base-plus-delta still equals the full tree
+    out2 = SIM.compact_ivf_index(spark, stream_tree, dest)
+    assert out2["watermark_batch"] == 4
+    bpd2 = SIM.ivf_topk_base_plus_delta(
+        spark, dest, stream_tree, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert sorted(map(tuple, bpd2.collect())) == full
+
+    # a base with no marker (e.g. built by write_ivf_index) demands an
+    # explicit watermark
+    import pytest
+
+    plain = str(tmp_path / "plain_base")
+    SIM.write_ivf_index(
+        embs_mod, res.centroids, plain, id_col="vec_id", vec_col="embedding"
+    )
+    with pytest.raises(ValueError, match="_compacted_watermark"):
+        SIM.ivf_topk_base_plus_delta(
+            spark, plain, stream_tree, queries, res.centroids,
+            id_col="vec_id", vec_col="embedding",
+        )
+
+    # crashed-swap window: dest absent, __old parked -> refuse with the
+    # recovery instruction, then verify compact's recovery preamble
+    # actually restores and the probe works again
+    fs, jdest = _fs_path(spark, dest)
+    _, jold = _fs_path(spark, dest + "__old")
+    assert fs.rename(jdest, jold)
+    with pytest.raises(RuntimeError, match="recovery preamble"):
+        SIM.ivf_topk_base_plus_delta(
+            spark, dest, stream_tree, queries, res.centroids,
+            id_col="vec_id", vec_col="embedding",
+        )
+    out3 = SIM.compact_ivf_index(spark, stream_tree, dest)
+    assert out3["watermark_batch"] == 4
+    bpd3 = SIM.ivf_topk_base_plus_delta(
+        spark, dest, stream_tree, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert sorted(map(tuple, bpd3.collect())) == full

@@ -1190,6 +1190,110 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                 results["ivf_compaction"] = {"error": str(exc)[:300]}
                 print(f"C ivf_compaction: ERROR {exc}", file=sys.stderr)
 
+        # Round-15 VERDICT item 2: the post-compaction probe HANDOFF,
+        # executable at the 50k point — compact MID-STREAM (after 3 of
+        # the 4 recorded batches), keep folding the 4th through the
+        # same fold_corpus_batch, and demand that probing
+        # base ∪ (tree where batch > watermark) equals probing the
+        # full uncompacted tree, with the delta visibly changing the
+        # base-only answer (so the equality is not vacuous).
+        pipe = results.get("stream_corpus_pipeline", {})
+        if not pipe or "error" in pipe:
+            results["ivf_probe_handoff"] = {
+                "skipped": "stream_corpus_pipeline did not complete"
+            }
+            print(
+                "C ivf_probe_handoff: skipped (pipeline incomplete)",
+                file=sys.stderr,
+            )
+        else:
+            try:
+                from kmeans_mapreduce_spark.operators.similarity import (
+                    ivf_topk_base_plus_delta,
+                    ivf_topk_from_index,
+                )
+                from kmeans_mapreduce_spark.operators.similarity import (
+                    compact_ivf_index as _compact,
+                )
+                from kmeans_mapreduce_spark.streaming.corpus_pipeline import (
+                    FROZEN_QUALITY_ENSEMBLE as _CP_ROUNDS,
+                )
+                from kmeans_mapreduce_spark.streaming.corpus_pipeline import (
+                    fold_corpus_batch as _cp_fold,
+                )
+
+                t0 = time.time()
+                out_h = str(base / "corpus_handoff")
+                tree_h = f"{out_h}/ivf"
+                base_h = str(base / "ivf_handoff_base")
+                pre, post = groups[:-1], groups[-1:]
+                for bid, grp in enumerate(pre):
+                    _cp_fold(
+                        spark, spark.read.parquet(*grp), bid, out_h,
+                        _CP_ROUNDS, ivf_vectors=embs, ivf_centroids=cents,
+                    )
+                comp_h = _compact(spark, tree_h, base_h)
+                wm = comp_h["watermark_batch"]
+                for off, grp in enumerate(post):
+                    _cp_fold(
+                        spark, spark.read.parquet(*grp), len(pre) + off,
+                        out_h, _CP_ROUNDS, ivf_vectors=embs,
+                        ivf_centroids=cents,
+                    )
+                queries = embs.where(F.col("vec_id") % 997 == 0)
+
+                def _probe_sorted(df):
+                    return sorted(map(tuple, df.collect()))
+
+                full = _probe_sorted(
+                    ivf_topk_from_index(
+                        spark, tree_h, queries, cents, k=5, n_probe=2,
+                        id_col="vec_id", vec_col="embedding",
+                    )
+                )
+                bpd = _probe_sorted(
+                    ivf_topk_base_plus_delta(
+                        spark, base_h, tree_h, queries, cents, k=5,
+                        n_probe=2, id_col="vec_id", vec_col="embedding",
+                    )
+                )
+                base_only = _probe_sorted(
+                    ivf_topk_from_index(
+                        spark, base_h, queries, cents, k=5, n_probe=2,
+                        id_col="vec_id", vec_col="embedding",
+                    )
+                )
+                delta_rows = (
+                    spark.read.parquet(tree_h)
+                    .where(F.col("batch") > wm)
+                    .count()
+                )
+                results["ivf_probe_handoff"] = {
+                    "sec": round(time.time() - t0, 1),
+                    "watermark_batch": wm,
+                    "batches_pre": len(pre),
+                    "batches_post": len(post),
+                    "delta_index_rows": delta_rows,
+                    "probe_queries": queries.count(),
+                    "bpd_equals_full_tree": bpd == full,
+                    "delta_changes_base_only": base_only != full,
+                }
+                print(
+                    f"C ivf_probe_handoff: {results['ivf_probe_handoff']}",
+                    file=sys.stderr,
+                )
+                if not results["ivf_probe_handoff"]["bpd_equals_full_tree"]:
+                    rc = 1
+                if delta_rows > 0 and base_only == full:
+                    # the post-watermark batches indexed rows, yet the
+                    # probe cannot see them differ — the handoff row
+                    # proved nothing; fail loudly instead
+                    rc = 1
+            except Exception as exc:  # noqa: BLE001
+                rc = 1
+                results["ivf_probe_handoff"] = {"error": str(exc)[:300]}
+                print(f"C ivf_probe_handoff: ERROR {exc}", file=sys.stderr)
+
     if "corpus_probe_curve" in names:
         # Round-14 VERDICT item 2: MEASURE (don't model) the composed
         # fold's vs-index probe cost at stream length.  Drive the SAME
