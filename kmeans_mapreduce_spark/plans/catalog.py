@@ -538,101 +538,100 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window — the sibling's full hash is the cross-engine anchor the
 # rows-only check lacks.
 
-# ROUND-14 DRIVER WINDOW.  Composition per the round-13 ledger
-# (VERDICT r13 "Next round" #1): (b) round-13 reds: none;
+# ROUND-15 DRIVER WINDOW.  Composition per the round-14 ledger
+# (VERDICT r14 "Next round" #1): (b) round-14 reds: none;
 # (c) changed this round: corpus_curation_e2e (the composed pipeline
-#     module it certifies gained the pre-banded index sibling,
-#     observed-write metrics and the n_index_rows column — the shared
-#     building blocks it imports are re-pinned with the module),
-#     layout_zorder_pruning (zorder module gained the n_tiles-vs-key-
-#     width guard), knn_graph_bucketed (warehouse reap de-duplicates
-#     stale-dir targets);
-# (d) rows-only freshness AT THE POLICY BOUND (all sampled r12):
-#     kmeans_fit_native, kmeans_fit_mllib, kmeans_fit_lineitem,
-#     ann_pq_topk — per the standing rule each rides with its
-#     invariants sibling (kmeans_fit_invariants, mllib_fit_invariants,
-#     pq_train_invariants) in the same window;
-# (e) oldest-driver-green fill: the 15 remaining round-7-vintage rows
-#     in catalog order (this DRAINS the round-7 bucket), then the
-#     first 25 round-8-vintage rows in catalog order (12 of the 37
-#     r8 rows queue for round 15).
-_R14_WINDOW = [
+#     module it certifies had its vs-index candidate verify re-keyed
+#     to (id, batch) so band key and verified signature come from the
+#     SAME index row, its empty-index fallback made fs-verified, and
+#     _observed armored with a public-API fallback), ann_ivf_topk
+#     (operators/similarity.py gained the shared probe core +
+#     base-plus-delta handoff — the module it routes through is
+#     re-pinned with the change);
+# (d) rows-only freshness AT THE POLICY BOUND: pipeline_bpe_train
+#     (sampled r13) — per the standing rule it rides with
+#     bpe_train_invariants in the same window (the four fit/PQ
+#     rows-only entries re-sampled r14, next bound r16);
+# (e) oldest-driver-green fill: the 12 remaining round-8-vintage rows
+#     in catalog order (this DRAINS the round-8 bucket), then the
+#     first 34 round-9-vintage rows in catalog order (5 of the 39
+#     r9 rows queue for round 16).
+_R15_WINDOW = [
     # (c) changed this round
     "corpus_curation_e2e",
-    "layout_zorder_pruning",
-    "knn_graph_bucketed",
-    # (d) rows-only freshness at the policy bound + invariant siblings
-    "kmeans_fit_native",
-    "kmeans_fit_invariants",
-    "kmeans_fit_mllib",
-    "mllib_fit_invariants",
-    "kmeans_fit_lineitem",
-    "ann_pq_topk",
-    "pq_train_invariants",
-    # (e) oldest-green fill: round-7 vintage, catalog order (drains
-    # the round-7 bucket)
-    "events_watermark_audit",
-    "dp_noisy_counts",
-    "ann_lsh_recall",
-    "pipeline_preference_pairs",
-    "text_tokenizer_fertility",
-    "pipeline_span_corruption",
-    "dedup_minhash_recall",
-    "pipeline_dedup_yield_curve",
-    "pipeline_sample_temperature",
-    "embedding_norm_outliers",
-    "pipeline_context_length_plan",
-    "text_unigram_kl_sources",
-    "embedding_pq_distortion",
-    "pipeline_quality_prune_sweep",
-    "pipeline_quality_terciles",
-    # (e) oldest-green fill: round-8 vintage, catalog order (25 of 37;
-    # the remaining 12 queue for round 15)
-    "km_two_iterations",
-    "kmeans_fit_fixed",
-    "ingest_typed_projection",
-    "km_assign",
-    "km_recenter",
-    "km_farthest",
-    "km_delta",
-    "km_avg_pairwise",
-    "km_avg_point_dist",
-    "km_reshape_2d",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "join_semi_urgent_customers",
-    "join_anti_no_urgent",
-    "window_top_orders",
-    "window_running_total",
-    "window_ntile_customers",
-    "agg_rollup_orders",
-    "agg_cube_lineitem",
-    "agg_distinct_customers",
-    "agg_salted_user_rollup",
-    "agg_pivot_status",
-    "agg_unpivot_lineitem",
-    "q6_forecast_revenue",
+    "ann_ivf_topk",
+    # (d) rows-only freshness at the policy bound + invariants sibling
+    "pipeline_bpe_train",
+    "bpe_train_invariants",
+    # (e) oldest-green fill: round-8 vintage, catalog order (drains
+    # the round-8 bucket)
+    "agg_grouping_sets_orders",
+    "string_part_names",
+    "subq_small_quantity_revenue",
+    "join_outer_nation_activity",
+    "window_order_gaps",
+    "topk_orders_global",
+    "events_session_gap_sensitivity",
+    "pipeline_pack_efficiency",
+    "pipeline_dedup_cross_source",
+    "pipeline_shard_balance",
+    "dedup_simhash_histogram",
+    "pipeline_budget_downsample",
+    # (e) oldest-green fill: round-9 vintage, catalog order (34 of 39
+    # — ann_ivf_topk already rides above in (c); the remaining 5
+    # queue for round 16)
+    "mm_decode",
+    "graph_pagerank_vectors",
+    "graph_bfs_reach",
+    "text_bm25_rank",
+    "events_sessionize",
+    "agg_approx_stats",
+    "q22_dormant_customers",
+    "dedup_latest_event",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "sample_train_split",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "doc_fingerprint",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_nations",
+    "join_range_quantity_bands",
+    "asof_events_orders",
+    "mm_decode_ppm",
+    "mm_resize_ppm",
+    "mm_tiles_ppm",
+    "graph_knn_indegree_profile",
+    "mm_decode_pnm_mixed",
+    "dedup_minhash_calibration",
+    "mm_decode_pbm",
+    "events_json_extract",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "agg_percentiles_lineitem",
+    "date_orders_seasonality",
+    "subq_exists_parts",
 ]
-assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
-# ROUND-15 LEDGER (write _R15_WINDOW from this once round 14 records):
-# compose as (b) any round-14 reds -> (c) round-15 new/changed ->
-# (d) rows-only freshness: pipeline_bpe_train hits the two-round
-# policy bound at round 15 (sampled r13) — per the standing rule it
-# rides with bpe_train_invariants in the same window (the four fit/PQ
-# rows-only entries re-sample r14, next bound r16) -> (e) oldest-green
-# fill: FIRST the 12 remaining round-8-vintage rows in catalog order
-# (agg_grouping_sets_orders, string_part_names,
-# subq_small_quantity_revenue, join_outer_nation_activity,
-# window_order_gaps, topk_orders_global,
-# events_session_gap_sensitivity, pipeline_pack_efficiency,
-# pipeline_dedup_cross_source, pipeline_shard_balance,
-# dedup_simhash_histogram, pipeline_budget_downsample — this drains
-# the round-8 bucket), then round-9 vintage in catalog order
-# (recompute the latest-round map from CORRECTNESS_r*.json).
+assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
+# ROUND-16 LEDGER (write _R16_WINDOW from this once round 15 records):
+# compose as (b) any round-15 reds -> (c) round-16 new/changed ->
+# (d) rows-only freshness AT THE POLICY BOUND: kmeans_fit_native,
+# kmeans_fit_mllib, kmeans_fit_lineitem, ann_pq_topk (all sampled
+# r14; two-round policy) — per the standing rule each rides with its
+# invariants sibling (kmeans_fit_invariants, mllib_fit_invariants,
+# pq_train_invariants) in the same window; pipeline_bpe_train
+# re-samples r15, next bound r17 -> (e) oldest-green fill: FIRST the
+# 4 remaining round-9-vintage rows in catalog order
+# (subq_scalar_threshold, window_value_funcs, window_range_frame,
+# graph_triangle_count — this drains the round-9 bucket; verify
+# against a recomputed latest-round map from CORRECTNESS_r*.json),
+# then round-10 vintage in catalog order.
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R14_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R15_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,

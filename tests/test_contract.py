@@ -23,30 +23,25 @@ def test_catalog_shapes():
         "pipeline_bpe_train",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — round 14: every changed consumer (the composed
-    # pipeline's banded-sibling/observed-metrics rework, the zorder
-    # key-width guard, the reap de-dup) and the FOUR rows-only
-    # re-samples at their policy bound (each with its invariants
-    # sibling, per the standing ledger rule) must all be inside
+    # entries — round 15: both changed consumers (the composed
+    # pipeline's (id,batch)-keyed candidate verify + observed/empty-
+    # index armor; the similarity module's shared probe core and
+    # base-plus-delta handoff) and the rows-only re-sample at its
+    # policy bound (with its invariants sibling, per the standing
+    # ledger rule) must all be inside
     first50 = list(qs)[:50]
-    from kmeans_mapreduce_spark.plans.catalog import _R14_WINDOW
+    from kmeans_mapreduce_spark.plans.catalog import _R15_WINDOW
 
-    assert first50 == _R14_WINDOW, "driver window drifted from the ledger"
+    assert first50 == _R15_WINDOW, "driver window drifted from the ledger"
     for name in (
         # (c) changed this round (the composed-pipeline module; the
-        # zorder guard; the reap de-dup)
+        # similarity probe core)
         "corpus_curation_e2e",
-        "layout_zorder_pruning",
-        "knn_graph_bucketed",
+        "ann_ivf_topk",
         # (d) rows-only freshness at the two-round policy bound, with
-        # the invariant siblings in the same window (standing rule)
-        "kmeans_fit_native",
-        "kmeans_fit_invariants",
-        "kmeans_fit_mllib",
-        "mllib_fit_invariants",
-        "kmeans_fit_lineitem",
-        "ann_pq_topk",
-        "pq_train_invariants",
+        # the invariants sibling in the same window (standing rule)
+        "pipeline_bpe_train",
+        "bpe_train_invariants",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 
