@@ -501,6 +501,7 @@ def compact_ivf_index(
     stream_ivf_dir: str,
     dest: str,
     rows_per_file: int | None = None,
+    merge_base: str | None = None,
 ) -> dict:
     """Compact a STREAMED IVF tree (``batch=<b>/cell=<i>/`` — the
     layout the composed pipeline's index stage and any per-batch
@@ -532,6 +533,18 @@ def compact_ivf_index(
     NAME: reading it back is one driver-side listing, and it promotes
     atomically with the data in the same dir swap; the ``_`` prefix
     makes it invisible to parquet reads).
+
+    ``merge_base`` closes the RETIREMENT cycle: after
+    ``retire_compacted_batches`` has deleted the tree's batches <= the
+    base's watermark, a later re-compaction can no longer read the
+    whole history from the tree alone — pass the existing base (the
+    usual call is ``merge_base=dest``) and the rewrite reads
+    ``merge_base ∪ (tree where batch > merge_base's watermark)``,
+    exactly the row set the probes see.  The tree filter mirrors
+    ``ivf_topk_base_plus_delta``'s, so a retired batch that a replayed
+    micro-batch recreated (allowed: replay is the writer's contract)
+    is excluded instead of double-counted.  The new watermark is
+    max(base watermark, tree's max batch id).
 
     Durability: staged write + whole-dir swap (``dest__staging`` /
     ``dest__old``).  A crash mid-swap leaves dest absent with the old
@@ -578,20 +591,47 @@ def compact_ivf_index(
                 n += 1
         return n
 
+    base_wm: int | None = None
+    if merge_base is not None:
+        _, jbase = _fs_path(spark, merge_base)
+        if not fs.exists(jbase):
+            raise FileNotFoundError(merge_base)
+        base_wm = _read_compaction_watermark(fs, jbase)
+        if base_wm is None:
+            raise ValueError(
+                f"{merge_base!r} carries no _compacted_watermark_<w> "
+                f"marker — merging a base whose coverage is unknown "
+                f"cannot produce a correct new watermark; compact the "
+                f"full tree instead"
+            )
     src = spark.read.parquet(stream_ivf_dir)
     if "cell" not in src.columns:
         raise ValueError(
             f"{stream_ivf_dir!r} is not an IVF tree: no 'cell' column "
             f"in {src.columns}"
         )
+    if merge_base is not None and "batch" not in src.columns:
+        raise ValueError(
+            f"{stream_ivf_dir!r} has no batch level — merge_base only "
+            f"makes sense for a batch-major stream tree"
+        )
     data = src.drop("batch") if "batch" in src.columns else src
+    if merge_base is not None:
+        # mirror the base-plus-delta probe's row set: base rows plus
+        # STRICTLY post-watermark tree batches (a retired batch a
+        # replay recreated is excluded, not double-counted)
+        data = (
+            src.where(F.col("batch") > F.lit(base_wm))
+            .drop("batch")
+            .unionByName(spark.read.parquet(merge_base))
+        )
     # the distinct cells AND the compaction watermark (max batch id)
     # are enumerable from the partition dirs the listing already sees
     # (no extra scan of the data files), and the row count rides an
     # observation on the rewrite itself — the compaction reads the
     # tree exactly ONCE
     cells: set[str] = set()
-    watermark: int | None = None
+    watermark: int | None = base_wm
     for st in fs.listStatus(jsrc):
         if not st.isDirectory():
             continue
@@ -601,13 +641,21 @@ def compact_ivf_index(
         elif name.startswith("batch="):
             try:
                 b = int(name.split("=", 1)[1])
-                watermark = b if watermark is None else max(watermark, b)
             except ValueError:
-                pass
+                b = None
+            if b is not None:
+                watermark = b if watermark is None else max(watermark, b)
+            if merge_base is not None and (b is None or b <= base_wm):
+                continue  # excluded from the rewrite's row set above
             for st2 in fs.listStatus(st.getPath()):
                 n2 = st2.getPath().getName()
                 if st2.isDirectory() and n2.startswith("cell="):
                     cells.add(n2.split("=", 1)[1])
+    if merge_base is not None:
+        for st in fs.listStatus(jbase):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("cell="):
+                cells.add(name.split("=", 1)[1])
     if not cells:
         raise ValueError(
             f"{stream_ivf_dir!r} holds no cell=<i> partition dirs — "
@@ -654,6 +702,84 @@ def compact_ivf_index(
         "files_before": files_before,
         "files_after": files_after,
         "watermark_batch": watermark,
+    }
+
+
+def retire_compacted_batches(
+    spark,
+    stream_ivf_dir: str,
+    base_dir: str,
+    up_to: int | None = None,
+) -> dict:
+    """Delete the stream tree's ``batch=<b>`` dirs with ``b <= up_to``
+    AFTER a compaction has absorbed them — the space-reclamation half
+    of the compact → probe-base-plus-delta → retire cycle.
+
+    Safety is anchored on the base's ``_compacted_watermark_<w>``
+    marker: by construction ``compact_ivf_index`` wrote the base from
+    every tree row with ``batch <= w`` (plus, on a merge, the prior
+    base), so retiring up to ``up_to <= w`` deletes only rows the base
+    already holds; a request past the watermark is refused.  Driver-
+    side dir deletes only — no Spark job.
+
+    Run quiescent like the compaction itself.  Even so, a retired
+    batch that a replayed micro-batch later recreates is harmless:
+    probes (``ivf_topk_base_plus_delta``) and re-compactions
+    (``merge_base=...``) both read the tree STRICTLY past the
+    watermark, so the recreated dir is ignored, never double-counted;
+    the next retirement sweep removes it again.
+
+    Returns {watermark_batch, retired_batches, remaining_batches}."""
+    from kmeans_mapreduce_spark.sources.maintenance import _fs_path
+
+    fs, jbase = _fs_path(spark, base_dir)
+    if not fs.exists(jbase):
+        _, jold = _fs_path(spark, base_dir.rstrip("/") + "__old")
+        if fs.exists(jold):
+            raise RuntimeError(
+                f"{base_dir!r} is absent but its __old twin exists — a "
+                f"compaction swap is in flight or crashed mid-promote; "
+                f"re-run compact_ivf_index (its recovery preamble "
+                f"restores the parked copy) before retiring anything"
+            )
+        raise FileNotFoundError(base_dir)
+    wm = _read_compaction_watermark(fs, jbase)
+    if wm is None:
+        raise ValueError(
+            f"{base_dir!r} carries no _compacted_watermark_<w> marker "
+            f"— without it nothing proves which batches the base "
+            f"holds; refusing to delete any"
+        )
+    if up_to is None:
+        up_to = wm
+    if up_to > wm:
+        raise ValueError(
+            f"cannot retire batches <= {up_to}: the base at "
+            f"{base_dir!r} only covers batches <= {wm}"
+        )
+    _, jsrc = _fs_path(spark, stream_ivf_dir)
+    if not fs.exists(jsrc):
+        raise FileNotFoundError(stream_ivf_dir)
+    retired: list[int] = []
+    remaining: list[int] = []
+    for st in fs.listStatus(jsrc):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch=")):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b <= up_to:
+            if not fs.delete(st.getPath(), True):
+                raise IOError(f"failed to delete {st.getPath()}")
+            retired.append(b)
+        else:
+            remaining.append(b)
+    return {
+        "watermark_batch": wm,
+        "retired_batches": sorted(retired),
+        "remaining_batches": sorted(remaining),
     }
 
 

@@ -385,3 +385,121 @@ def test_ivf_base_plus_delta_probe_handoff(spark, embs_mod, tmp_path):
         id_col="vec_id", vec_col="embedding",
     )
     assert sorted(map(tuple, bpd3.collect())) == full
+
+
+def test_ivf_retire_and_merge_recompaction_cycle(spark, embs_mod, tmp_path):
+    """The full streamed-IVF lifecycle: compact -> retire the absorbed
+    batches -> keep folding -> probe base+delta -> RE-compact with
+    merge_base (the tree alone no longer holds the history) -> retire
+    again.  Equality is judged against a parallel never-retired tree
+    at every step, so nothing silently vanishes or double-counts."""
+    import pytest
+
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
+
+    pts = embs_mod.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    res = fit_kmeans_native(
+        pts, k=8, dim=64, initial_centroids=None, seed=7, max_iter=5
+    )
+
+    def land(tree, b):
+        SIM.assign_ivf_cells(
+            embs_mod.where(F.col("vec_id") % 6 == b),
+            res.centroids,
+            id_col="vec_id",
+            vec_col="embedding",
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{tree}/batch={b}"
+        )
+
+    tree = str(tmp_path / "ivf_stream")
+    shadow = str(tmp_path / "ivf_shadow")  # never retired, ground truth
+    dest = str(tmp_path / "ivf_base")
+    for b in range(3):
+        land(tree, b)
+        land(shadow, b)
+    out = SIM.compact_ivf_index(spark, tree, dest)
+    assert out["watermark_batch"] == 2
+
+    # retirement refusals: past the watermark, and no marker
+    with pytest.raises(ValueError, match="only covers"):
+        SIM.retire_compacted_batches(spark, tree, dest, up_to=5)
+    plain = str(tmp_path / "plain_base")
+    SIM.write_ivf_index(
+        embs_mod, res.centroids, plain, id_col="vec_id", vec_col="embedding"
+    )
+    with pytest.raises(ValueError, match="_compacted_watermark"):
+        SIM.retire_compacted_batches(spark, tree, plain)
+
+    ret = SIM.retire_compacted_batches(spark, tree, dest)
+    assert ret == {
+        "watermark_batch": 2,
+        "retired_batches": [0, 1, 2],
+        "remaining_batches": [],
+    }
+
+    # the stream keeps folding past the retirement
+    for b in (3, 4):
+        land(tree, b)
+        land(shadow, b)
+
+    queries = embs_mod.where(F.col("vec_id") < 20)
+
+    def probe_full(path):
+        return sorted(
+            map(
+                tuple,
+                SIM.ivf_topk_from_index(
+                    spark, path, queries, res.centroids, k=5, n_probe=2,
+                    id_col="vec_id", vec_col="embedding",
+                ).collect(),
+            )
+        )
+
+    want = probe_full(shadow)
+    bpd = SIM.ivf_topk_base_plus_delta(
+        spark, dest, tree, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert sorted(map(tuple, bpd.collect())) == want
+
+    # re-compaction MUST merge the base — the tree alone lost 0..2;
+    # plain compaction of the partial tree is detectably wrong
+    partial = SIM.compact_ivf_index(
+        spark, tree, str(tmp_path / "ivf_wrong")
+    )
+    assert partial["rows"] < spark.read.parquet(shadow).count()
+    out2 = SIM.compact_ivf_index(spark, tree, dest, merge_base=dest)
+    assert out2["watermark_batch"] == 4
+    assert out2["rows"] == spark.read.parquet(shadow).count()
+    assert probe_full(dest) == want
+
+    # a replay-recreated retired batch is ignored, never double-counted
+    ret2 = SIM.retire_compacted_batches(spark, tree, dest)
+    assert ret2["retired_batches"] == [3, 4]
+    land(tree, 1)  # replayed micro-batch recreates its dir
+    land(tree, 5)  # and the stream moves on
+    land(shadow, 5)
+    want3 = probe_full(shadow)
+    bpd3 = SIM.ivf_topk_base_plus_delta(
+        spark, dest, tree, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert sorted(map(tuple, bpd3.collect())) == want3
+    out3 = SIM.compact_ivf_index(spark, tree, dest, merge_base=dest)
+    assert out3["watermark_batch"] == 5
+    assert out3["rows"] == spark.read.parquet(shadow).count()
+    assert probe_full(dest) == want3
+
+    # merge_base demands a batch-major tree and a marked base
+    with pytest.raises(ValueError, match="no batch level"):
+        SIM.compact_ivf_index(
+            spark, plain, str(tmp_path / "x"), merge_base=dest
+        )
+    with pytest.raises(ValueError, match="_compacted_watermark"):
+        SIM.compact_ivf_index(
+            spark, tree, str(tmp_path / "y"), merge_base=plain
+        )
