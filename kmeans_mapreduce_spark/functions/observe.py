@@ -93,11 +93,22 @@ def _public_get_with_deadline(obs, timeout_sec: float) -> dict:
     return box["v"]
 
 
+_ABSENT = object()
+
+
 def observed(obs, timeout_sec: float = 300.0) -> dict:
     """``Observation.get`` with a deadline (see module docstring)."""
     global _FAST_PATH_OK
-    if getattr(obs, "_jo", None) is None:
+    # distinguish "attribute present and None" (genuinely unattached —
+    # a caller bug worth a clear error) from "attribute absent" (the
+    # PySpark-upgrade case this module exists to survive: go straight
+    # to the public path, where an unattached observation surfaces as
+    # the deadline instead)
+    jo = getattr(obs, "_jo", _ABSENT)
+    if jo is None:
         raise ValueError("observation was never attached to a write")
+    if jo is _ABSENT:
+        _FAST_PATH_OK = False
     if _FAST_PATH_OK is None:
         # feature-detect the private handles with a zero-wait probe:
         # py4j resolves methods at CALL time, so a missing

@@ -324,6 +324,56 @@ def _read_compaction_watermark(fs, jdir) -> int | None:
     return None
 
 
+def _require_live_base(spark, base_dir: str, action: str):
+    """(fs, jbase) for a compacted base dir, refusing the two dead
+    states both consumers must detect identically: absent with the
+    ``__old`` twin parked (a compaction swap in flight or crashed
+    mid-promote), and absent outright."""
+    from kmeans_mapreduce_spark.sources.maintenance import _fs_path
+
+    fs, jbase = _fs_path(spark, base_dir)
+    if not fs.exists(jbase):
+        _, jold = _fs_path(spark, base_dir.rstrip("/") + "__old")
+        if fs.exists(jold):
+            raise RuntimeError(
+                f"{base_dir!r} is absent but its __old twin exists — a "
+                f"compaction swap is in flight or crashed mid-promote; "
+                f"re-run compact_ivf_index (its recovery preamble "
+                f"restores the parked copy) before {action}"
+            )
+        raise FileNotFoundError(base_dir)
+    return fs, jbase
+
+
+def _tree_batch_dirs(fs, jsrc) -> dict[int, object]:
+    """{batch id: java Path} for the ``batch=<b>`` dirs under a stream
+    tree — one driver-side listing."""
+    out: dict[int, object] = {}
+    for st in fs.listStatus(jsrc):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch=")):
+            continue
+        try:
+            out[int(name.split("=", 1)[1])] = st.getPath()
+        except ValueError:
+            continue
+    return out
+
+
+def _read_retired_through(fs, jsrc) -> int | None:
+    """The ``_retired_through_<u>`` marker retire_compacted_batches
+    leaves at the tree root — evidence that batches <= u were deleted,
+    so the tree alone no longer holds the full history."""
+    for st in fs.listStatus(jsrc):
+        name = st.getPath().getName()
+        if name.startswith("_retired_through_"):
+            try:
+                return int(name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+    return None
+
+
 def ivf_topk_base_plus_delta(
     spark,
     base_dir: str,
@@ -360,17 +410,7 @@ def ivf_topk_base_plus_delta(
     tooling)."""
     from kmeans_mapreduce_spark.sources.maintenance import _fs_path
 
-    fs, jbase = _fs_path(spark, base_dir)
-    if not fs.exists(jbase):
-        _, jold = _fs_path(spark, base_dir.rstrip("/") + "__old")
-        if fs.exists(jold):
-            raise RuntimeError(
-                f"{base_dir!r} is absent but its __old twin exists — a "
-                f"compaction swap is in flight or crashed mid-promote; "
-                f"re-run compact_ivf_index (its recovery preamble "
-                f"restores the parked copy) before probing"
-            )
-        raise FileNotFoundError(base_dir)
+    fs, jbase = _require_live_base(spark, base_dir, "probing")
     if watermark_batch is None:
         watermark_batch = _read_compaction_watermark(fs, jbase)
         if watermark_batch is None:
@@ -388,6 +428,17 @@ def ivf_topk_base_plus_delta(
         .where(F.col("cell").isin(probed_cells))
         .select("neighbor_id", "cv", "cell")
     )
+    # a fully-retired (or not-yet-written) tree has no post-watermark
+    # batch dirs — probe the base alone instead of letting the parquet
+    # read die on schema inference over zero files; one driver-side
+    # listing, and it also skips the delta scan when there is nothing
+    # to scan
+    _, jtree = _fs_path(spark, stream_ivf_dir)
+    has_delta = fs.exists(jtree) and any(
+        b > watermark_batch for b in _tree_batch_dirs(fs, jtree)
+    )
+    if not has_delta:
+        return _score_probed_topk(q, base, k)
     delta = (
         spark.read.parquet(stream_ivf_dir)
         .where(
@@ -591,6 +642,7 @@ def compact_ivf_index(
                 n += 1
         return n
 
+    retired_through = _read_retired_through(fs, jsrc)
     base_wm: int | None = None
     if merge_base is not None:
         _, jbase = _fs_path(spark, merge_base)
@@ -604,6 +656,28 @@ def compact_ivf_index(
                 f"cannot produce a correct new watermark; compact the "
                 f"full tree instead"
             )
+        if retired_through is not None and base_wm < retired_through:
+            raise ValueError(
+                f"{merge_base!r} covers batches <= {base_wm} but the "
+                f"tree has retired batches <= {retired_through} — "
+                f"merging this STALE base would permanently lose the "
+                f"rows in between; merge the base the retirement was "
+                f"anchored on"
+            )
+    elif retired_through is not None:
+        # the high-consequence misuse: after a retirement the tree
+        # alone no longer holds the full history, and a plain
+        # compaction would build a partial base, stamp a watermark
+        # claiming full coverage, and DELETE the old base (the only
+        # remaining copy of the retired rows) in the swap — refuse.
+        raise ValueError(
+            f"{stream_ivf_dir!r} has retired batches <= "
+            f"{retired_through} (_retired_through marker) — a plain "
+            f"re-compaction would silently drop their rows and stamp "
+            f"a watermark claiming otherwise; pass merge_base=<the "
+            f"existing compacted base> so the rewrite reads "
+            f"base ∪ post-watermark tree"
+        )
     src = spark.read.parquet(stream_ivf_dir)
     if "cell" not in src.columns:
         raise ValueError(
@@ -732,17 +806,7 @@ def retire_compacted_batches(
     Returns {watermark_batch, retired_batches, remaining_batches}."""
     from kmeans_mapreduce_spark.sources.maintenance import _fs_path
 
-    fs, jbase = _fs_path(spark, base_dir)
-    if not fs.exists(jbase):
-        _, jold = _fs_path(spark, base_dir.rstrip("/") + "__old")
-        if fs.exists(jold):
-            raise RuntimeError(
-                f"{base_dir!r} is absent but its __old twin exists — a "
-                f"compaction swap is in flight or crashed mid-promote; "
-                f"re-run compact_ivf_index (its recovery preamble "
-                f"restores the parked copy) before retiring anything"
-            )
-        raise FileNotFoundError(base_dir)
+    fs, jbase = _require_live_base(spark, base_dir, "retiring anything")
     wm = _read_compaction_watermark(fs, jbase)
     if wm is None:
         raise ValueError(
@@ -762,20 +826,28 @@ def retire_compacted_batches(
         raise FileNotFoundError(stream_ivf_dir)
     retired: list[int] = []
     remaining: list[int] = []
-    for st in fs.listStatus(jsrc):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith("batch=")):
-            continue
-        try:
-            b = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
+    for b, jpath in _tree_batch_dirs(fs, jsrc).items():
         if b <= up_to:
-            if not fs.delete(st.getPath(), True):
-                raise IOError(f"failed to delete {st.getPath()}")
+            if not fs.delete(jpath, True):
+                raise IOError(f"failed to delete {jpath}")
             retired.append(b)
         else:
             remaining.append(b)
+    # leave evidence AT THE TREE that its history is partial: the
+    # _retired_through_<u> marker is what makes a later PLAIN
+    # re-compaction (which would drop the retired rows and stamp a
+    # watermark claiming otherwise) refuse and demand merge_base.
+    # Marker written BEFORE the old one is removed, so a crash between
+    # the two leaves the stricter claim standing.
+    prev = _read_retired_through(fs, jsrc)
+    mark = max(up_to, prev if prev is not None else up_to)
+    _, jmark = _fs_path(spark, f"{stream_ivf_dir}/_retired_through_{mark}")
+    fs.create(jmark, True).close()
+    if prev is not None and prev != mark:
+        _, jprev = _fs_path(
+            spark, f"{stream_ivf_dir}/_retired_through_{prev}"
+        )
+        fs.delete(jprev, False)
     return {
         "watermark_batch": wm,
         "retired_batches": sorted(retired),

@@ -554,8 +554,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     rows-only entries re-sampled r14, next bound r16);
 # (e) oldest-driver-green fill: the 12 remaining round-8-vintage rows
 #     in catalog order (this DRAINS the round-8 bucket), then the
-#     first 34 round-9-vintage rows in catalog order (5 of the 39
-#     r9 rows queue for round 16).
+#     first 34 round-9-vintage rows in catalog order (4 of the 39
+#     r9 rows queue for round 16 — ann_ivf_topk rides in (c)).
 _R15_WINDOW = [
     # (c) changed this round
     "corpus_curation_e2e",
@@ -578,7 +578,7 @@ _R15_WINDOW = [
     "dedup_simhash_histogram",
     "pipeline_budget_downsample",
     # (e) oldest-green fill: round-9 vintage, catalog order (34 of 39
-    # — ann_ivf_topk already rides above in (c); the remaining 5
+    # — ann_ivf_topk already rides above in (c); the remaining 4
     # queue for round 16)
     "mm_decode",
     "graph_pagerank_vectors",

@@ -423,6 +423,10 @@ def test_ivf_retire_and_merge_recompaction_cycle(spark, embs_mod, tmp_path):
         land(shadow, b)
     out = SIM.compact_ivf_index(spark, tree, dest)
     assert out["watermark_batch"] == 2
+    import shutil
+
+    stale = str(tmp_path / "ivf_stale_base")
+    shutil.copytree(dest, stale)  # a base frozen at watermark 2
 
     # retirement refusals: past the watermark, and no marker
     with pytest.raises(ValueError, match="only covers"):
@@ -441,12 +445,26 @@ def test_ivf_retire_and_merge_recompaction_cycle(spark, embs_mod, tmp_path):
         "remaining_batches": [],
     }
 
+    queries = embs_mod.where(F.col("vec_id") < 20)
+
+    # a fully-retired tree (no post-watermark batches) must degrade to
+    # a base-only probe, not crash on schema inference over zero files
+    empty_delta = SIM.ivf_topk_base_plus_delta(
+        spark, dest, tree, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    base_probe = SIM.ivf_topk_from_index(
+        spark, dest, queries, res.centroids, k=5, n_probe=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    assert sorted(map(tuple, empty_delta.collect())) == sorted(
+        map(tuple, base_probe.collect())
+    )
+
     # the stream keeps folding past the retirement
     for b in (3, 4):
         land(tree, b)
         land(shadow, b)
-
-    queries = embs_mod.where(F.col("vec_id") < 20)
 
     def probe_full(path):
         return sorted(
@@ -466,12 +484,12 @@ def test_ivf_retire_and_merge_recompaction_cycle(spark, embs_mod, tmp_path):
     )
     assert sorted(map(tuple, bpd.collect())) == want
 
-    # re-compaction MUST merge the base — the tree alone lost 0..2;
-    # plain compaction of the partial tree is detectably wrong
-    partial = SIM.compact_ivf_index(
-        spark, tree, str(tmp_path / "ivf_wrong")
-    )
-    assert partial["rows"] < spark.read.parquet(shadow).count()
+    # re-compaction MUST merge the base — the tree alone lost 0..2,
+    # and the _retired_through marker makes the plain call REFUSE
+    # instead of silently building a partial base and deleting the
+    # only remaining copy of the retired rows in the swap
+    with pytest.raises(ValueError, match="retired batches"):
+        SIM.compact_ivf_index(spark, tree, str(tmp_path / "ivf_wrong"))
     out2 = SIM.compact_ivf_index(spark, tree, dest, merge_base=dest)
     assert out2["watermark_batch"] == 4
     assert out2["rows"] == spark.read.parquet(shadow).count()
@@ -493,6 +511,13 @@ def test_ivf_retire_and_merge_recompaction_cycle(spark, embs_mod, tmp_path):
     assert out3["watermark_batch"] == 5
     assert out3["rows"] == spark.read.parquet(shadow).count()
     assert probe_full(dest) == want3
+
+    # merging a base older than the retirement horizon would lose the
+    # rows in between permanently — refused
+    with pytest.raises(ValueError, match="STALE"):
+        SIM.compact_ivf_index(
+            spark, tree, str(tmp_path / "z"), merge_base=stale
+        )
 
     # merge_base demands a batch-major tree and a marked base
     with pytest.raises(ValueError, match="no batch level"):

@@ -417,6 +417,24 @@ def test_observed_public_fallback_path(spark, monkeypatch):
     with pytest.raises(TimeoutError):
         OBS.observed(obs2, timeout_sec=0.3)
 
+    # an upgrade that removes the _jo attribute entirely must ALSO
+    # take the public path (not a misleading "never attached" error) —
+    # only "present and None" means genuinely unattached
+    class _NoPrivates:
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def get(self):
+            return self._inner.get
+
+    monkeypatch.setattr(OBS, "_FAST_PATH_OK", None)
+    obs3 = Observation()
+    df3 = spark.range(11).observe(obs3, F.count(F.lit(1)).alias("n"))
+    df3.count()
+    assert OBS.observed(_NoPrivates(obs3), timeout_sec=30)["n"] == 11
+    assert OBS._FAST_PATH_OK is False
+
 
 def test_empty_index_error_fallback_is_fs_verified(spark, tmp_path):
     """The substring fallback (no structured error class attached) must
