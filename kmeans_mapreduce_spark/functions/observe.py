@@ -108,7 +108,12 @@ def observed(obs, timeout_sec: float = 300.0) -> dict:
     if jo is None:
         raise ValueError("observation was never attached to a write")
     if jo is _ABSENT:
-        _FAST_PATH_OK = False
+        # route only THIS call to the public path: one duck-typed
+        # object without the attribute must not demote a confirmed
+        # fast-path verdict for every later real Observation
+        if _FAST_PATH_OK is None:
+            _FAST_PATH_OK = False
+        return _public_get_with_deadline(obs, timeout_sec)
     if _FAST_PATH_OK is None:
         # feature-detect the private handles with a zero-wait probe:
         # py4j resolves methods at CALL time, so a missing

@@ -310,18 +310,28 @@ def ivf_topk_from_index(
     return _score_probed_topk(q, corpus, k)
 
 
-def _read_compaction_watermark(fs, jdir) -> int | None:
-    """The ``_compacted_watermark_<w>`` marker compact_ivf_index staged
-    into a base dir — the watermark lives in the file NAME, so this is
-    one driver-side listing, no stream/byte plumbing."""
+def _name_markers(fs, jdir, prefix: str) -> list[int]:
+    """Every ``<prefix><int>`` marker file under ``jdir`` — the marker
+    value lives in the file NAME, so this is one driver-side listing,
+    no stream/byte plumbing.  ONE reader for both marker kinds so the
+    hidden-file naming convention cannot drift between them."""
+    out: list[int] = []
     for st in fs.listStatus(jdir):
         name = st.getPath().getName()
-        if name.startswith("_compacted_watermark_"):
+        if name.startswith(prefix):
             try:
-                return int(name.rsplit("_", 1)[1])
+                out.append(int(name[len(prefix):]))
             except ValueError:
                 continue
-    return None
+    return out
+
+
+def _read_compaction_watermark(fs, jdir) -> int | None:
+    """The ``_compacted_watermark_<w>`` marker compact_ivf_index staged
+    into a base dir.  Single by construction (each staging dir is
+    fresh and swaps whole); max() is the single value."""
+    ms = _name_markers(fs, jdir, "_compacted_watermark_")
+    return max(ms) if ms else None
 
 
 def _require_live_base(spark, base_dir: str, action: str):
@@ -360,18 +370,26 @@ def _tree_batch_dirs(fs, jsrc) -> dict[int, object]:
     return out
 
 
+def _dir_data_free(fs, jdir) -> bool:
+    """True iff the dir holds no data files (names not starting with
+    ``_``/``.`` — Spark's own visibility rule); markers and commit
+    artifacts don't count.  One recursive driver-side listing."""
+    it = fs.listFiles(jdir, True)
+    while it.hasNext():
+        if not it.next().getPath().getName().startswith(("_", ".")):
+            return False
+    return True
+
+
 def _read_retired_through(fs, jsrc) -> int | None:
     """The ``_retired_through_<u>`` marker retire_compacted_batches
     leaves at the tree root — evidence that batches <= u were deleted,
-    so the tree alone no longer holds the full history."""
-    for st in fs.listStatus(jsrc):
-        name = st.getPath().getName()
-        if name.startswith("_retired_through_"):
-            try:
-                return int(name.rsplit("_", 1)[1])
-            except ValueError:
-                continue
-    return None
+    so the tree alone no longer holds the full history.  MAX across
+    markers: retirement's crash window can briefly leave an old marker
+    next to the new one, and the STRICTER claim must win (listing
+    order is lexicographic, so first-found could be the weaker)."""
+    ms = _name_markers(fs, jsrc, "_retired_through_")
+    return max(ms) if ms else None
 
 
 def ivf_topk_base_plus_delta(
@@ -428,16 +446,24 @@ def ivf_topk_base_plus_delta(
         .where(F.col("cell").isin(probed_cells))
         .select("neighbor_id", "cv", "cell")
     )
-    # a fully-retired (or not-yet-written) tree has no post-watermark
-    # batch dirs — probe the base alone instead of letting the parquet
-    # read die on schema inference over zero files; one driver-side
-    # listing, and it also skips the delta scan when there is nothing
-    # to scan
+    # a fully-retired tree has no post-watermark batch dirs — probe
+    # the base alone instead of letting the parquet read die on schema
+    # inference over zero files.  STRICT about everything else: a
+    # missing tree (typo'd path) and a batch-less tree that still
+    # holds data (a cell-major dir passed by mistake) both raise —
+    # silently ignoring physically-present delta rows would serve
+    # quietly stale answers.  One driver-side listing.
     _, jtree = _fs_path(spark, stream_ivf_dir)
-    has_delta = fs.exists(jtree) and any(
-        b > watermark_batch for b in _tree_batch_dirs(fs, jtree)
-    )
-    if not has_delta:
+    if not fs.exists(jtree):
+        raise FileNotFoundError(stream_ivf_dir)
+    tree_batches = _tree_batch_dirs(fs, jtree)
+    if not tree_batches and not _dir_data_free(fs, jtree):
+        raise ValueError(
+            f"{stream_ivf_dir!r} holds data but no batch=<b> dirs — "
+            f"not a batch-major stream tree (did you pass a cell-major "
+            f"index?); probe it with ivf_topk_from_index instead"
+        )
+    if not any(b > watermark_batch for b in tree_batches):
         return _score_probed_topk(q, base, k)
     delta = (
         spark.read.parquet(stream_ivf_dir)
@@ -678,40 +704,22 @@ def compact_ivf_index(
             f"existing compacted base> so the rewrite reads "
             f"base ∪ post-watermark tree"
         )
-    src = spark.read.parquet(stream_ivf_dir)
-    if "cell" not in src.columns:
-        raise ValueError(
-            f"{stream_ivf_dir!r} is not an IVF tree: no 'cell' column "
-            f"in {src.columns}"
-        )
-    if merge_base is not None and "batch" not in src.columns:
-        raise ValueError(
-            f"{stream_ivf_dir!r} has no batch level — merge_base only "
-            f"makes sense for a batch-major stream tree"
-        )
-    data = src.drop("batch") if "batch" in src.columns else src
-    if merge_base is not None:
-        # mirror the base-plus-delta probe's row set: base rows plus
-        # STRICTLY post-watermark tree batches (a retired batch a
-        # replay recreated is excluded, not double-counted)
-        data = (
-            src.where(F.col("batch") > F.lit(base_wm))
-            .drop("batch")
-            .unionByName(spark.read.parquet(merge_base))
-        )
     # the distinct cells AND the compaction watermark (max batch id)
-    # are enumerable from the partition dirs the listing already sees
-    # (no extra scan of the data files), and the row count rides an
+    # are enumerable from the partition dirs this listing sees (no
+    # extra scan of the data files); the row count rides an
     # observation on the rewrite itself — the compaction reads the
     # tree exactly ONCE
     cells: set[str] = set()
+    root_cells = False
     watermark: int | None = base_wm
+    post_batches = False
     for st in fs.listStatus(jsrc):
         if not st.isDirectory():
             continue
         name = st.getPath().getName()
         if name.startswith("cell="):
             cells.add(name.split("=", 1)[1])
+            root_cells = True
         elif name.startswith("batch="):
             try:
                 b = int(name.split("=", 1)[1])
@@ -720,16 +728,45 @@ def compact_ivf_index(
             if b is not None:
                 watermark = b if watermark is None else max(watermark, b)
             if merge_base is not None and (b is None or b <= base_wm):
-                continue  # excluded from the rewrite's row set above
+                continue  # excluded from the rewrite's row set below
+            post_batches = True
             for st2 in fs.listStatus(st.getPath()):
                 n2 = st2.getPath().getName()
                 if st2.isDirectory() and n2.startswith("cell="):
                     cells.add(n2.split("=", 1)[1])
     if merge_base is not None:
+        if root_cells:
+            raise ValueError(
+                f"{stream_ivf_dir!r} has no batch level — merge_base "
+                f"only makes sense for a batch-major stream tree"
+            )
         for st in fs.listStatus(jbase):
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith("cell="):
                 cells.add(name.split("=", 1)[1])
+        if post_batches:
+            # mirror the base-plus-delta probe's row set: base rows
+            # plus STRICTLY post-watermark tree batches (a retired
+            # batch a replay recreated is excluded, not double-counted)
+            src = spark.read.parquet(stream_ivf_dir)
+            data = (
+                src.where(F.col("batch") > F.lit(base_wm))
+                .drop("batch")
+                .unionByName(spark.read.parquet(merge_base))
+            )
+        else:
+            # a fully-retired tree with nothing new: the rewrite is a
+            # re-clustering of the base alone (a clean no-op-shaped
+            # pass), not a schema-inference crash over zero tree files
+            data = spark.read.parquet(merge_base)
+    else:
+        src = spark.read.parquet(stream_ivf_dir)
+        if "cell" not in src.columns:
+            raise ValueError(
+                f"{stream_ivf_dir!r} is not an IVF tree: no 'cell' "
+                f"column in {src.columns}"
+            )
+        data = src.drop("batch") if "batch" in src.columns else src
     if not cells:
         raise ValueError(
             f"{stream_ivf_dir!r} holds no cell=<i> partition dirs — "
@@ -824,6 +861,21 @@ def retire_compacted_batches(
     _, jsrc = _fs_path(spark, stream_ivf_dir)
     if not fs.exists(jsrc):
         raise FileNotFoundError(stream_ivf_dir)
+    # leave evidence AT THE TREE that its history is (about to be)
+    # partial: the _retired_through_<u> marker is what makes a later
+    # PLAIN re-compaction (which would drop the retired rows and stamp
+    # a watermark claiming otherwise) refuse and demand merge_base.
+    # Ordering is crash-shaped: (1) the new marker lands BEFORE any
+    # dir is deleted — a crash mid-delete leaves a partial tree that
+    # already carries the claim (over-claiming is refusal-only: probes
+    # and merges read strictly past the BASE watermark, which covers
+    # everything <= up_to); (2) stale markers are removed LAST, and
+    # _read_retired_through takes the max, so every intermediate state
+    # asserts the stricter bound.
+    prev_marks = _name_markers(fs, jsrc, "_retired_through_")
+    mark = max([up_to, *prev_marks])
+    _, jmark = _fs_path(spark, f"{stream_ivf_dir}/_retired_through_{mark}")
+    fs.create(jmark, True).close()
     retired: list[int] = []
     remaining: list[int] = []
     for b, jpath in _tree_batch_dirs(fs, jsrc).items():
@@ -833,21 +885,12 @@ def retire_compacted_batches(
             retired.append(b)
         else:
             remaining.append(b)
-    # leave evidence AT THE TREE that its history is partial: the
-    # _retired_through_<u> marker is what makes a later PLAIN
-    # re-compaction (which would drop the retired rows and stamp a
-    # watermark claiming otherwise) refuse and demand merge_base.
-    # Marker written BEFORE the old one is removed, so a crash between
-    # the two leaves the stricter claim standing.
-    prev = _read_retired_through(fs, jsrc)
-    mark = max(up_to, prev if prev is not None else up_to)
-    _, jmark = _fs_path(spark, f"{stream_ivf_dir}/_retired_through_{mark}")
-    fs.create(jmark, True).close()
-    if prev is not None and prev != mark:
-        _, jprev = _fs_path(
-            spark, f"{stream_ivf_dir}/_retired_through_{prev}"
-        )
-        fs.delete(jprev, False)
+    for m in prev_marks:
+        if m != mark:
+            _, jprev = _fs_path(
+                spark, f"{stream_ivf_dir}/_retired_through_{m}"
+            )
+            fs.delete(jprev, False)
     return {
         "watermark_batch": wm,
         "retired_batches": sorted(retired),

@@ -498,6 +498,14 @@ def test_ivf_retire_and_merge_recompaction_cycle(spark, embs_mod, tmp_path):
     # a replay-recreated retired batch is ignored, never double-counted
     ret2 = SIM.retire_compacted_batches(spark, tree, dest)
     assert ret2["retired_batches"] == [3, 4]
+
+    # merge re-compaction over a fully-retired tree with nothing new
+    # is a clean base-only rewrite, not a schema-inference crash
+    out_noop = SIM.compact_ivf_index(spark, tree, dest, merge_base=dest)
+    assert out_noop["watermark_batch"] == 4
+    assert out_noop["rows"] == spark.read.parquet(shadow).count()
+    assert probe_full(dest) == want
+
     land(tree, 1)  # replayed micro-batch recreates its dir
     land(tree, 5)  # and the stream moves on
     land(shadow, 5)
@@ -517,6 +525,21 @@ def test_ivf_retire_and_merge_recompaction_cycle(spark, embs_mod, tmp_path):
     with pytest.raises(ValueError, match="STALE"):
         SIM.compact_ivf_index(
             spark, tree, str(tmp_path / "z"), merge_base=stale
+        )
+
+    # the probe is strict about everything except the legitimately
+    # empty tree: a cell-major dir (data, no batch level) and a
+    # missing path both raise instead of serving quietly stale
+    # base-only answers
+    with pytest.raises(ValueError, match="not a batch-major"):
+        SIM.ivf_topk_base_plus_delta(
+            spark, dest, plain, queries, res.centroids,
+            id_col="vec_id", vec_col="embedding",
+        )
+    with pytest.raises(FileNotFoundError):
+        SIM.ivf_topk_base_plus_delta(
+            spark, dest, str(tmp_path / "no_such_tree"), queries,
+            res.centroids, id_col="vec_id", vec_col="embedding",
         )
 
     # merge_base demands a batch-major tree and a marked base
