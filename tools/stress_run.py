@@ -1226,7 +1226,11 @@ def phase_c(spark, results: dict, names: list[str]) -> int:
                 out_h = str(base / "corpus_handoff")
                 tree_h = f"{out_h}/ivf"
                 base_h = str(base / "ivf_handoff_base")
-                pre, post = groups[:-1], groups[-1:]
+                # compact EARLY (after the first recorded batch): the
+                # 10x-replicated stress corpus dedups later batches to
+                # near-zero accepted docs, and the handoff claim needs
+                # post-compaction batches that demonstrably index rows
+                pre, post = groups[:1], groups[1:]
                 for bid, grp in enumerate(pre):
                     _cp_fold(
                         spark, spark.read.parquet(*grp), bid, out_h,
