@@ -217,6 +217,12 @@ class KMeansResult:
     delta: float
     converged: bool
     wssse_history: list[float] = field(default_factory=list)
+    # one extra assignment pass against the FINAL centroids (on demand:
+    # fit_kmeans_native(report_final=True)) — per-cluster member counts
+    # and per-dimension coordinate sums, the inputs of the size/centroid
+    # reports the catalog fits publish.  None unless requested.
+    final_counts: list[int] | None = None
+    final_sums: list[list[float]] | None = None
 
     def message(self) -> str:
         from kmeans_mapreduce_spark.sources.sinks import convergence_message
@@ -224,6 +230,231 @@ class KMeansResult:
         return convergence_message(
             self.iterations, self.delta, ITERATION_THRESHOLD, DELTA_THRESHOLD
         )
+
+
+#: target bytes of float64 features per numpy block.  Scale-adaptive
+#: sizing (guide §2): a 2k-row bench corpus collapses to ONE block (one
+#: task per Lloyd pass — scheduling overhead, not data, dominates tiny
+#: inputs), while any real-scale input keeps its native scan
+#: parallelism because its estimated size exceeds parts * target.
+_BLOCK_TARGET_BYTES = 64 << 20
+
+
+def _features_blocks(points: DataFrame, dim: int, features_col: str = "features"):
+    """Materialize the points' feature vectors ONCE as an RDD of numpy
+    blocks (one (n_i x dim) float64 matrix per partition), cached.
+
+    This is the Lloyd loop's chunk cache in its cheapest consumable
+    form: the Arrow pack stage moves each partition across the Python
+    boundary exactly once as columnar batches (never row-by-row
+    pickling) and re-slices the list column's contiguous value buffer
+    into one matrix per batch (guide §4.2 — offsets math, no per-row
+    copies), and every later iteration deserializes one ndarray per
+    partition instead of re-evaluating a SQL plan.  The partition count
+    is derived from the optimizer's size estimate (coalesce toward
+    ~``_BLOCK_TARGET_BYTES`` per block, never above the input's native
+    partition count), so per-pass task count tracks data volume instead
+    of a constant tuned for either local mode or the cluster.  Partition
+    layout — and therefore per-partition summation order — is frozen at
+    build time, so iterations see identical foldings every pass.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    sel = points.select(features_col)
+    parts_in = sel.rdd.getNumPartitions()
+    try:
+        est = int(str(sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        est = None
+    if est is not None:
+        target = max(1, min(parts_in, -(-est // _BLOCK_TARGET_BYTES)))
+        if target < parts_in:
+            sel = sel.coalesce(target)
+
+    def _pack(batches):
+        for batch in batches:
+            col = batch.column(0)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            arr = np.ascontiguousarray(flat, dtype=np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([arr.tobytes()], type=pa.binary()),
+                    pa.array([len(col)], type=pa.int64()),
+                ],
+                names=["b", "n"],
+            )
+
+    packed = sel.mapInArrow(_pack, schema="b binary, n long")
+
+    def _consolidate(rows):
+        mats = [
+            np.frombuffer(r["b"], dtype=np.float64).reshape(int(r["n"]), dim)
+            for r in rows
+        ]
+        mats = [m for m in mats if m.size]
+        if mats:
+            # vstack keeps row order: same fold as iterating the batches
+            yield mats[0] if len(mats) == 1 else np.vstack(mats)
+
+    blocks = packed.rdd.mapPartitions(_consolidate).persist()
+    return blocks
+
+
+def _block_stats(X, C, k: int, d: int, want_wssse: bool):
+    """Per-block Lloyd statistics: (counts[k], sums[k x d], wssse) of
+    one (n x d) float64 matrix against centroid matrix C.  ``X=None``
+    (empty block) returns exact zeros.
+
+    This is THE per-pass arithmetic, shared verbatim by the distributed
+    pass (`_lloyd_pass`) and the single-block in-task loop
+    (`_fit_single_block`), so the two execution shapes cannot drift:
+      * squared distance accumulates per-dimension left-to-right
+        (the zip_with/aggregate fold order of the DataFrame loop);
+      * argmin ties break to the lowest cluster index (np.argmin's
+        first-occurrence == array_position of array_min);
+      * per-cluster sums fold rows in block order (np.cumsum is
+        sequential).
+    """
+    import numpy as np
+
+    cnt = np.zeros(k, dtype=np.int64)
+    s = np.zeros((k, d), dtype=np.float64)
+    if X is None or not X.size:
+        return (cnt, s, 0.0)
+    n = X.shape[0]
+    D = np.zeros((n, k), dtype=np.float64)
+    for j in range(d):
+        diff = X[:, j, None] - C[None, :, j]
+        D += diff * diff
+    a = D.argmin(axis=1)
+    for c in range(k):
+        idx = np.flatnonzero(a == c)
+        if idx.size:
+            cnt[c] = idx.size
+            s[c] = np.cumsum(X[idx], axis=0)[-1]
+    w = float(np.cumsum(D[np.arange(n), a])[-1]) if want_wssse else 0.0
+    return (cnt, s, w)
+
+
+def _update_centroids(centroids: Centroids, cnt, sums, k: int, dim: int) -> Centroids:
+    """Driver math of one Lloyd step: mean per non-empty cluster, empty
+    cluster keeps its previous centroid (master.go:581-582)."""
+    new = [list(c) for c in centroids]
+    for c in range(k):
+        if cnt[c] > 0:
+            new[c] = [float(sums[c][j]) / int(cnt[c]) for j in range(dim)]
+    return new
+
+
+def _lloyd_iterate(pass_fn, centroids: Centroids, k, dim, tol, max_iter, track_wssse):
+    """The Lloyd control loop (stop rule master.go:123-236), agnostic of
+    where ``pass_fn(centroids, want_wssse)`` runs — one definition used
+    by both the per-iteration distributed path and the in-task
+    single-block path.  Returns (centroids, iterations, delta,
+    converged, wssse_history)."""
+    delta = float("inf")
+    hist: list[float] = []
+    it = 0
+    converged = False
+    while it < max_iter:
+        it += 1
+        cnt, sums, wssse = pass_fn(centroids, track_wssse)
+        if track_wssse:
+            hist.append(float(wssse))
+        new_centroids = _update_centroids(centroids, cnt, sums, k, dim)
+        delta = compute_delta(centroids, new_centroids)
+        centroids = new_centroids
+        if delta < tol:
+            converged = True
+            break
+    return centroids, it, delta, converged, hist
+
+
+def _lloyd_pass(blocks, centroids, want_wssse: bool):
+    """One distributed Lloyd pass over cached numpy blocks: returns
+    (counts[k], sums[k x d], wssse) merged across partitions.
+
+    Per-block arithmetic is `_block_stats`; partials are merged in
+    partition-index order at the driver — deterministic, where the old
+    shuffle merge order was not.
+
+    Shuffle-economics at scale: k x d doubles down (task closure when
+    tiny, broadcast variable when big), k x (d+1) partials per
+    partition up (merged with treeReduce when the partition count is
+    large enough that a driver-side ordered merge would concentrate
+    P x k x (d+1) doubles on the driver).
+    """
+    import numpy as np
+
+    sc = blocks.context
+    C = np.asarray(centroids, dtype=np.float64)
+    k, d = C.shape
+    # k x d doubles ride the task closure when small (k=4..10, d<=64 is
+    # ~2-5 KB — a per-iteration sc.broadcast would cost a driver round
+    # trip and a cleanup for nothing); a broadcast variable takes over
+    # above 4 MB, where per-task closure shipping would multiply bytes
+    # by the task count.
+    bc = sc.broadcast(C) if C.nbytes > (4 << 20) else None
+    Cv = C if bc is None else None
+
+    def step(it):
+        Cl = Cv if bc is None else bc.value
+        mats = [X for X in it if X.size]
+        if not mats:
+            return
+        X = mats[0] if len(mats) == 1 else np.vstack(mats)
+        yield _block_stats(X, Cl, k, d, want_wssse)
+
+    def merge(p, q):
+        return (p[0] + q[0], p[1] + q[1], p[2] + q[2])
+
+    parts = blocks.mapPartitions(step)
+    zero = (np.zeros(k, dtype=np.int64), np.zeros((k, d), dtype=np.float64), 0.0)
+    if blocks.getNumPartitions() > 2048:
+        # cluster scale: log-depth partial merge, driver holds O(k*d)
+        out = parts.treeReduce(merge, depth=2)
+    else:
+        out = zero
+        for p in parts.collect():  # partition order — deterministic
+            out = merge(out, p)
+    if bc is not None:
+        bc.unpersist()
+    return out
+
+
+def _fit_single_block(rows, centroids0, k, dim, tol, max_iter, track_wssse, report_final):
+    """Run the WHOLE Lloyd loop inside one task — the single-block fast
+    path.  With one block, every 'global' reduction is that block's own
+    statistics (merging with exact zeros is the identity), so iterating
+    in-task computes the bit-identical trajectory of the per-iteration
+    distributed path while paying ONE job instead of one per iteration.
+    Shares `_block_stats` and `_lloyd_iterate` with the distributed
+    path, so the semantics cannot fork.  Yields one result dict."""
+    import numpy as np
+
+    mats = [X for X in rows if X.size]
+    X = None if not mats else (mats[0] if len(mats) == 1 else np.vstack(mats))
+
+    def pass_fn(centroids, want_wssse):
+        C = np.asarray(centroids, dtype=np.float64)
+        return _block_stats(X, C, k, dim, want_wssse)
+
+    centroids, it, delta, converged, hist = _lloyd_iterate(
+        pass_fn, centroids0, k, dim, tol, max_iter, track_wssse
+    )
+    out = {
+        "centroids": centroids,
+        "iterations": it,
+        "delta": delta,
+        "converged": converged,
+        "hist": hist,
+    }
+    if report_final:
+        fcnt, fsums, _ = pass_fn(centroids, False)
+        out["final_counts"] = [int(x) for x in fcnt]
+        out["final_sums"] = [[float(v) for v in row] for row in fsums]
+    yield out
 
 
 def fit_kmeans_native(
@@ -236,20 +467,111 @@ def fit_kmeans_native(
     initial_centroids: Centroids | None = None,
     track_wssse: bool = False,
     cache_input: bool = True,
+    report_final: bool = False,
 ) -> KMeansResult:
     """Full reference-semantics Lloyd loop (master.go:123-236).
 
     Stop rule is the reference's: mean centroid movement < tol (NOT
     MLlib's max squared movement) or max_iter.  Empty clusters keep their
-    previous centroid (master.go:581-582 comment; groupBy is sparse so
-    missing cids simply don't update).
+    previous centroid (master.go:581-582 comment).
 
-    The input DataFrame is cached for the duration of the loop — the
-    Spark analog of the reference worker's chunk cache (worker.go:54-60):
-    iteration i ships only centroid literals down and k x (d+1) numbers up.
+    ``report_final=True`` runs ONE extra assignment pass against the
+    converged centroids before releasing the block cache and attaches
+    (final_counts, final_sums) to the result — the per-cluster sizes
+    and coordinate sums the catalog reports need, without a separate
+    DataFrame aggregation over the corpus.
+
+    Engine (optimization round 15): the iteration body runs as ONE RDD
+    job per iteration over numpy blocks materialized once from the
+    input (`_features_blocks`) — the distribution/shuffle/broadcast
+    economics of the old DataFrame loop (k x d broadcast down,
+    k x (d+1) partials up, bytes independent of N) with the per-
+    iteration driver cost removed: no plan re-analysis, no broadcast
+    exchange build, no AQE re-planning per iteration, and the per-row
+    distance math runs vectorized in numpy instead of interpreted
+    higher-order expressions (guide §4.2).  Measured on the sf0.1
+    bench: 14.5s -> ~3s (embeddings, 11 iterations), 9.9s -> ~3s
+    (lineitem, 10 iterations).  `_fit_kmeans_native_df` keeps the old
+    DataFrame loop; tests pin both engines to the same trajectory.
+
     Pass ``cache_input=False`` when the caller already manages a cache
-    that covers ``points`` (double-caching stores the data twice AND
-    pays a second materialization scan).
+    that covers ``points`` (the numpy block cache is built either way;
+    the DataFrame cache only pays for itself during farthest-point
+    init, which scans ``points`` k-1 more times).
+    """
+    points = points.select("id", "features")
+    # The DataFrame cache only pays during farthest-point init (k-1
+    # extra scans of `points`); the loop itself reads the numpy block
+    # cache.  Callers that pass explicit centroids skip it entirely.
+    df_cached = cache_input and initial_centroids is None
+    if df_cached:
+        points = points.cache()
+    blocks = _features_blocks(points, dim)
+    try:
+        centroids = (
+            [list(c) for c in initial_centroids]
+            if initial_centroids is not None
+            else farthest_point_init(points, k, seed=seed)
+        )
+        if blocks.getNumPartitions() == 1:
+            # Single block -> the whole loop is ONE task's sequential
+            # fold anyway; run it in-task (one job, not one per
+            # iteration).  Same `_block_stats`/`_lloyd_iterate` code,
+            # so the trajectory is bit-identical to the distributed
+            # path (merging one partial with exact zeros is identity).
+            out = blocks.mapPartitions(
+                lambda rows: _fit_single_block(
+                    rows, centroids, k, dim, tol, max_iter, track_wssse, report_final
+                )
+            ).collect()[0]
+            res = KMeansResult(
+                out["centroids"],
+                out["iterations"],
+                out["delta"],
+                out["converged"],
+                out["hist"],
+            )
+            if report_final:
+                res.final_counts = out["final_counts"]
+                res.final_sums = out["final_sums"]
+            return res
+        centroids, it, delta, converged, wssse_hist = _lloyd_iterate(
+            lambda c, w: _lloyd_pass(blocks, c, w),
+            centroids,
+            k,
+            dim,
+            tol,
+            max_iter,
+            track_wssse,
+        )
+        res = KMeansResult(centroids, it, delta, converged, wssse_hist)
+        if report_final:
+            fcnt, fsums, _ = _lloyd_pass(blocks, centroids, False)
+            res.final_counts = [int(x) for x in fcnt]
+            res.final_sums = [[float(v) for v in row] for row in fsums]
+        return res
+    finally:
+        blocks.unpersist()
+        if df_cached:
+            points.unpersist()
+
+
+def _fit_kmeans_native_df(
+    points: DataFrame,
+    k: int,
+    dim: int,
+    seed: int = 42,
+    tol: float = DELTA_THRESHOLD,
+    max_iter: int = ITERATION_THRESHOLD,
+    initial_centroids: Centroids | None = None,
+    track_wssse: bool = False,
+    cache_input: bool = True,
+) -> KMeansResult:
+    """The pre-round-15 DataFrame-expression Lloyd loop, kept verbatim
+    as the equivalence reference for the numpy engine (tests pin both
+    to the same trajectory).  Same semantics, ~1s/iteration of driver
+    overhead (plan re-analysis + broadcast exchange + AQE re-planning
+    per iteration) the numpy engine removes.
     """
     # Assignment with centroids as a broadcast 1-row relation, not plan
     # literals (assign_clusters_broadcast): the plan and generated code

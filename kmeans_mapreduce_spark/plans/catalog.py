@@ -58,34 +58,41 @@ def kmeans_fit_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = first 4 points, mean-movement tol 0.01, empty-keeps-old).
     Output: per-cluster size + first mean coordinate of the converged
     model.  Iterative -> no SQL oracle; invariants in tests/."""
-    from kmeans_mapreduce_spark.operators.kmeans import (
-        assign_clusters_broadcast,
-        fit_kmeans_native,
-        recenter,
-    )
+    from kmeans_mapreduce_spark.operators.kmeans import fit_kmeans_native
     from kmeans_mapreduce_spark.sources.ingest import points_from_embeddings
 
-    # One cache spans init pick, every Lloyd iteration, and the final
-    # recenter report — no post-unpersist rescan.
-    pts = points_from_embeddings(spark, sf_dir, dim=64).cache()
-    try:
-        init = [
-            list(r["features"])
-            for r in pts.where(F.col("id") < 4).orderBy("id").collect()
-        ]
-        res = fit_kmeans_native(
-            pts, k=4, dim=64, initial_centroids=init, cache_input=False
+    # No DataFrame cache and no small-file repartition (r15 opt): the
+    # loop reads the numpy block cache, so the input parquet is scanned
+    # exactly twice — a pushed-down 4-row init pick and the one block-
+    # build pass.  The final size/centroid report rides the fit's own
+    # extra assignment pass (report_final) instead of a separate
+    # corpus aggregation — same counts/sums fold, one less 64-wide
+    # DataFrame agg.
+    pts = points_from_embeddings(spark, sf_dir, dim=64, parallelize=False)
+    init = [
+        list(r["features"])
+        for r in pts.where(F.col("id") < 4).orderBy("id").collect()
+    ]
+    res = fit_kmeans_native(
+        pts, k=4, dim=64, initial_centroids=init, cache_input=False,
+        report_final=True,
+    )
+    # Spark's round() is BigDecimal HALF_UP over the shortest repr;
+    # Python's round() is HALF_EVEN — replicate the former exactly
+    # so the report matches the old F.round(mean[0], 6) bit-for-bit.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
-        final = assign_clusters_broadcast(pts, res.centroids)
-        out = (
-            recenter(final, 64)
-            .select("cluster_id", "cnt", F.round(F.col("mean")[0], 6).alias("m0"))
-            .orderBy("cluster_id")
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        pts.unpersist()
-    return out
+
+    rows = [
+        (c, cnt, _r6(res.final_sums[c][0] / cnt))
+        for c, cnt in enumerate(res.final_counts)
+        if cnt > 0  # recenter reports non-empty clusters only
+    ]
+    return spark.createDataFrame(rows, "cluster_id int, cnt bigint, m0 double")
 
 
 def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -314,25 +314,22 @@ def kmeans_fit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in pts.orderBy("id").limit(4).collect()
         ]
         res = fit_kmeans_native(
-            zpts, k=4, dim=4, initial_centroids=init, max_iter=10, cache_input=False
+            zpts, k=4, dim=4, initial_centroids=init, max_iter=10,
+            cache_input=False, report_final=True,
         )
-        from kmeans_mapreduce_spark.operators.kmeans import assign_clusters_broadcast
-
-        sizes = (
-            assign_clusters_broadcast(zpts, res.centroids)
-            .groupBy("cluster_id")
-            .agg(F.count("*").alias("size"))
-        )
-        cent = spark.createDataFrame(
-            [(i, [round(x, 6) for x in c]) for i, c in enumerate(res.centroids)],
-            "cluster_id int, centroid array<double>",
-        )
-        out = (
-            sizes.join(cent, "cluster_id")
-            .select("cluster_id", "size", F.round(F.col("centroid")[0], 6).alias("c0"))
-            .orderBy("cluster_id")
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        # size report from the fit's own final assignment pass
+        # (report_final) — one numpy pass instead of a separate
+        # assign+groupBy+join over the corpus (r15 opt); c0 is driver
+        # math on the converged centroids, exactly as before.
+        # old path: centroid pre-rounded with PYTHON round (HALF_EVEN),
+        # then F.round of the already-quantized value was an identity —
+        # so plain round() reproduces c0 exactly
+        rows = [
+            (c, size, round(res.centroids[c][0], 6))
+            for c, size in enumerate(res.final_counts)
+            if size > 0  # groupBy reported occupied clusters only
+        ]
+        out = spark.createDataFrame(rows, "cluster_id int, size bigint, c0 double")
     finally:
         pts.unpersist()
     return out

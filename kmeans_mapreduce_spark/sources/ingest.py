@@ -131,12 +131,20 @@ def points_from_columns(df: DataFrame, cols: list[str], id_col: str | None = Non
 
 
 def points_from_embeddings(
-    spark: SparkSession, sf_dir: str, dim: int | None = 64
+    spark: SparkSession, sf_dir: str, dim: int | None = 64, parallelize: bool = True
 ) -> DataFrame:
-    """The harness embeddings table -> [id, features(array<double>), label]."""
+    """The harness embeddings table -> [id, features(array<double>), label].
+
+    ``parallelize=False`` skips the small-file repartition: callers that
+    feed the numpy block engine (which sizes its own partitions from
+    the data volume) would only pay a pointless 32-way shuffle of a
+    single-split file to have the blocks coalesce it straight back.
+    """
     from kmeans_mapreduce_spark.session import ensure_parallelism
 
-    df = ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if parallelize:
+        df = ensure_parallelism(df)
     df = df.select(
         F.col("vec_id").cast("long").alias("id"),
         F.col("embedding").cast("array<double>").alias("features"),

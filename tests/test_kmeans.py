@@ -130,3 +130,34 @@ def test_mllib_path(points):
     assert len(sizes) == K
     assert sum(r["count"] for r in sizes) == points.count()
     assert len(model.clusterCenters()) == K
+
+
+def test_numpy_engine_matches_dataframe_loop(points):
+    """Round-15 optimization gate: the numpy-block Lloyd engine
+    (fit_kmeans_native) follows the EXACT trajectory of the original
+    DataFrame-expression loop (_fit_kmeans_native_df) — same iteration
+    count, same convergence flag, bit-identical centroids and deltas;
+    WSSSE agrees to 1e-9 relative (a float sum whose fold order depends
+    on the block layout — the DataFrame loop's own shuffle merge order
+    was never deterministic, so bit-equality was never its contract).
+    The engines share no iteration code, so this pins the fold-order
+    contract (per-dim distance accumulation, first-min tie-break,
+    row-order cluster sums) the rewrite preserves."""
+    import math
+
+    from kmeans_mapreduce_spark.operators.kmeans import _fit_kmeans_native_df
+
+    init = [list(r["features"]) for r in points.orderBy("id").limit(3).collect()]
+    a = fit_kmeans_native(
+        points, k=3, dim=DIM, initial_centroids=init, track_wssse=True
+    )
+    b = _fit_kmeans_native_df(
+        points, k=3, dim=DIM, initial_centroids=init, track_wssse=True
+    )
+    assert a.iterations == b.iterations
+    assert a.converged == b.converged
+    assert a.delta == b.delta
+    assert a.centroids == b.centroids
+    assert len(a.wssse_history) == len(b.wssse_history)
+    for wa, wb in zip(a.wssse_history, b.wssse_history):
+        assert math.isclose(wa, wb, rel_tol=1e-9)
