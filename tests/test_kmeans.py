@@ -161,3 +161,63 @@ def test_numpy_engine_matches_dataframe_loop(points):
     assert len(a.wssse_history) == len(b.wssse_history)
     for wa, wb in zip(a.wssse_history, b.wssse_history):
         assert math.isclose(wa, wb, rel_tol=1e-9)
+
+
+def test_seq_sum_rows_matches_cumsum_fold():
+    """r15 opt gate: `_seq_sum_rows` (np.sum over axis 0 for d > 1,
+    cumsum fallback for d == 1) is bit-identical to the sequential
+    cumsum fold it replaced, across shapes and magnitudes — including
+    the d == 1 case where numpy's pairwise summation would diverge."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators.kmeans import _seq_sum_rows
+
+    rng = np.random.default_rng(7)
+    for n, d in [(1, 1), (5, 1), (128, 1), (100000, 1), (3, 2), (600, 4),
+                 (257, 64), (10000, 8)]:
+        M = rng.standard_normal((n, d)) * rng.uniform(1e-6, 1e6)
+        assert _seq_sum_rows(M).tobytes() == np.cumsum(M, axis=0)[-1].tobytes(), (n, d)
+
+
+def test_block_stats_matches_unbuffered_reference():
+    """r15 opt gate: the buffer-reusing distance loop + `_seq_sum_rows`
+    inside `_block_stats` produce bit-identical (counts, sums, wssse)
+    to the straightforward allocation-per-dim / cumsum reference it
+    optimized."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators.kmeans import _block_stats
+
+    def reference(X, C, k, d, want_wssse):
+        cnt = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, d), dtype=np.float64)
+        if X is None or not X.size:
+            return (cnt, s, 0.0)
+        n = X.shape[0]
+        D = np.zeros((n, k), dtype=np.float64)
+        for j in range(d):
+            diff = X[:, j, None] - C[None, :, j]
+            D += diff * diff
+        a = D.argmin(axis=1)
+        for c in range(k):
+            idx = np.flatnonzero(a == c)
+            if idx.size:
+                cnt[c] = idx.size
+                s[c] = np.cumsum(X[idx], axis=0)[-1]
+        w = float(np.cumsum(D[np.arange(n), a])[-1]) if want_wssse else 0.0
+        return (cnt, s, w)
+
+    rng = np.random.default_rng(11)
+    for n, d, k in [(1, 1, 1), (50, 1, 3), (1000, 4, 4), (500, 64, 4),
+                    (20000, 4, 7), (333, 16, 2)]:
+        X = rng.standard_normal((n, d)) * rng.uniform(1e-3, 1e3)
+        C = rng.standard_normal((k, d))
+        for w in (False, True):
+            ca, sa, wa = _block_stats(X, C, k, d, w)
+            cb, sb, wb = reference(X, C, k, d, w)
+            assert ca.tobytes() == cb.tobytes(), (n, d, k, w)
+            assert sa.tobytes() == sb.tobytes(), (n, d, k, w)
+            assert wa == wb, (n, d, k, w)
+    # empty-block identity
+    ca, sa, wa = _block_stats(None, np.zeros((2, 3)), 2, 3, True)
+    assert int(ca.sum()) == 0 and float(sa.sum()) == 0.0 and wa == 0.0
