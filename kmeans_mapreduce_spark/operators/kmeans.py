@@ -305,6 +305,14 @@ def _features_blocks(points: DataFrame, dim: int, features_col: str = "features"
             # vstack keeps row order: same fold as iterating the batches
             yield mats[0] if len(mats) == 1 else np.vstack(mats)
 
+    from pyspark import StorageLevel
+
+    # MEMORY_AND_DISK everywhere (r15 review fix): the DataFrame cache
+    # this engine replaced spilled to disk under memory pressure; the
+    # PySpark RDD persist() default is MEMORY_ONLY, which would silently
+    # re-run scan+projection+pack on every Lloyd pass once blocks evict
+    # — the exact failure mode guide §5 warns about at scale.
+    _LEVEL = StorageLevel.MEMORY_AND_DISK
     prdd = packed.rdd  # ONE DataFrame->RDD conversion, reused below
     parts_in = prdd.getNumPartitions()
     target = parts_in
@@ -317,25 +325,35 @@ def _features_blocks(points: DataFrame, dim: int, features_col: str = "features"
         # the whole scan+projection+pack into the merged task and
         # serialize it (measured 4-5s vs ~1s on the 600k-row lineitem
         # fit).  The transient packed cache holds exactly the block
-        # bytes and is dropped as soon as the block cache exists.
-        prdd = prdd.persist()
-        prdd.count()
-        if target == 1:
-            # Single-block fast path: the Lloyd loop runs exactly ONE
-            # job over this view (`_fit_single_block`), so consolidation
-            # happens once either way — skip the second persist + job +
-            # block unpickle and let that one job read the cached packed
-            # bytes directly.  The packed cache IS the block cache here;
-            # `_graft_backing` hands its lifetime to the caller
-            # (fit_kmeans_native unpersists it in its finally).
-            blocks = prdd.coalesce(1).mapPartitions(_consolidate)
-            blocks._graft_backing = prdd
-            return blocks
-        blocks = prdd.coalesce(target).mapPartitions(_consolidate).persist()
-        blocks.count()  # materialize before releasing the packed cache
+        # bytes and is dropped as soon as the block cache exists —
+        # including on a failed materialization (r15 review fix: a
+        # pack-job error used to leak the transient persist).
+        prdd = prdd.persist(_LEVEL)
+        blocks = None
+        try:
+            prdd.count()
+            if target == 1:
+                # Single-block fast path: the Lloyd loop runs exactly
+                # ONE job over this view (`_fit_single_block`), so
+                # consolidation happens once either way — skip the
+                # second persist + job + block unpickle and let that one
+                # job read the cached packed bytes directly.  The packed
+                # cache IS the block cache here; `_graft_backing` hands
+                # its lifetime to the caller (fit_kmeans_native
+                # unpersists it in its finally).
+                blocks = prdd.coalesce(1).mapPartitions(_consolidate)
+                blocks._graft_backing = prdd
+                return blocks
+            blocks = prdd.coalesce(target).mapPartitions(_consolidate).persist(_LEVEL)
+            blocks.count()  # materialize before releasing the packed cache
+        except BaseException:
+            if blocks is not None:
+                blocks.unpersist()
+            prdd.unpersist()
+            raise
         prdd.unpersist()
         return blocks
-    blocks = prdd.mapPartitions(_consolidate).persist()
+    blocks = prdd.mapPartitions(_consolidate).persist(_LEVEL)
     return blocks
 
 
@@ -481,8 +499,15 @@ def _lloyd_pass(blocks, centroids, want_wssse: bool):
     parts = blocks.mapPartitions(step)
     zero = (np.zeros(k, dtype=np.int64), np.zeros((k, d), dtype=np.float64), 0.0)
     if blocks.getNumPartitions() > 2048:
-        # cluster scale: log-depth partial merge, driver holds O(k*d)
-        out = parts.treeReduce(merge, depth=2)
+        # Cluster scale: log-depth partial merge, driver holds O(k*d).
+        # treeAggregate, not treeReduce (r15 review fix): treeReduce
+        # raises on an all-empty parts RDD (every block filtered out),
+        # where seeding with exact zeros — the identity for counts,
+        # sums and wssse — returns the correct empty statistics.  Merge
+        # order at this depth is arrival-order (same nondeterminism the
+        # old shuffle merge had); the <=2048 branch keeps the driver's
+        # partition-ordered fold, so local/bench runs stay bit-stable.
+        out = parts.treeAggregate(zero, merge, merge, depth=2)
     else:
         out = zero
         for p in parts.collect():  # partition order — deterministic
@@ -575,8 +600,9 @@ def fit_kmeans_native(
     df_cached = cache_input and initial_centroids is None
     if df_cached:
         points = points.cache()
-    blocks = _features_blocks(points, dim)
+    blocks = None  # r15 review fix: a pack failure must still release the df cache
     try:
+        blocks = _features_blocks(points, dim)
         centroids = (
             [list(c) for c in initial_centroids]
             if initial_centroids is not None
@@ -620,10 +646,11 @@ def fit_kmeans_native(
             res.final_sums = [[float(v) for v in row] for row in fsums]
         return res
     finally:
-        backing = getattr(blocks, "_graft_backing", None)
-        blocks.unpersist()
-        if backing is not None:  # single-block fused path's packed cache
-            backing.unpersist()
+        if blocks is not None:
+            backing = getattr(blocks, "_graft_backing", None)
+            blocks.unpersist()
+            if backing is not None:  # single-block fused path's packed cache
+                backing.unpersist()
         if df_cached:
             points.unpersist()
 

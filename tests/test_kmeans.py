@@ -221,3 +221,69 @@ def test_block_stats_matches_unbuffered_reference():
     # empty-block identity
     ca, sa, wa = _block_stats(None, np.zeros((2, 3)), 2, 3, True)
     assert int(ca.sum()) == 0 and float(sa.sum()) == 0.0 and wa == 0.0
+
+
+def test_multi_block_engine_matches_single_block(points, monkeypatch):
+    """r15 review gate: the MULTI-block distributed path (_lloyd_pass —
+    two-phase coalesce merge, per-partition partials, driver-ordered
+    fold) was previously never executed by tests (every fixture sizes
+    to one block).  Force it by shrinking the block target so the
+    fixture splits into several blocks, and pin its trajectory against
+    the single-block fused path AND the DataFrame loop.
+
+    Exact equality across the different folds is a property of THIS
+    fixture (float32-origin values: per-cluster float64 sums of 500
+    such values are exact under any grouping), which is precisely what
+    makes it usable as a bitwise gate here."""
+    import kmeans_mapreduce_spark.operators.kmeans as K_mod
+
+    init = [list(r["features"]) for r in points.orderBy("id").limit(3).collect()]
+    single = fit_kmeans_native(
+        points, k=3, dim=DIM, initial_centroids=init, track_wssse=True
+    )
+    monkeypatch.setattr(K_mod, "_BLOCK_TARGET_BYTES", 64 * 1024)
+    multi = fit_kmeans_native(
+        points, k=3, dim=DIM, initial_centroids=init, track_wssse=True
+    )
+    assert multi.iterations == single.iterations
+    assert multi.converged == single.converged
+    assert multi.delta == single.delta
+    assert multi.centroids == single.centroids
+    assert len(multi.wssse_history) == len(single.wssse_history)
+    for wa, wb in zip(multi.wssse_history, single.wssse_history):
+        assert math.isclose(wa, wb, rel_tol=1e-9)
+
+
+def test_lloyd_pass_empty_high_partition_rdd(spark):
+    """r15 review gate: above the 2048-partition threshold _lloyd_pass
+    merges partials with treeAggregate seeded by exact zeros — an
+    all-empty blocks RDD (every block filtered away) must return zero
+    statistics, not raise (treeReduce, which it replaced, throws
+    'Cannot reduce empty RDD' there)."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators.kmeans import _lloyd_pass
+
+    empty = spark.sparkContext.parallelize([], 2100)
+    cnt, sums, wssse = _lloyd_pass(empty, [[0.0, 0.0], [1.0, 1.0]], True)
+    assert int(np.asarray(cnt).sum()) == 0
+    assert float(np.abs(np.asarray(sums)).sum()) == 0.0
+    assert wssse == 0.0
+
+
+def test_fit_failure_releases_caches(points, monkeypatch):
+    """r15 review gate: a failing pack/consolidate job must not leak
+    the input DataFrame cache or the transient packed persist.  dim=63
+    against 64-wide features makes _consolidate's reshape raise during
+    block materialization; afterwards the session must hold exactly the
+    persistent RDDs/relations it held before."""
+    import kmeans_mapreduce_spark.operators.kmeans as K_mod
+
+    sc = points.sparkSession.sparkContext
+    # a small target forces the 1 < target < parts_in branch whose
+    # blocks.count() runs _consolidate inside _features_blocks
+    monkeypatch.setattr(K_mod, "_BLOCK_TARGET_BYTES", 64 * 1024)
+    before = sc._jsc.getPersistentRDDs().size()
+    with pytest.raises(Exception):
+        fit_kmeans_native(points, k=3, dim=63, seed=1)
+    assert sc._jsc.getPersistentRDDs().size() == before
