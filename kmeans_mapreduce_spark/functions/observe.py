@@ -108,11 +108,13 @@ def observed(obs, timeout_sec: float = 300.0) -> dict:
     if jo is None:
         raise ValueError("observation was never attached to a write")
     if jo is _ABSENT:
-        # route only THIS call to the public path: one duck-typed
-        # object without the attribute must not demote a confirmed
-        # fast-path verdict for every later real Observation
-        if _FAST_PATH_OK is None:
-            _FAST_PATH_OK = False
+        # route only THIS call to the public path, and leave the
+        # process verdict UNTOUCHED either way: the attribute's absence
+        # on one (possibly duck-typed) object says nothing about the
+        # installed PySpark, so it must neither demote a confirmed
+        # fast-path verdict nor pre-empt the probe a later real
+        # Observation would run (a real upgrade that removed _jo
+        # everywhere lands in this branch on every call regardless)
         return _public_get_with_deadline(obs, timeout_sec)
     if _FAST_PATH_OK is None:
         # feature-detect the private handles with a zero-wait probe:

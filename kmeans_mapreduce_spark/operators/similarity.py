@@ -392,6 +392,22 @@ def _read_retired_through(fs, jsrc) -> int | None:
     return max(ms) if ms else None
 
 
+def _tree_source_token(fs, jsrc) -> int:
+    """Deterministic identity token for a stream tree: 63 bits of
+    sha256 over its fully-qualified URI (scheme + authority + absolute
+    path, so relative/trailing-slash spellings of the same dir agree).
+    ``compact_ivf_index`` stages it into the base as a
+    ``_compacted_source_<token>`` marker; ``retire_compacted_batches``
+    recomputes it from the tree it is about to delete from and refuses
+    on mismatch — a base compacted from a DIFFERENT tree must never
+    authorize deletions here (its watermark proves nothing about this
+    tree's rows)."""
+    import hashlib
+
+    qual = fs.makeQualified(jsrc).toUri().toString()
+    return int.from_bytes(hashlib.sha256(qual.encode()).digest()[:8], "big") >> 1
+
+
 def ivf_topk_base_plus_delta(
     spark,
     base_dir: str,
@@ -456,6 +472,21 @@ def ivf_topk_base_plus_delta(
     _, jtree = _fs_path(spark, stream_ivf_dir)
     if not fs.exists(jtree):
         raise FileNotFoundError(stream_ivf_dir)
+    # staleness guard, symmetric with compact_ivf_index's merge_base
+    # check: if the tree has retired batches PAST this base's
+    # watermark, the rows in between exist in neither side — a probe
+    # would silently serve an incomplete corpus (the exact quiet-loss
+    # this function's strictness comments promise to refuse).
+    retired_through = _read_retired_through(fs, jtree)
+    if retired_through is not None and watermark_batch < retired_through:
+        raise ValueError(
+            f"{base_dir!r} covers batches <= {watermark_batch} but "
+            f"{stream_ivf_dir!r} has retired batches <= "
+            f"{retired_through} — the rows in between are in neither "
+            f"the base nor the tree, so this probe would silently "
+            f"miss them; probe the base the retirement was anchored "
+            f"on (or re-compact with merge_base first)"
+        )
     tree_batches = _tree_batch_dirs(fs, jtree)
     if not tree_batches and not _dir_data_free(fs, jtree):
         raise ValueError(
@@ -795,6 +826,15 @@ def compact_ivf_index(
             spark, f"{staging}/_compacted_watermark_{watermark}"
         )
         fs.create(jmark, True).close()
+        # the SOURCE identity rides with the watermark: a watermark
+        # only authorizes retirement on the tree it was computed from
+        # (retire_compacted_batches verifies this token), so a swapped
+        # argument can never delete batches no base has absorbed
+        _, jsmark = _fs_path(
+            spark,
+            f"{staging}/_compacted_source_{_tree_source_token(fs, jsrc)}",
+        )
+        fs.create(jsmark, True).close()
     files_before = _count_files(jsrc)
     files_after = _count_files(jstaging)
     if fs.exists(jdest):
@@ -830,8 +870,10 @@ def retire_compacted_batches(
     marker: by construction ``compact_ivf_index`` wrote the base from
     every tree row with ``batch <= w`` (plus, on a merge, the prior
     base), so retiring up to ``up_to <= w`` deletes only rows the base
-    already holds; a request past the watermark is refused.  Driver-
-    side dir deletes only — no Spark job.
+    already holds; a request past the watermark is refused, and so is
+    a base whose ``_compacted_source_<token>`` marker names a
+    DIFFERENT tree (its watermark proves nothing about this tree's
+    rows).  Driver-side dir deletes only — no Spark job.
 
     Run quiescent like the compaction itself.  Even so, a retired
     batch that a replayed micro-batch later recreates is harmless:
@@ -861,6 +903,21 @@ def retire_compacted_batches(
     _, jsrc = _fs_path(spark, stream_ivf_dir)
     if not fs.exists(jsrc):
         raise FileNotFoundError(stream_ivf_dir)
+    # the base must have been compacted from THIS tree: its watermark
+    # proves coverage of the SOURCE tree's batches only, so a swapped
+    # argument (base of tree A, deleting from tree B) would destroy
+    # rows no base holds.  Bases predating the source marker carry no
+    # token and keep the old (watermark-only) behavior.
+    src_tokens = _name_markers(fs, jbase, "_compacted_source_")
+    if src_tokens and _tree_source_token(fs, jsrc) not in src_tokens:
+        raise ValueError(
+            f"{base_dir!r} was not compacted from {stream_ivf_dir!r} "
+            f"(_compacted_source marker mismatch) — its watermark "
+            f"says nothing about this tree's rows, and retiring "
+            f"against a foreign base would permanently delete batches "
+            f"no base has absorbed; pass the base compacted from THIS "
+            f"tree"
+        )
     # leave evidence AT THE TREE that its history is (about to be)
     # partial: the _retired_through_<u> marker is what makes a later
     # PLAIN re-compaction (which would drop the retired rows and stamp

@@ -551,3 +551,78 @@ def test_ivf_retire_and_merge_recompaction_cycle(spark, embs_mod, tmp_path):
         SIM.compact_ivf_index(
             spark, tree, str(tmp_path / "y"), merge_base=plain
         )
+
+
+def test_ivf_retirement_misuse_guards(spark, embs_mod, tmp_path):
+    """The two silent-data-loss holes the r15 review closed: (a) a base
+    compacted from a DIFFERENT tree must not authorize retirement (its
+    watermark proves nothing about this tree's rows — a swapped
+    argument used to pass every guard and delete unabsorbed batches);
+    (b) probing a base OLDER than the tree's retirement horizon must
+    refuse (the rows between base watermark and retired_through are in
+    neither side) exactly like compact_ivf_index refuses the same
+    staleness for merge_base."""
+    import os
+    import shutil
+
+    cents = [
+        list(r["embedding"])
+        for r in embs_mod.orderBy("vec_id").limit(4).collect()
+    ]
+
+    def land(tree: str, b: int) -> None:
+        SIM.assign_ivf_cells(
+            embs_mod.where(F.col("vec_id") % 3 == b % 3),
+            cents,
+            id_col="vec_id",
+            vec_col="embedding",
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{tree}/batch={b}"
+        )
+
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    for b in range(2):
+        land(t1, b)
+        land(t2, b)
+    assert SIM.compact_ivf_index(spark, t1, b1)["watermark_batch"] == 1
+    assert SIM.compact_ivf_index(spark, t2, b2)["watermark_batch"] == 1
+
+    # (a) cross-tree: b1 absorbed t1's rows, not t2's — refuse before
+    # touching anything (t2's batch dirs must survive untouched)
+    with pytest.raises(ValueError, match="_compacted_source"):
+        SIM.retire_compacted_batches(spark, t2, b1)
+    assert os.path.isdir(f"{t2}/batch=0") and os.path.isdir(f"{t2}/batch=1")
+    # the matching base still authorizes exactly as before
+    ret = SIM.retire_compacted_batches(spark, t2, b2)
+    assert ret["retired_batches"] == [0, 1]
+
+    # (b) stale-base probe: freeze a copy of b1 at watermark 1, then
+    # advance t1 and retire through 2 — the frozen copy's probe must
+    # refuse, while the anchored base keeps probing fine
+    stale = str(tmp_path / "b1_stale")
+    shutil.copytree(b1, stale)
+    land(t1, 2)
+    assert (
+        SIM.compact_ivf_index(spark, t1, b1, merge_base=b1)[
+            "watermark_batch"
+        ]
+        == 2
+    )
+    SIM.retire_compacted_batches(spark, t1, b1)  # retired through 2
+    q = embs_mod.where(F.col("vec_id") < 8)
+    with pytest.raises(ValueError, match="retired batches <="):
+        SIM.ivf_topk_base_plus_delta(
+            spark, stale, t1, q, cents, id_col="vec_id", vec_col="embedding"
+        )
+    # anchored base: watermark == retired_through — allowed, and the
+    # fully-retired tree degrades to a base-only probe
+    got = SIM.ivf_topk_base_plus_delta(
+        spark, b1, t1, q, cents, id_col="vec_id", vec_col="embedding"
+    )
+    want = SIM.ivf_topk_from_index(
+        spark, b1, q, cents, id_col="vec_id", vec_col="embedding"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

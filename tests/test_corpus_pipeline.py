@@ -433,6 +433,18 @@ def test_observed_public_fallback_path(spark, monkeypatch):
     df3 = spark.range(11).observe(obs3, F.count(F.lit(1)).alias("n"))
     df3.count()
     assert OBS.observed(_NoPrivates(obs3), timeout_sec=30)["n"] == 11
+    # one object without the attribute must NOT lock the process-wide
+    # verdict (r15 review fix: it used to demote None -> False, parking
+    # every later REAL Observation on the daemon-thread fallback
+    # forever on a healthy PySpark) — the probe stays pending...
+    assert OBS._FAST_PATH_OK is None
+    # ...and the next real Observation runs it (here the probe fails —
+    # _fast_poll is still monkeypatched away — so the verdict resolves
+    # False via the genuine feature-detect, not via the duck-type)
+    obs4 = Observation()
+    df4 = spark.range(13).observe(obs4, F.count(F.lit(1)).alias("n"))
+    df4.count()
+    assert OBS.observed(obs4, timeout_sec=30)["n"] == 13
     assert OBS._FAST_PATH_OK is False
 
 
