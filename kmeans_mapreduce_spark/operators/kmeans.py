@@ -270,6 +270,12 @@ def _features_blocks(points: DataFrame, dim: int, features_col: str = "features"
     One further saving: the packed RDD handle is created once and
     reused for the partition count (a DataFrame->RDD conversion costs
     ~0.5s of plan/serializer setup per call).
+
+    r16: the packed cache holds plain (bytes, n) tuples (no Row
+    unpickling on read), and an under-partitioned input whose size
+    estimate calls for MORE blocks than it has partitions (one giant
+    row group) is repartitioned up before the pack instead of packing
+    — and iterating — serially; neither fires on a sanely-split input.
     """
     import numpy as np
     import pyarrow as pa
@@ -278,6 +284,13 @@ def _features_blocks(points: DataFrame, dim: int, features_col: str = "features"
     try:
         est = int(str(sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:
+        est = None
+    if est is not None and est >= (1 << 60):
+        # "unknown" sentinel, not a measurement: plans without real
+        # stats (RDD-backed createDataFrame inputs among them) report
+        # spark.sql.defaultSizeInBytes = Long.MaxValue.  The old code
+        # was immune (it only ever capped DOWN to parts_in); the
+        # repartition escape hatch below must not treat 8 EB as data.
         est = None
 
     def _pack(batches):
@@ -297,8 +310,8 @@ def _features_blocks(points: DataFrame, dim: int, features_col: str = "features"
 
     def _consolidate(rows):
         mats = [
-            np.frombuffer(r["b"], dtype=np.float64).reshape(int(r["n"]), dim)
-            for r in rows
+            np.frombuffer(b, dtype=np.float64).reshape(int(n), dim)
+            for b, n in rows
         ]
         mats = [m for m in mats if m.size]
         if mats:
@@ -313,11 +326,47 @@ def _features_blocks(points: DataFrame, dim: int, features_col: str = "features"
     # re-run scan+projection+pack on every Lloyd pass once blocks evict
     # — the exact failure mode guide §5 warns about at scale.
     _LEVEL = StorageLevel.MEMORY_AND_DISK
-    prdd = packed.rdd  # ONE DataFrame->RDD conversion, reused below
+    # Persist plain (bytes, count) tuples, not pickled Rows (r16 opt,
+    # guide §4.2): every read of the packed cache — the fused
+    # single-block loop once per fit, the two-phase merge once per
+    # build — re-ran the Row unpickler over the block bytes; the bare
+    # tuple unpickles with no row reconstruction.  Same bytes, same
+    # order, bit-identical blocks; measured in-task on the 600k-row
+    # lineitem pack: iterate-the-cache 0.16s -> 0.05s per read.
+    prdd = packed.rdd.map(lambda r: (r[0], r[1]))
     parts_in = prdd.getNumPartitions()
-    target = parts_in
+    desired = None
     if est is not None:
-        target = max(1, min(parts_in, -(-est // _BLOCK_TARGET_BYTES)))
+        desired = max(1, -(-est // _BLOCK_TARGET_BYTES))
+        # the hatch exists to restore PARALLELISM on a pathologically
+        # under-split input, not to hit the block-size target exactly:
+        # bound its shuffle width by the cluster's slot count so a
+        # wild over-estimate cannot fan a small input into thousands
+        # of empty-ish blocks (they stay spill-safe either way)
+        hatch_cap = max(
+            parts_in, points.sparkSession.sparkContext.defaultParallelism * 4
+        )
+        desired = min(desired, hatch_cap) if desired > parts_in else desired
+        if desired > parts_in:
+            # Escape hatch (r15 review finding #5, deferred to this
+            # round): a pathologically under-partitioned input — one
+            # giant unsplittable row group at mid scale — would pack,
+            # and then run every Lloyd pass, on parts_in(=1..few)
+            # cores no matter the data volume, because the block count
+            # never exceeded the native scan parallelism.  Guide §2.5
+            # "input skew": repartition immediately after the read.
+            # Round-robin repartition is deterministic (sort-before-
+            # repartition, SPARK-23207) and this branch NEVER fires on
+            # a sanely-split input (desired <= parts_in there), so
+            # existing layouts — and therefore fold orders and fit
+            # outputs — are untouched unless the input was pathological.
+            sel = sel.repartition(desired)
+            packed = sel.mapInArrow(_pack, schema="b binary, n long")
+            prdd = packed.rdd.map(lambda r: (r[0], r[1]))
+            parts_in = desired
+    target = parts_in
+    if desired is not None:
+        target = max(1, min(parts_in, desired))
     if target < parts_in:
         # Two-phase merge: materialize the pack at native parallelism
         # FIRST, then narrow-coalesce the cached packed bytes.  A bare

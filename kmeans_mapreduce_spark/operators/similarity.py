@@ -469,15 +469,17 @@ def ivf_topk_base_plus_delta(
     # holds data (a cell-major dir passed by mistake) both raise —
     # silently ignoring physically-present delta rows would serve
     # quietly stale answers.  One driver-side listing.
-    _, jtree = _fs_path(spark, stream_ivf_dir)
-    if not fs.exists(jtree):
+    # the tree's own fs handle (ADVICE r15 low — the base's fs on the
+    # tree path is a "Wrong FS" error on mixed filesystems)
+    tfs, jtree = _fs_path(spark, stream_ivf_dir)
+    if not tfs.exists(jtree):
         raise FileNotFoundError(stream_ivf_dir)
     # staleness guard, symmetric with compact_ivf_index's merge_base
     # check: if the tree has retired batches PAST this base's
     # watermark, the rows in between exist in neither side — a probe
     # would silently serve an incomplete corpus (the exact quiet-loss
     # this function's strictness comments promise to refuse).
-    retired_through = _read_retired_through(fs, jtree)
+    retired_through = _read_retired_through(tfs, jtree)
     if retired_through is not None and watermark_batch < retired_through:
         raise ValueError(
             f"{base_dir!r} covers batches <= {watermark_batch} but "
@@ -487,8 +489,8 @@ def ivf_topk_base_plus_delta(
             f"miss them; probe the base the retirement was anchored "
             f"on (or re-compact with merge_base first)"
         )
-    tree_batches = _tree_batch_dirs(fs, jtree)
-    if not tree_batches and not _dir_data_free(fs, jtree):
+    tree_batches = _tree_batch_dirs(tfs, jtree)
+    if not tree_batches and not _dir_data_free(tfs, jtree):
         raise ValueError(
             f"{stream_ivf_dir!r} holds data but no batch=<b> dirs — "
             f"not a batch-major stream tree (did you pass a cell-major "
@@ -671,28 +673,33 @@ def compact_ivf_index(
     fs, jsrc = _fs_path(spark, stream_ivf_dir)
     if not fs.exists(jsrc):
         raise FileNotFoundError(stream_ivf_dir)
-    _, jdest = _fs_path(spark, dest)
+    # dest-side ops get the DEST's FileSystem handle (ADVICE r15 low's
+    # class of bug: one dir's fs applied to another dir's path is a
+    # "Wrong FS" error on mixed filesystems); staging/old live beside
+    # dest by construction, so the whole-dir swap renames stay within
+    # one filesystem regardless of where the tree lives
+    dfs, jdest = _fs_path(spark, dest)
     staging = dest.rstrip("/") + "__staging"
     old = dest.rstrip("/") + "__old"
     _, jstaging = _fs_path(spark, staging)
     _, jold = _fs_path(spark, old)
 
     def _checked_rename(src_p, dst_p, what: str) -> None:
-        if not fs.rename(src_p, dst_p):
+        if not dfs.rename(src_p, dst_p):
             raise IOError(f"rename failed ({what}): {src_p} -> {dst_p}")
 
     # recovery preamble: a crash between the two swap renames leaves
     # dest absent and the previous copy parked — restore it first
-    if fs.exists(jold):
-        if not fs.exists(jdest):
+    if dfs.exists(jold):
+        if not dfs.exists(jdest):
             _checked_rename(jold, jdest, "recover parked dest")
         else:
-            fs.delete(jold, True)
-    if fs.exists(jstaging):
-        fs.delete(jstaging, True)  # incomplete by construction
+            dfs.delete(jold, True)
+    if dfs.exists(jstaging):
+        dfs.delete(jstaging, True)  # incomplete by construction
 
-    def _count_files(jpath) -> int:
-        it = fs.listFiles(jpath, True)
+    def _count_files(fsys, jpath) -> int:
+        it = fsys.listFiles(jpath, True)
         n = 0
         while it.hasNext():
             if it.next().getPath().getName().endswith(".parquet"):
@@ -701,11 +708,15 @@ def compact_ivf_index(
 
     retired_through = _read_retired_through(fs, jsrc)
     base_wm: int | None = None
+    bfs = None
     if merge_base is not None:
-        _, jbase = _fs_path(spark, merge_base)
-        if not fs.exists(jbase):
+        # the base's own FileSystem handle: on mixed filesystems the
+        # tree's fs applied to the base path throws an unhelpful
+        # "Wrong FS" (ADVICE r15 — same class as the retire/probe fix)
+        bfs, jbase = _fs_path(spark, merge_base)
+        if not bfs.exists(jbase):
             raise FileNotFoundError(merge_base)
-        base_wm = _read_compaction_watermark(fs, jbase)
+        base_wm = _read_compaction_watermark(bfs, jbase)
         if base_wm is None:
             raise ValueError(
                 f"{merge_base!r} carries no _compacted_watermark_<w> "
@@ -771,7 +782,32 @@ def compact_ivf_index(
                 f"{stream_ivf_dir!r} has no batch level — merge_base "
                 f"only makes sense for a batch-major stream tree"
             )
-        for st in fs.listStatus(jbase):
+        # the base must have been compacted from THIS tree (ADVICE r16
+        # medium, mirroring retire_compacted_batches; checked after the
+        # shape guard above so a cell-major dir keeps its clearer
+        # diagnosis): merging a base of a DIFFERENT tree silently
+        # excludes this tree's batches <= the foreign watermark from
+        # the rewrite (rows the foreign base does not hold) AND stamps
+        # a fresh source token naming this tree on the result — which
+        # would launder the base past the retirement guard and
+        # authorize deleting batches no base absorbed.  Markerless
+        # (pre-token) legacy bases keep the watermark-only behavior.
+        base_srcs = _name_markers(bfs, jbase, "_compacted_source_")
+        if base_srcs and _tree_source_token(fs, jsrc) not in base_srcs:
+            raise ValueError(
+                f"{merge_base!r} was not compacted from "
+                f"{stream_ivf_dir!r} (_compacted_source marker "
+                f"mismatch) — merging a foreign base would drop this "
+                f"tree's batches <= its watermark from the rewrite and "
+                f"stamp a source token vouching for the loss; pass the "
+                f"base compacted from THIS tree.  If the tree was "
+                f"relocated (the token hashes its qualified URI), "
+                f"re-run compact_ivf_index on the tree WITHOUT "
+                f"merge_base to re-stamp the token — possible only "
+                f"while the tree still holds its full history (no "
+                f"_retired_through marker)"
+            )
+        for st in bfs.listStatus(jbase):
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith("cell="):
                 cells.add(name.split("=", 1)[1])
@@ -825,7 +861,7 @@ def compact_ivf_index(
         _, jmark = _fs_path(
             spark, f"{staging}/_compacted_watermark_{watermark}"
         )
-        fs.create(jmark, True).close()
+        dfs.create(jmark, True).close()
         # the SOURCE identity rides with the watermark: a watermark
         # only authorizes retirement on the tree it was computed from
         # (retire_compacted_batches verifies this token), so a swapped
@@ -834,19 +870,19 @@ def compact_ivf_index(
             spark,
             f"{staging}/_compacted_source_{_tree_source_token(fs, jsrc)}",
         )
-        fs.create(jsmark, True).close()
-    files_before = _count_files(jsrc)
-    files_after = _count_files(jstaging)
-    if fs.exists(jdest):
+        dfs.create(jsmark, True).close()
+    files_before = _count_files(fs, jsrc)
+    files_after = _count_files(dfs, jstaging)
+    if dfs.exists(jdest):
         _checked_rename(jdest, jold, "park previous dest")
     try:
         _checked_rename(jstaging, jdest, "promote compacted copy")
     except IOError:
-        if fs.exists(jold):
+        if dfs.exists(jold):
             _checked_rename(jold, jdest, "restore after failed promote")
         raise
-    if fs.exists(jold):
-        fs.delete(jold, True)
+    if dfs.exists(jold):
+        dfs.delete(jold, True)
     return {
         "rows": n_rows,
         "cells": len(cells),
@@ -900,8 +936,12 @@ def retire_compacted_batches(
             f"cannot retire batches <= {up_to}: the base at "
             f"{base_dir!r} only covers batches <= {wm}"
         )
-    _, jsrc = _fs_path(spark, stream_ivf_dir)
-    if not fs.exists(jsrc):
+    # the TREE's own FileSystem handle (ADVICE r15 low): applying the
+    # base dir's fs to the tree path throws an unhelpful "Wrong FS" on
+    # mixed filesystems, for the token hash, the marker writes AND the
+    # batch-dir deletes below
+    tfs, jsrc = _fs_path(spark, stream_ivf_dir)
+    if not tfs.exists(jsrc):
         raise FileNotFoundError(stream_ivf_dir)
     # the base must have been compacted from THIS tree: its watermark
     # proves coverage of the SOURCE tree's batches only, so a swapped
@@ -909,14 +949,17 @@ def retire_compacted_batches(
     # rows no base holds.  Bases predating the source marker carry no
     # token and keep the old (watermark-only) behavior.
     src_tokens = _name_markers(fs, jbase, "_compacted_source_")
-    if src_tokens and _tree_source_token(fs, jsrc) not in src_tokens:
+    if src_tokens and _tree_source_token(tfs, jsrc) not in src_tokens:
         raise ValueError(
             f"{base_dir!r} was not compacted from {stream_ivf_dir!r} "
             f"(_compacted_source marker mismatch) — its watermark "
             f"says nothing about this tree's rows, and retiring "
             f"against a foreign base would permanently delete batches "
             f"no base has absorbed; pass the base compacted from THIS "
-            f"tree"
+            f"tree.  If the tree was merely relocated (the token "
+            f"hashes its qualified URI), re-run compact_ivf_index on "
+            f"it first — a fresh compaction re-stamps the source "
+            f"token — and retire against that base"
         )
     # leave evidence AT THE TREE that its history is (about to be)
     # partial: the _retired_through_<u> marker is what makes a later
@@ -929,15 +972,15 @@ def retire_compacted_batches(
     # everything <= up_to); (2) stale markers are removed LAST, and
     # _read_retired_through takes the max, so every intermediate state
     # asserts the stricter bound.
-    prev_marks = _name_markers(fs, jsrc, "_retired_through_")
+    prev_marks = _name_markers(tfs, jsrc, "_retired_through_")
     mark = max([up_to, *prev_marks])
     _, jmark = _fs_path(spark, f"{stream_ivf_dir}/_retired_through_{mark}")
-    fs.create(jmark, True).close()
+    tfs.create(jmark, True).close()
     retired: list[int] = []
     remaining: list[int] = []
-    for b, jpath in _tree_batch_dirs(fs, jsrc).items():
+    for b, jpath in _tree_batch_dirs(tfs, jsrc).items():
         if b <= up_to:
-            if not fs.delete(jpath, True):
+            if not tfs.delete(jpath, True):
                 raise IOError(f"failed to delete {jpath}")
             retired.append(b)
         else:
@@ -947,7 +990,7 @@ def retire_compacted_batches(
             _, jprev = _fs_path(
                 spark, f"{stream_ivf_dir}/_retired_through_{m}"
             )
-            fs.delete(jprev, False)
+            tfs.delete(jprev, False)
     return {
         "watermark_batch": wm,
         "retired_batches": sorted(retired),

@@ -545,100 +545,100 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window — the sibling's full hash is the cross-engine anchor the
 # rows-only check lacks.
 
-# ROUND-15 DRIVER WINDOW.  Composition per the round-14 ledger
-# (VERDICT r14 "Next round" #1): (b) round-14 reds: none;
-# (c) changed this round: corpus_curation_e2e (the composed pipeline
-#     module it certifies had its vs-index candidate verify re-keyed
-#     to (id, batch) so band key and verified signature come from the
-#     SAME index row, its empty-index fallback made fs-verified, and
-#     _observed armored with a public-API fallback), ann_ivf_topk
-#     (operators/similarity.py gained the shared probe core +
-#     base-plus-delta handoff — the module it routes through is
-#     re-pinned with the change);
-# (d) rows-only freshness AT THE POLICY BOUND: pipeline_bpe_train
-#     (sampled r13) — per the standing rule it rides with
-#     bpe_train_invariants in the same window (the four fit/PQ
-#     rows-only entries re-sampled r14, next bound r16);
-# (e) oldest-driver-green fill: the 12 remaining round-8-vintage rows
-#     in catalog order (this DRAINS the round-8 bucket), then the
-#     first 34 round-9-vintage rows in catalog order (4 of the 39
-#     r9 rows queue for round 16 — ann_ivf_topk rides in (c)).
-_R15_WINDOW = [
-    # (c) changed this round
-    "corpus_curation_e2e",
-    "ann_ivf_topk",
-    # (d) rows-only freshness at the policy bound + invariants sibling
-    "pipeline_bpe_train",
-    "bpe_train_invariants",
-    # (e) oldest-green fill: round-8 vintage, catalog order (drains
-    # the round-8 bucket)
-    "agg_grouping_sets_orders",
-    "string_part_names",
-    "subq_small_quantity_revenue",
-    "join_outer_nation_activity",
-    "window_order_gaps",
-    "topk_orders_global",
-    "events_session_gap_sensitivity",
-    "pipeline_pack_efficiency",
-    "pipeline_dedup_cross_source",
-    "pipeline_shard_balance",
-    "dedup_simhash_histogram",
-    "pipeline_budget_downsample",
-    # (e) oldest-green fill: round-9 vintage, catalog order (34 of 39
-    # — ann_ivf_topk already rides above in (c); the remaining 4
-    # queue for round 16)
-    "mm_decode",
-    "graph_pagerank_vectors",
-    "graph_bfs_reach",
-    "text_bm25_rank",
-    "events_sessionize",
-    "agg_approx_stats",
-    "q22_dormant_customers",
-    "dedup_latest_event",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "sample_train_split",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "doc_fingerprint",
-    "set_except_nations",
-    "set_intersect_nations",
-    "set_union_nations",
-    "join_range_quantity_bands",
-    "asof_events_orders",
-    "mm_decode_ppm",
-    "mm_resize_ppm",
-    "mm_tiles_ppm",
-    "graph_knn_indegree_profile",
-    "mm_decode_pnm_mixed",
-    "dedup_minhash_calibration",
-    "mm_decode_pbm",
-    "events_json_extract",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "agg_percentiles_lineitem",
-    "date_orders_seasonality",
-    "subq_exists_parts",
-]
-assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
-# ROUND-16 LEDGER (write _R16_WINDOW from this once round 15 records):
-# compose as (b) any round-15 reds -> (c) round-16 new/changed ->
+# ROUND-16 DRIVER WINDOW.  Composition per the round-15 ledger
+# (executed exactly as pre-written at the r15 close, verified against
+# a recomputed latest-round map from CORRECTNESS_r*.json):
+# (b) round-15 reds: none (CORRECTNESS_r15: 49 full-green + the
+#     by-design rows-only pipeline_bpe_train);
+# (c) changed this round: ann_ivf_topk — operators/similarity.py
+#     gained the merge_base cross-tree source-token check and the
+#     tree-side FileSystem-handle fixes (ADVICE r15, both items);
+#     refusal-only paths, but the module the probe routes through is
+#     re-pinned with the change (same precedent as r15's (c));
 # (d) rows-only freshness AT THE POLICY BOUND: kmeans_fit_native,
-# kmeans_fit_mllib, kmeans_fit_lineitem, ann_pq_topk (all sampled
-# r14; two-round policy) — per the standing rule each rides with its
-# invariants sibling (kmeans_fit_invariants, mllib_fit_invariants,
-# pq_train_invariants) in the same window; pipeline_bpe_train
-# re-samples r15, next bound r17 -> (e) oldest-green fill: FIRST the
-# 4 remaining round-9-vintage rows in catalog order
-# (subq_scalar_threshold, window_value_funcs, window_range_frame,
-# graph_triangle_count — this drains the round-9 bucket; verify
-# against a recomputed latest-round map from CORRECTNESS_r*.json),
-# then round-10 vintage in catalog order.
+#     kmeans_fit_mllib, kmeans_fit_lineitem, ann_pq_topk (all sampled
+#     r14; two-round policy) — per the standing rule each rides with
+#     its invariants sibling (kmeans_fit_invariants,
+#     mllib_fit_invariants, pq_train_invariants) in the same window.
+#     This is also the numpy-block Lloyd engine's FIRST driver-recorded
+#     oracle verification (VERDICT r15 "Next round" #1) and now covers
+#     the r16 engine changes (tuple-encoded packed persist, pack
+#     repartition escape hatch) and the r16 invariants-query overlap;
+# (e) oldest-driver-green fill: the 4 remaining round-9-vintage rows
+#     in catalog order (drains the round-9 bucket), then the first 38
+#     round-10-vintage rows in catalog order (mm_frame_sample, the
+#     39th, queues for round 17).
+_R16_WINDOW = [
+    # (c) changed this round
+    "ann_ivf_topk",
+    # (d) rows-only freshness at the policy bound + invariants siblings
+    "kmeans_fit_native",
+    "kmeans_fit_invariants",
+    "kmeans_fit_mllib",
+    "mllib_fit_invariants",
+    "kmeans_fit_lineitem",
+    "ann_pq_topk",
+    "pq_train_invariants",
+    # (e) oldest-green fill: round-9 vintage, catalog order (drains
+    # the round-9 bucket)
+    "subq_scalar_threshold",
+    "window_value_funcs",
+    "window_range_frame",
+    "graph_triangle_count",
+    # (e) oldest-green fill: round-10 vintage, catalog order (38 of
+    # 39 — mm_frame_sample queues for round 17)
+    "mm_ppm_pixel_histogram",
+    "mm_pnm_mixed_histogram",
+    "mm_resize_pnm_mixed",
+    "dedup_minhash_band_sweep",
+    "q17_small_quantity_revenue",
+    "set_multiset_priorities",
+    "case_coalesce_buckets",
+    "array_top_tokens",
+    "q4_late_shipments",
+    "q10_returned_revenue",
+    "array_higher_order",
+    "lateral_pos_tokens",
+    "generator_order_years",
+    "agg_filter_clause",
+    "window_rows_moving_avg",
+    "date_interval_arith",
+    "hist_order_values",
+    "join_null_safe_status",
+    "sort_global_daily",
+    "q14_promo_revenue",
+    "q19_branded_revenue",
+    "string_customer_profile",
+    "map_event_type_counts",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume",
+    "q21_sole_late_supplier",
+    "pipeline_corpus_curation",
+    "dq_validation_report",
+    "text_tfidf_topterms",
+    "text_bpe_tokens",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "knn_graph_cells",
+    "ann_brute_topk",
+    "mm_metadata",
+]
+assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
+# ROUND-17 LEDGER (write _R17_WINDOW from this once round 16 records):
+# compose as (b) any round-16 reds -> (c) round-17 new/changed ->
+# (d) rows-only freshness AT THE POLICY BOUND: pipeline_bpe_train
+# (sampled r15; two-round policy) — per the standing rule it rides
+# with bpe_train_invariants in the same window (the four fit/PQ
+# rows-only entries re-sample r16, next bound r18) -> (e) oldest-green
+# fill: FIRST mm_frame_sample (the last round-10-vintage row), then
+# round-11 vintage in catalog order (verify against a recomputed
+# latest-round map from CORRECTNESS_r*.json).
 # Dict-merge keeps the window's insertion order for the first 50 keys;
 # duplicate keys later in QUERIES only update the (identical) value.
-QUERIES = {**{n: QUERIES[n] for n in _R15_WINDOW}, **QUERIES}
+QUERIES = {**{n: QUERIES[n] for n in _R16_WINDOW}, **QUERIES}
 
 ORACLES: dict[str, str] = {
     "ingest_typed_projection": KQ.INGEST_SQL,

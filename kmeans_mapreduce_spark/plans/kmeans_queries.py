@@ -681,8 +681,19 @@ def kmeans_fit_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_final, w_next = _wssse(res.centroids), _wssse(nxt)
 
         hist = res.wssse_history
-        init_a = farthest_point_init(pts, K, seed=7)
-        init_b = farthest_point_init(pts, K, seed=7)
+        # The seed-reproducibility check needs two INDEPENDENT inits
+        # (caching one result would gut the check), but nothing says
+        # they must run serially: each is k-1 driver-paced top-1 jobs
+        # over the cached points, so overlapping them from two driver
+        # threads backfills the cluster during each other's driver
+        # turnarounds (guide §2.6) — same jobs, ~half the wall in the
+        # compare pass (r16; VERDICT r15 "Next round" #6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_a = pool.submit(farthest_point_init, pts, K, 7)
+            fut_b = pool.submit(farthest_point_init, pts, K, 7)
+            init_a, init_b = fut_a.result(), fut_b.result()
 
         ok = {
             "cluster_ids_in_range": all(
@@ -774,9 +785,18 @@ def mllib_fit_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt"))
             .collect()
         )
-        # k=4 pair: seed reproducibility + the native comparison
-        model_a, _ = fit_kmeans_mllib(pts, k=K, seed=7)
-        model_b, _ = fit_kmeans_mllib(pts, k=K, seed=7)
+        # k=4 pair: seed reproducibility + the native comparison.
+        # The two fits are independent by construction (that is the
+        # check), so they overlap from two driver threads (guide §2.6)
+        # — MLlib's driver-paced iteration turnarounds backfill each
+        # other; same jobs, ~half the wall in the compare pass (r16).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_a = pool.submit(fit_kmeans_mllib, pts, k=K, seed=7)
+            fut_b = pool.submit(fit_kmeans_mllib, pts, k=K, seed=7)
+            model_a, _ = fut_a.result()
+            model_b, _ = fut_b.result()
         cents_a = [[float(x) for x in c] for c in model_a.clusterCenters()]
         cents_b = [[float(x) for x in c] for c in model_b.clusterCenters()]
         same_shape = len(cents_a) == len(cents_b) == K

@@ -626,3 +626,26 @@ def test_ivf_retirement_misuse_guards(spark, embs_mod, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+    # (c) cross-tree merge_base (ADVICE r16): compacting t2 against
+    # the OTHER tree's base would drop t2's batches <= b1's watermark
+    # from the rewrite AND stamp a fresh source token naming t2 on the
+    # laundered result — which the retirement guard would then trust.
+    # Refuse before writing anything (t3 keeps its batches; no base
+    # dir appears).
+    t3, b3 = str(tmp_path / "t3"), str(tmp_path / "b3")
+    for b in range(2):
+        land(t3, b)
+    with pytest.raises(ValueError, match="_compacted_source"):
+        SIM.compact_ivf_index(spark, t3, b3, merge_base=b1)
+    assert not os.path.exists(b3)
+    assert os.path.isdir(f"{t3}/batch=0") and os.path.isdir(f"{t3}/batch=1")
+    # the tree's OWN base merges exactly as before
+    assert SIM.compact_ivf_index(spark, t3, b3)["watermark_batch"] == 1
+    land(t3, 2)
+    assert (
+        SIM.compact_ivf_index(spark, t3, b3, merge_base=b3)[
+            "watermark_batch"
+        ]
+        == 2
+    )

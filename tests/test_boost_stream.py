@@ -10,6 +10,8 @@ through the same checkpoint (exactly-once)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.plans.pipeline_queries18 import (
@@ -39,6 +41,7 @@ def _doc_rows(n0: int, n1: int):
     return rows
 
 
+@pytest.mark.slow
 def test_stream_filter_equals_batch_and_folds_delta(spark, sf_dir, tmp_path):
     src = str(tmp_path / "docs")
     kept = str(tmp_path / "kept")

@@ -23,25 +23,27 @@ def test_catalog_shapes():
         "pipeline_bpe_train",
     }
     # the driver's correctness gate only checks the first 50 dict
-    # entries — round 15: both changed consumers (the composed
-    # pipeline's (id,batch)-keyed candidate verify + observed/empty-
-    # index armor; the similarity module's shared probe core and
-    # base-plus-delta handoff) and the rows-only re-sample at its
-    # policy bound (with its invariants sibling, per the standing
-    # ledger rule) must all be inside
+    # entries — round 16: the changed similarity module's probe
+    # (ADVICE fixes) and the whole fit/PQ rows-only family at its
+    # two-round policy bound (each with its invariants sibling, per
+    # the standing ledger rule — and the numpy-block engine's first
+    # driver-recorded oracle verification) must all be inside
     first50 = list(qs)[:50]
-    from kmeans_mapreduce_spark.plans.catalog import _R15_WINDOW
+    from kmeans_mapreduce_spark.plans.catalog import _R16_WINDOW
 
-    assert first50 == _R15_WINDOW, "driver window drifted from the ledger"
+    assert first50 == _R16_WINDOW, "driver window drifted from the ledger"
     for name in (
-        # (c) changed this round (the composed-pipeline module; the
-        # similarity probe core)
-        "corpus_curation_e2e",
+        # (c) changed this round (the similarity module's guards)
         "ann_ivf_topk",
         # (d) rows-only freshness at the two-round policy bound, with
-        # the invariants sibling in the same window (standing rule)
-        "pipeline_bpe_train",
-        "bpe_train_invariants",
+        # the invariants siblings in the same window (standing rule)
+        "kmeans_fit_native",
+        "kmeans_fit_invariants",
+        "kmeans_fit_mllib",
+        "mllib_fit_invariants",
+        "kmeans_fit_lineitem",
+        "ann_pq_topk",
+        "pq_train_invariants",
     ):
         assert name in first50, f"{name} fell outside the correctness window"
 

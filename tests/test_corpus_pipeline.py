@@ -17,6 +17,8 @@ REJECT votes -5."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.streaming.corpus_pipeline import (
@@ -135,6 +137,7 @@ def _state(spark, out, with_ivf=False):
     }
 
 
+@pytest.mark.slow
 def test_stream_equals_driver_loop_replay_end_to_end(spark, tmp_path):
     flat = _stage_files(spark, tmp_path)
     out_s = str(tmp_path / "out_stream")
@@ -217,6 +220,7 @@ def test_stream_equals_driver_loop_replay_end_to_end(spark, tmp_path):
     assert s["shards"] == want
 
 
+@pytest.mark.slow
 def test_rerun_folds_only_the_delta(spark, tmp_path):
     flat = _stage_files(spark, tmp_path)
     out = str(tmp_path / "out")
@@ -245,6 +249,7 @@ def test_rerun_folds_only_the_delta(spark, tmp_path):
     assert new_accepted == {42}  # 41 died as a cross-batch exact dup
 
 
+@pytest.mark.slow
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-folding the same batch id must
     overwrite its own outputs into the identical state (the index read

@@ -141,6 +141,7 @@ def test_ivf_topk_matches_brute_mostly(embs):
 
 
 @pytest.mark.parametrize("scale_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.slow
 @pytest.mark.parametrize("num_perm,bands", [(32, 8), (64, 16)])
 def test_minhash_recall_pinned_at_two_scales(spark, scale_dir, num_perm, bands):
     """Retuning contract (minhash_dedup_pairs docstring guidance): at

@@ -3,6 +3,8 @@ across micro-batches with first-accepted-wins semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.streaming.dedup_corpus import stream_dedup_corpus
@@ -19,6 +21,7 @@ OTHER = (
 UNIQUE2 = "a short unrelated note on tea brewing temperatures and timing"
 
 
+@pytest.mark.slow
 def test_incremental_dedup_across_batches(spark, tmp_path):
     src = tmp_path / "docs_stream"
     src.mkdir()

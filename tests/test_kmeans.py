@@ -254,6 +254,49 @@ def test_multi_block_engine_matches_single_block(points, monkeypatch):
         assert math.isclose(wa, wb, rel_tol=1e-9)
 
 
+def test_pack_escape_hatch_single_partition_input(points, monkeypatch):
+    """r16 gate (r15 review finding #5): an input whose size estimate
+    calls for MORE blocks than it has partitions — the one-giant-row-
+    group shape — must be repartitioned up BEFORE the Arrow pack
+    instead of packing and looping serially.  Coalescing `points` to
+    one partition with a shrunken block target forces the hatch; the
+    blocks must come out multi-partition and the trajectory must still
+    match the DataFrame loop bitwise (float32-origin fixture: per-
+    cluster float64 sums are exact under any fold, so the layout
+    change cannot move the result — which is also why the hatch is
+    safe to leave untriggered on sanely-split inputs)."""
+    import kmeans_mapreduce_spark.operators.kmeans as K_mod
+    from kmeans_mapreduce_spark.operators.kmeans import (
+        _features_blocks,
+        _fit_kmeans_native_df,
+    )
+
+    one_part = points.coalesce(1)
+    init = [list(r["features"]) for r in points.orderBy("id").limit(3).collect()]
+    monkeypatch.setattr(K_mod, "_BLOCK_TARGET_BYTES", 64 * 1024)
+    blocks = _features_blocks(one_part.select("id", "features"), DIM)
+    try:
+        n_blocks = blocks.getNumPartitions()
+    finally:
+        blocks.unpersist()
+        backing = getattr(blocks, "_graft_backing", None)
+        if backing is not None:
+            backing.unpersist()
+    assert n_blocks > 1, "hatch did not raise pack parallelism"
+    hatched = fit_kmeans_native(
+        one_part, k=3, dim=DIM, initial_centroids=init, track_wssse=True
+    )
+    ref = _fit_kmeans_native_df(
+        points, k=3, dim=DIM, initial_centroids=init, track_wssse=True
+    )
+    assert hatched.iterations == ref.iterations
+    assert hatched.converged == ref.converged
+    assert hatched.delta == ref.delta
+    assert hatched.centroids == ref.centroids
+    for wa, wb in zip(hatched.wssse_history, ref.wssse_history):
+        assert math.isclose(wa, wb, rel_tol=1e-9)
+
+
 def test_lloyd_pass_empty_high_partition_rdd(spark):
     """r15 review gate: above the 2048-partition threshold _lloyd_pass
     merges partials with treeAggregate seeded by exact zeros — an

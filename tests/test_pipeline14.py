@@ -90,6 +90,7 @@ def test_ivf_pq_cell_strategy_cutoff_is_result_invariant(spark):
     )
 
 
+@pytest.mark.slow
 def test_recall_query_contract(spark, sf_dir):
     """ann_ivf_pq_recall: one row per evaluation query, recall in
     [0, 1] with hits consistent, and dist_ratio >= 1 (the retrieved

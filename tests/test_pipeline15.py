@@ -148,6 +148,7 @@ def test_wav_window_energy_framing_matches_pcm_windows(spark, sf_dir):
         media.unpersist()
 
 
+@pytest.mark.slow
 def test_shortlist_sweep_recall_monotone(spark, sf_dir):
     """A longer shortlist can only help: the exact re-rank of a
     SUPERSET shortlist dominates, so mean_recall must be non-decreasing

@@ -244,6 +244,7 @@ def test_avi_frame_sample_matches_formula(spark, sf_dir):
             assert r["f_max"] == int(px.max())
 
 
+@pytest.mark.slow
 def test_codebook_sweep_contains_production_point(spark, sf_dir):
     """The sweep's m=8 leg IS the production configuration: its
     mean_recall must equal the mean of `ann_ivf_pq_recall`'s per-query

@@ -25,6 +25,7 @@ def test_semantic_dedup_invariants(spark, sf_dir):
             assert r["dropped_id_sum"] == 0
 
 
+@pytest.mark.slow
 def test_semantic_dedup_min_id_winner(spark, sf_dir):
     """Every cluster keeps its lowest-id member (the canonical winner
     can never be dropped: drops require a LOWER-id near-dup)."""

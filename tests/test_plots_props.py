@@ -81,6 +81,7 @@ texts = st.text(
 
 
 @settings(max_examples=30, deadline=None)
+@pytest.mark.slow
 @given(st.lists(texts, min_size=1, max_size=8))
 def test_tokens_and_shingles_match_python(spark_global, samples):
     """Spark token/shingle exprs == the plain-Python definition for

@@ -20,6 +20,7 @@ def pq_setup(spark, sf_dir):
     return embs, books, codes
 
 
+@pytest.mark.slow
 def test_pq_shapes_and_determinism(spark, pq_setup):
     embs, books, codes = pq_setup
     assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8

@@ -19,6 +19,8 @@ loader.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import subprocess
 import sys
@@ -97,6 +99,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow
 def test_catalog_slice_on_vanilla_session():
     code = CHILD.format(repo=str(REPO), slice=SLICE, sf_dir=SF_DIR)
     proc = subprocess.run(

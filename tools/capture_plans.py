@@ -115,7 +115,7 @@ def _lineitem_iteration_plans(spark, sf_dir: str) -> dict[str, str]:
 def main() -> None:
     out_dir = Path(sys.argv[1])
     suffix = sys.argv[2]
-    only = sys.argv[3:] or None
+    only = [a for a in sys.argv[3:] if not a.startswith("--")] or None
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from kmeans_mapreduce_spark.plans.catalog import QUERIES
@@ -137,14 +137,16 @@ def main() -> None:
         print(f"wrote {name}_{suffix}.txt", file=sys.stderr)
     wanted = set(names)
     extra: dict[str, str] = {}
-    if suffix == "before":
+    if "--legacy-df-loop" in sys.argv:
         # pre-r15 engine: the hot path was a per-iteration SQL plan
+        # (r15 used this for its "before" captures; kept for reference)
         if "kmeans_fit_native" in wanted:
             extra.update(_fit_iteration_plans(spark, SF_DIR))
         if "kmeans_fit_lineitem" in wanted:
             extra.update(_lineitem_iteration_plans(spark, SF_DIR))
     elif "kmeans_fit_native" in wanted or "kmeans_fit_lineitem" in wanted:
-        # r15 numpy-block engine: the only SQL plan is the pack stage
+        # r15+ numpy-block engine: the only SQL plan is the pack stage,
+        # so it is the before AND after capture from round 16 on
         extra.update(_fit_pack_plans(spark, SF_DIR))
     for name, text in extra.items():
         (out_dir / f"{name}_{suffix}.txt").write_text(text)
