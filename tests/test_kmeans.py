@@ -208,8 +208,13 @@ def test_block_stats_matches_unbuffered_reference():
         return (cnt, s, w)
 
     rng = np.random.default_rng(11)
+    # 65535/65536/65537/200000 straddle the r16 _CHUNK_ROWS boundary
+    # (one full chunk, one-short, one-over, multi-chunk) — the chunked
+    # distance/argmin path must stay bit-identical to the full-matrix
+    # reference on every side of it
     for n, d, k in [(1, 1, 1), (50, 1, 3), (1000, 4, 4), (500, 64, 4),
-                    (20000, 4, 7), (333, 16, 2)]:
+                    (20000, 4, 7), (333, 16, 2), (65535, 4, 4),
+                    (65536, 2, 3), (65537, 4, 4), (200000, 3, 5)]:
         X = rng.standard_normal((n, d)) * rng.uniform(1e-3, 1e3)
         C = rng.standard_normal((k, d))
         for w in (False, True):
